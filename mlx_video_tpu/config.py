@@ -89,6 +89,11 @@ class VideoVAEConfig:
                 kw[key] = tuple((name, dict(cfg)) for name, cfg in kw[key])
         return cls(**kw)
 
+    def __hash__(self) -> int:
+        # The block-spec tuples contain dicts (unhashable); hash the repr so
+        # the config can be a jit static argument.
+        return hash(repr(self))
+
 
 @dataclass(frozen=True)
 class LTXModelConfig:

@@ -1,0 +1,114 @@
+"""2x latent spatial upsampler, TPU-native.
+
+Behavioral spec: reference mlx_video/models/ltx/upsampler.py:6-316.
+
+Structure: conv3d 128->1024 + GroupNorm/SiLU, 4 ResBlock3D, per-frame 2D
+conv + pixel-shuffle 2x, 4 post ResBlock3D, conv3d 1024->128. Applied on
+*de-normalized* latents then re-normalized (``upsample_latents``).
+
+ResBlock order matters: conv -> norm -> SiLU, conv -> norm, then SiLU AFTER
+the residual add (reference: upsampler.py:177-199).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from mlx_video_tpu.models.ltx.video_vae import ops
+from mlx_video_tpu.models.ltx.video_vae.blocks import group_norm
+from mlx_video_tpu.models.ltx.video_vae.conv import conv2d, init_conv2d, init_conv3d
+from jax import lax
+
+
+def _conv3d_same(params: dict, x: jax.Array) -> jax.Array:
+    """3x3x3 conv with symmetric zero padding over (B, F, H, W, C)."""
+    out = lax.conv_general_dilated(
+        x,
+        params["weight"].astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out + params["bias"].astype(x.dtype)
+
+
+def _init_norm(channels: int, dtype) -> dict:
+    return {"weight": jnp.ones((channels,), dtype=dtype), "bias": jnp.zeros((channels,), dtype=dtype)}
+
+
+def init_res_block_3d(key: jax.Array, channels: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv3d(k1, channels, channels, 3, dtype=dtype),
+        "norm1": _init_norm(channels, dtype),
+        "conv2": init_conv3d(k2, channels, channels, 3, dtype=dtype),
+        "norm2": _init_norm(channels, dtype),
+    }
+
+
+def res_block_3d(params: dict, x: jax.Array) -> jax.Array:
+    """conv/norm/silu -> conv/norm -> silu(x + residual)
+    (reference: upsampler.py:177-199). GroupNorm eps=1e-5."""
+    residual = x
+    h = jax.nn.silu(group_norm(params["norm1"], _conv3d_same(params["conv1"], x), 32, eps=1e-5))
+    h = group_norm(params["norm2"], _conv3d_same(params["conv2"], h), 32, eps=1e-5)
+    return jax.nn.silu(h + residual)
+
+
+def pixel_shuffle_2d(x: jax.Array, r: int = 2) -> jax.Array:
+    """(N, H, W, C*r*r) -> (N, H*r, W*r, C) with torch PixelShuffle channel
+    order (reference: upsampler.py:117-139)."""
+    return rearrange(x, "n h w (c rh rw) -> n (h rh) (w rw) c", rh=r, rw=r)
+
+
+def init_latent_upsampler(
+    key: jax.Array, in_channels: int = 128, mid_channels: int = 1024, num_blocks: int = 4, dtype=jnp.float32
+) -> dict:
+    keys = jax.random.split(key, 4 + 2 * num_blocks)
+    return {
+        "initial_conv": init_conv3d(keys[0], in_channels, mid_channels, 3, dtype=dtype),
+        "initial_norm": _init_norm(mid_channels, dtype),
+        "res_blocks": {
+            str(i): init_res_block_3d(keys[2 + i], mid_channels, dtype=dtype) for i in range(num_blocks)
+        },
+        "upsampler": {"conv": init_conv2d(keys[1], mid_channels, 4 * mid_channels, 3, dtype=dtype)},
+        "post_upsample_res_blocks": {
+            str(i): init_res_block_3d(keys[2 + num_blocks + i], mid_channels, dtype=dtype)
+            for i in range(num_blocks)
+        },
+        "final_conv": init_conv3d(keys[-1], mid_channels, in_channels, 3, dtype=dtype),
+    }
+
+
+def latent_upsampler_apply(params: dict, latent: jax.Array) -> jax.Array:
+    """(B, C, F, H, W) -> (B, C, F, 2H, 2W) (reference: upsampler.py:232-294)."""
+    x = ops.to_channels_last(latent)
+    x = jax.nn.silu(group_norm(params["initial_norm"], _conv3d_same(params["initial_conv"], x), 32, eps=1e-5))
+
+    for i in sorted(params["res_blocks"], key=int):
+        x = res_block_3d(params["res_blocks"][i], x)
+
+    # Per-frame 2D conv + pixel shuffle 2x (reference: upsampler.py:142-174).
+    b, f, h, w, c = x.shape
+    x2 = x.reshape(b * f, h, w, c)
+    x2 = conv2d(params["upsampler"]["conv"], x2, stride=1, padding=1)
+    x2 = pixel_shuffle_2d(x2, 2)
+    x = x2.reshape(b, f, h * 2, w * 2, c)
+
+    for i in sorted(params["post_upsample_res_blocks"], key=int):
+        x = res_block_3d(params["post_upsample_res_blocks"][i], x)
+
+    x = _conv3d_same(params["final_conv"], x)
+    return ops.to_channels_first(x)
+
+
+def upsample_latents(
+    params: dict, latent: jax.Array, latent_mean: jax.Array, latent_std: jax.Array
+) -> jax.Array:
+    """Denormalize -> upsample -> renormalize (reference: upsampler.py:297-316)."""
+    mean = latent_mean.reshape(1, -1, 1, 1, 1).astype(latent.dtype)
+    std = latent_std.reshape(1, -1, 1, 1, 1).astype(latent.dtype)
+    up = latent_upsampler_apply(params, latent * std + mean)
+    return (up - mean) / std

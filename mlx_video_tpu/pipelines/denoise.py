@@ -1,0 +1,334 @@
+"""Denoising loops for the distilled / dev / AV / audio-only pipelines.
+
+Behavioral spec: reference mlx_video/generate.py:564-881 (denoise_distilled),
+1060-1327 (denoise_dev CFG), 1330-1703 (denoise_dev_av / denoise_audio_only).
+
+TPU-native design (deliberately different from the reference's per-step
+``mx.compile`` + ``mx.eval`` batching):
+
+- The WHOLE sigma loop is one ``lax.scan`` inside one module-level
+  ``jax.jit`` — one compile per (shape, config) combination, cached across
+  calls; zero per-step dispatch overhead. A Python-loop mode
+  (``progress_callback``) reuses one jitted step for step-level progress.
+- CFG runs batched (2B) by default — on TPU the doubled batch rides the MXU
+  essentially for free vs. two sequential forwards
+  (reference cfg_batch: generate.py:1239-1255).
+- Euler update in fp32 (reference: generate.py:835-845); the final step
+  (sigma_next = 0) uses the same formula, which reduces to ``denoised``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.config import LTXModelConfig
+from mlx_video_tpu.models.ltx import rope as rope_lib
+from mlx_video_tpu.models.ltx.model import Modality, ltx_apply, to_denoised
+from mlx_video_tpu.pipelines.conditioning import LatentState, apply_denoise_mask
+
+
+def flatten_video_latents(latents: jax.Array) -> jax.Array:
+    """(B, C, F, H, W) -> (B, F*H*W, C) token layout (reference: generate.py:651)."""
+    b, c = latents.shape[0], latents.shape[1]
+    return jnp.transpose(latents.reshape(b, c, -1), (0, 2, 1))
+
+
+def unflatten_video_latents(tokens: jax.Array, shape) -> jax.Array:
+    """(B, S, C) -> (B, C, F, H, W)."""
+    b, c, f, h, w = shape
+    return jnp.transpose(tokens, (0, 2, 1)).reshape(b, c, f, h, w)
+
+
+def flatten_audio_latents(latents: jax.Array) -> jax.Array:
+    """(B, C, T, M) -> (B, T, C*M) (reference: generate.py:665-667)."""
+    b, c, t, m = latents.shape
+    return jnp.transpose(latents, (0, 2, 1, 3)).reshape(b, t, c * m)
+
+
+def unflatten_audio_latents(tokens: jax.Array, shape) -> jax.Array:
+    """(B, T, C*M) -> (B, C, T, M)."""
+    b, c, t, m = shape
+    return jnp.transpose(tokens.reshape(b, t, c, m), (0, 2, 1, 3))
+
+
+def video_timesteps_mask(state: Optional[LatentState], shape, dtype) -> jax.Array:
+    """Per-token denoise mask (B, F*H*W) from per-frame state
+    (reference: generate.py:597-606)."""
+    b, _, f, h, w = shape
+    if state is None:
+        return jnp.ones((b, f * h * w), dtype=dtype)
+    mask = jnp.broadcast_to(state.denoise_mask.reshape(b, 1, f, 1, 1), (b, 1, f, h, w))
+    return mask.reshape(b, f * h * w).astype(dtype)
+
+
+def precompute_video_pe(config: LTXModelConfig, positions: jax.Array):
+    return rope_lib.precompute_freqs_cis(
+        positions,
+        dim=config.inner_dim,
+        theta=config.positional_embedding_theta,
+        max_pos=config.positional_embedding_max_pos,
+        use_middle_indices_grid=config.use_middle_indices_grid,
+        num_attention_heads=config.num_attention_heads,
+        rope_type=config.rope_type,
+        double_precision=config.double_precision_rope,
+    )
+
+
+def precompute_audio_pe(config: LTXModelConfig, positions: jax.Array):
+    return rope_lib.precompute_freqs_cis(
+        positions,
+        dim=config.audio_inner_dim,
+        theta=config.positional_embedding_theta,
+        max_pos=config.audio_positional_embedding_max_pos,
+        use_middle_indices_grid=config.use_middle_indices_grid,
+        num_attention_heads=config.audio_num_attention_heads,
+        rope_type=config.rope_type,
+        double_precision=config.double_precision_rope,
+    )
+
+
+def _euler_step(latents, denoised, sigma, sigma_next):
+    """fp32 Euler update; exact at sigma_next=0 (reference: generate.py:835-847)."""
+    lat = latents.astype(jnp.float32)
+    den = denoised.astype(jnp.float32)
+    out = den + sigma_next.astype(jnp.float32) * (lat - den) / sigma.astype(jnp.float32)
+    return out.astype(latents.dtype)
+
+
+def _cfg_combine(pos, neg, scale: float):
+    """v = v_pos + (scale-1)(v_pos - v_neg) (reference: generate.py:1136, 1283)."""
+    return pos + (scale - 1.0) * (pos - neg)
+
+
+def _double(x):
+    """(B, ...) -> (2B, ...); XLA lowers this to a broadcast, not a copy."""
+    return jnp.concatenate([x, x], axis=0)
+
+
+def _denoise_step(params, bundle, config, cfg_scale, use_cfg, enable_audio, carry, sig_pair):
+    """One Euler step over both modalities. ``bundle`` holds all loop-constant
+    arrays (contexts, positions, RoPE tables, masks, conditioning state)."""
+    v_lat, a_lat = carry
+    sigma, sigma_next = sig_pair[0], sig_pair[1]
+    dtype = v_lat.dtype if not enable_audio or v_lat.ndim == 5 else a_lat.dtype
+
+    video_mod = None
+    vshape = None
+    if v_lat.ndim == 5:  # video enabled
+        vshape = v_lat.shape
+        v_tokens = flatten_video_latents(v_lat)
+        ts = (sigma * bundle["v_mask"]).astype(v_lat.dtype)
+        if use_cfg:
+            v_tokens, ts = _double(v_tokens), _double(ts)
+        video_mod = Modality(
+            latent=v_tokens,
+            timesteps=ts,
+            context=bundle["context"],
+            positions=bundle["positions"],
+            pe=(bundle["pe_cos"], bundle["pe_sin"]),
+        )
+
+    audio_mod = None
+    ashape = None
+    if enable_audio:
+        ashape = a_lat.shape
+        a_tokens = flatten_audio_latents(a_lat)
+        a_ts = (sigma * bundle["a_mask"]).astype(a_lat.dtype)
+        if use_cfg:
+            a_tokens, a_ts = _double(a_tokens), _double(a_ts)
+        audio_mod = Modality(
+            latent=a_tokens,
+            timesteps=a_ts,
+            context=bundle["a_context"],
+            positions=bundle["a_positions"],
+            pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
+        )
+
+    v_vel, a_vel = ltx_apply(params, config, video=video_mod, audio=audio_mod)
+
+    v_out = v_lat
+    if video_mod is not None:
+        if use_cfg:
+            v_pos, v_neg = jnp.split(v_vel, 2, axis=0)
+            v_vel = _cfg_combine(v_pos, v_neg, cfg_scale)
+        v_vel = unflatten_video_latents(v_vel, vshape)
+        denoised = to_denoised(v_lat, v_vel, sigma)
+        if "denoise_mask" in bundle:
+            denoised = apply_denoise_mask(denoised, bundle["clean_latent"], bundle["denoise_mask"])
+        v_out = _euler_step(v_lat, denoised, sigma, sigma_next)
+
+    a_out = a_lat
+    if enable_audio and a_vel is not None:
+        if use_cfg:
+            a_pos, a_neg = jnp.split(a_vel, 2, axis=0)
+            a_vel = _cfg_combine(a_pos, a_neg, cfg_scale)
+        a_vel = unflatten_audio_latents(a_vel, ashape)
+        a_denoised = to_denoised(a_lat, a_vel, sigma)
+        a_out = _euler_step(a_lat, a_denoised, sigma, sigma_next)
+
+    return (v_out, a_out), None
+
+
+@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio"))
+def _denoise_scan(params, bundle, init, sig_pairs, config, cfg_scale, use_cfg, enable_audio):
+    step = partial(_denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio)
+    (v, a), _ = jax.lax.scan(step, init, sig_pairs)
+    return v, a
+
+
+@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio"))
+def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio):
+    out, _ = _denoise_step(params, bundle, config, cfg_scale, use_cfg, enable_audio, carry, sig_pair)
+    return out
+
+
+def _make_bundle(
+    config,
+    latents,
+    positions,
+    context,
+    state,
+    use_cfg,
+    neg_context,
+    audio_latents,
+    audio_positions,
+    audio_context,
+    audio_neg_context,
+):
+    enable_audio = audio_latents is not None
+    bundle = {}
+    if latents is not None:
+        dtype = latents.dtype
+        bundle["v_mask"] = video_timesteps_mask(state, latents.shape, dtype)
+        pe = precompute_video_pe(config, positions)
+        if use_cfg:
+            bundle["context"] = jnp.concatenate([context, neg_context], axis=0)
+            bundle["positions"] = _double(positions)
+            bundle["pe_cos"], bundle["pe_sin"] = _double(pe[0]), _double(pe[1])
+        else:
+            bundle["context"] = context
+            bundle["positions"] = positions
+            bundle["pe_cos"], bundle["pe_sin"] = pe
+        if state is not None:
+            bundle["clean_latent"] = state.clean_latent
+            bundle["denoise_mask"] = state.denoise_mask
+    if enable_audio:
+        adtype = audio_latents.dtype
+        bundle["a_mask"] = jnp.ones((audio_latents.shape[0], audio_latents.shape[2]), dtype=adtype)
+        a_pe = precompute_audio_pe(config, audio_positions)
+        if use_cfg:
+            bundle["a_context"] = jnp.concatenate([audio_context, audio_neg_context], axis=0)
+            bundle["a_positions"] = _double(audio_positions)
+            bundle["a_pe_cos"], bundle["a_pe_sin"] = _double(a_pe[0]), _double(a_pe[1])
+        else:
+            bundle["a_context"] = audio_context
+            bundle["a_positions"] = audio_positions
+            bundle["a_pe_cos"], bundle["a_pe_sin"] = a_pe
+    return bundle
+
+
+def denoise(
+    params: dict,
+    config: LTXModelConfig,
+    latents: jax.Array,
+    positions: jax.Array,
+    context: jax.Array,
+    sigmas: Sequence[float],
+    neg_context: Optional[jax.Array] = None,
+    cfg_scale: float = 1.0,
+    state: Optional[LatentState] = None,
+    audio_latents: Optional[jax.Array] = None,
+    audio_positions: Optional[jax.Array] = None,
+    audio_context: Optional[jax.Array] = None,
+    audio_neg_context: Optional[jax.Array] = None,
+    progress_callback: Optional[Callable[[int, int], None]] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Run the full denoise loop.
+
+    - ``cfg_scale == 1.0`` / no ``neg_context``: distilled path (no CFG),
+      reference generate.py:564-881.
+    - otherwise: dev CFG path with one batched pos/neg forward,
+      reference generate.py:1060-1327.
+    - ``audio_latents`` enables joint AV denoising over a shared sigma
+      schedule (reference: generate.py:642-710, 1330+).
+
+    Returns (video_latents, audio_latents-or-None), channels-first.
+    """
+    use_cfg = cfg_scale != 1.0 and neg_context is not None
+    enable_audio = audio_latents is not None
+    if enable_audio and (audio_positions is None or audio_context is None):
+        raise ValueError("audio_positions/audio_context must be provided with audio_latents")
+
+    if state is not None:
+        latents = state.latent
+
+    bundle = _make_bundle(
+        config, latents, positions, context, state, use_cfg, neg_context,
+        audio_latents, audio_positions, audio_context, audio_neg_context,
+    )
+
+    sigmas_arr = jnp.asarray(np.asarray(sigmas, dtype=np.float32))
+    sig_pairs = jnp.stack([sigmas_arr[:-1], sigmas_arr[1:]], axis=1)
+    num_steps = sig_pairs.shape[0]
+    init = (latents, audio_latents if enable_audio else jnp.zeros((0,), dtype=latents.dtype))
+
+    if progress_callback is None:
+        v, a = _denoise_scan(
+            params, bundle, init, sig_pairs,
+            config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
+        )
+    else:
+        carry = init
+        for i in range(num_steps):
+            carry = _denoise_one(
+                params, bundle, carry, sig_pairs[i],
+                config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
+            )
+            progress_callback(i + 1, num_steps)
+        v, a = carry
+
+    return v, (a if enable_audio else None)
+
+
+def denoise_audio_only(
+    params: dict,
+    config: LTXModelConfig,
+    audio_latents: jax.Array,
+    audio_positions: jax.Array,
+    audio_context: jax.Array,
+    sigmas: Sequence[float],
+    audio_neg_context: Optional[jax.Array] = None,
+    cfg_scale: float = 1.0,
+    progress_callback: Optional[Callable[[int, int], None]] = None,
+) -> jax.Array:
+    """Audio-only denoise loop (reference: generate.py:888-1057)."""
+    use_cfg = cfg_scale != 1.0 and audio_neg_context is not None
+    bundle = _make_bundle(
+        config, None, None, None, None, use_cfg, None,
+        audio_latents, audio_positions, audio_context, audio_neg_context,
+    )
+    sigmas_arr = jnp.asarray(np.asarray(sigmas, dtype=np.float32))
+    sig_pairs = jnp.stack([sigmas_arr[:-1], sigmas_arr[1:]], axis=1)
+    num_steps = sig_pairs.shape[0]
+    # Video carry is a 0-d placeholder (ndim != 5 disables the video path).
+    init = (jnp.zeros((0,), dtype=audio_latents.dtype), audio_latents)
+
+    if progress_callback is None:
+        _, a = _denoise_scan(
+            params, bundle, init, sig_pairs,
+            config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=True,
+        )
+        return a
+    carry = init
+    for i in range(num_steps):
+        carry = _denoise_one(
+            params, bundle, carry, sig_pairs[i],
+            config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=True,
+        )
+        progress_callback(i + 1, num_steps)
+    return carry[1]

@@ -1,0 +1,242 @@
+"""Denoise loop, conditioning, and upsampler tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply, to_denoised
+from mlx_video_tpu.models.ltx.upsampler import (
+    init_latent_upsampler,
+    latent_upsampler_apply,
+    upsample_latents,
+)
+from mlx_video_tpu.pipelines import denoise as dn
+from mlx_video_tpu.pipelines.conditioning import (
+    LatentState,
+    VideoConditionByKeyframeIndex,
+    VideoConditionByLatentIndex,
+    add_noise_with_state,
+    apply_conditioning,
+    apply_denoise_mask,
+    create_initial_state,
+)
+from mlx_video_tpu.pipelines.positions import create_audio_position_grid, create_position_grid
+from mlx_video_tpu.pipelines.schedulers import STAGE_1_SIGMAS, subsample_sigmas
+
+
+@pytest.fixture(scope="module")
+def video_setup():
+    cfg = tiny_test_config(LTXModelType.VideoOnly)
+    params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    b, f, h, w = 1, 2, 3, 4
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32))
+    positions = jnp.asarray(create_position_grid(b, f, h, w))
+    context = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+    neg_context = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+    return cfg, params, latents, positions, context, neg_context
+
+
+class TestConditioning:
+    def _state(self, rng, b=1, c=4, f=5, h=2, w=2):
+        return create_initial_state((b, c, f, h, w), key=jax.random.key(0))
+
+    def test_initial_state(self, rng):
+        st = self._state(rng)
+        assert st.latent.shape == (1, 4, 5, 2, 2)
+        assert st.denoise_mask.shape == (1, 1, 5, 1, 1)
+        np.testing.assert_array_equal(np.asarray(st.denoise_mask), 1.0)
+        np.testing.assert_array_equal(np.asarray(st.clean_latent), 0.0)
+
+    def test_replace_mode(self, rng):
+        st = self._state(rng)
+        cond = jnp.asarray(rng.normal(size=(1, 4, 1, 2, 2)).astype(np.float32))
+        out = apply_conditioning(st, [VideoConditionByLatentIndex(latent=cond, frame_idx=0, strength=0.8)])
+        np.testing.assert_allclose(np.asarray(out.latent[:, :, 0]), np.asarray(cond[:, :, 0]))
+        np.testing.assert_allclose(np.asarray(out.clean_latent[:, :, 0]), np.asarray(cond[:, :, 0]))
+        np.testing.assert_allclose(np.asarray(out.denoise_mask[0, 0, 0, 0, 0]), 0.2, rtol=1e-6)
+        # untouched frames keep original noise + full mask
+        np.testing.assert_allclose(np.asarray(out.latent[:, :, 1:]), np.asarray(st.latent[:, :, 1:]))
+        np.testing.assert_array_equal(np.asarray(out.denoise_mask[:, :, 1:]), 1.0)
+
+    def test_guide_mode_keeps_noisy_latent(self, rng):
+        st = self._state(rng)
+        kf = jnp.asarray(rng.normal(size=(1, 4, 2, 2, 2)).astype(np.float32))
+        out = apply_conditioning(st, [VideoConditionByKeyframeIndex(keyframes=kf, frame_idx=2, strength=1.0)])
+        np.testing.assert_allclose(np.asarray(out.latent), np.asarray(st.latent))
+        np.testing.assert_allclose(np.asarray(out.clean_latent[:, :, 2:4]), np.asarray(kf))
+        np.testing.assert_array_equal(np.asarray(out.denoise_mask[:, :, 2:4]), 0.0)
+
+    def test_conditioning_clipped_at_end(self, rng):
+        st = self._state(rng)
+        cond = jnp.asarray(rng.normal(size=(1, 4, 3, 2, 2)).astype(np.float32))
+        out = apply_conditioning(st, [VideoConditionByLatentIndex(latent=cond, frame_idx=3)])
+        np.testing.assert_allclose(np.asarray(out.latent[:, :, 3:]), np.asarray(cond[:, :, :2]))
+
+    def test_shape_validation(self, rng):
+        st = self._state(rng)
+        bad = jnp.zeros((1, 4, 1, 3, 3))
+        with pytest.raises(ValueError, match="does not match"):
+            apply_conditioning(st, [VideoConditionByLatentIndex(latent=bad)])
+        with pytest.raises(ValueError, match="out of bounds"):
+            apply_conditioning(st, [VideoConditionByLatentIndex(latent=jnp.zeros((1, 4, 1, 2, 2)), frame_idx=9)])
+
+    def test_apply_denoise_mask(self, rng):
+        d = jnp.ones((1, 2, 3, 1, 1))
+        c = jnp.zeros((1, 2, 3, 1, 1))
+        m = jnp.asarray([1.0, 0.5, 0.0]).reshape(1, 1, 3, 1, 1)
+        out = np.asarray(apply_denoise_mask(d, c, m))
+        np.testing.assert_allclose(out[0, 0, :, 0, 0], [1.0, 0.5, 0.0])
+
+    def test_add_noise_respects_mask(self, rng):
+        st = self._state(rng)
+        st = st._replace(denoise_mask=st.denoise_mask.at[:, :, 0].set(0.0))
+        out = add_noise_with_state(st, jax.random.key(3), noise_scale=0.9)
+        # masked frame unchanged; unmasked frames renoised
+        np.testing.assert_allclose(np.asarray(out.latent[:, :, 0]), np.asarray(st.latent[:, :, 0]))
+        assert np.max(np.abs(np.asarray(out.latent[:, :, 1:]) - np.asarray(st.latent[:, :, 1:]))) > 1e-3
+
+
+class TestDenoise:
+    def test_distilled_loop_shapes(self, video_setup):
+        cfg, params, latents, positions, context, _ = video_setup
+        sigmas = subsample_sigmas(STAGE_1_SIGMAS, 3)
+        v, a = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        assert a is None
+        assert v.shape == latents.shape
+        assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_progress_callback_matches_scan(self, video_setup):
+        cfg, params, latents, positions, context, _ = video_setup
+        sigmas = subsample_sigmas(STAGE_1_SIGMAS, 2)
+        v_scan, _ = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        calls = []
+        v_loop, _ = dn.denoise(
+            params, cfg, latents, positions, context, sigmas,
+            progress_callback=lambda i, n: calls.append((i, n)),
+        )
+        assert calls == [(1, 2), (2, 2)]
+        np.testing.assert_allclose(np.asarray(v_scan), np.asarray(v_loop), atol=2e-5)
+
+    def test_cfg_batched_matches_two_forwards(self, video_setup):
+        """One batched 2B CFG forward must equal two separate forwards."""
+        cfg, params, latents, positions, context, neg = video_setup
+        scale = 4.0
+        sigma = 0.9
+        sigmas = [sigma, 0.5]
+        v_cfg, _ = dn.denoise(
+            params, cfg, latents, positions, context, sigmas, neg_context=neg, cfg_scale=scale
+        )
+        # manual two-forward reference
+        tokens = dn.flatten_video_latents(latents)
+        ts = jnp.full(tokens.shape[:2], sigma, dtype=latents.dtype)
+        vel_p, _ = ltx_apply(params, cfg, video=Modality(tokens, ts, context, positions))
+        vel_n, _ = ltx_apply(params, cfg, video=Modality(tokens, ts, neg, positions))
+        vel = vel_p + (scale - 1.0) * (vel_p - vel_n)
+        vel = dn.unflatten_video_latents(vel, latents.shape)
+        denoised = to_denoised(latents, vel, sigma)
+        expected = np.asarray(denoised, dtype=np.float64) + 0.5 * (
+            np.asarray(latents, dtype=np.float64) - np.asarray(denoised, dtype=np.float64)
+        ) / sigma
+        np.testing.assert_allclose(np.asarray(v_cfg), expected, atol=5e-4)
+
+    def test_cfg_scale_one_equals_no_cfg(self, video_setup):
+        cfg, params, latents, positions, context, neg = video_setup
+        sigmas = [1.0, 0.5, 0.0]
+        v1, _ = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        v2, _ = dn.denoise(
+            params, cfg, latents, positions, context, sigmas, neg_context=neg, cfg_scale=1.0
+        )
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+    def test_conditioned_frames_stay_clean(self, video_setup):
+        cfg, params, latents, positions, context, _ = video_setup
+        clean = jnp.asarray(
+            np.random.default_rng(5).normal(size=latents.shape).astype(np.float32)
+        )
+        mask = jnp.ones((1, 1, latents.shape[2], 1, 1)).at[:, :, 0].set(0.0)
+        state = LatentState(latent=latents, clean_latent=clean, denoise_mask=mask)
+        v, _ = dn.denoise(params, cfg, latents, positions, context, [1.0, 0.5, 0.0], state=state)
+        # Fully-conditioned frame 0 must equal the clean latent at the end
+        # (final step: denoised blended with clean, sigma_next = 0).
+        np.testing.assert_allclose(np.asarray(v[:, :, 0]), np.asarray(clean[:, :, 0]), atol=1e-5)
+
+    def test_av_joint_loop(self):
+        cfg = tiny_test_config(LTXModelType.AudioVideo)
+        params = init_ltx_params(jax.random.key(1), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w, t = 1, 2, 2, 2, 6
+        latents = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32))
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+        a_latents = jnp.asarray(rng.normal(size=(b, 8, t, cfg.audio_in_channels // 8)).astype(np.float32))
+        a_positions = jnp.asarray(create_audio_position_grid(b, t))
+        a_context = jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32))
+        v, a = dn.denoise(
+            params, cfg, latents, positions, context, [1.0, 0.5, 0.0],
+            audio_latents=a_latents, audio_positions=a_positions, audio_context=a_context,
+        )
+        assert v.shape == latents.shape and a.shape == a_latents.shape
+        assert np.all(np.isfinite(np.asarray(v))) and np.all(np.isfinite(np.asarray(a)))
+
+    def test_audio_only_loop(self):
+        cfg = tiny_test_config(LTXModelType.AudioVideo)
+        params = init_ltx_params(jax.random.key(1), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, t = 1, 6
+        a_latents = jnp.asarray(rng.normal(size=(b, 8, t, cfg.audio_in_channels // 8)).astype(np.float32))
+        a_positions = jnp.asarray(create_audio_position_grid(b, t))
+        a_context = jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32))
+        a = dn.denoise_audio_only(params, cfg, a_latents, a_positions, a_context, [1.0, 0.5, 0.0])
+        assert a.shape == a_latents.shape
+        assert np.all(np.isfinite(np.asarray(a)))
+
+    def test_latent_flatten_round_trip(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 4, 3, 2, 5)).astype(np.float32))
+        t = dn.flatten_video_latents(x)
+        assert t.shape == (2, 30, 4)
+        np.testing.assert_allclose(np.asarray(dn.unflatten_video_latents(t, x.shape)), np.asarray(x))
+        a = jnp.asarray(rng.normal(size=(2, 8, 5, 16)).astype(np.float32))
+        ta = dn.flatten_audio_latents(a)
+        assert ta.shape == (2, 5, 128)
+        np.testing.assert_allclose(np.asarray(dn.unflatten_audio_latents(ta, a.shape)), np.asarray(a))
+
+
+class TestUpsampler:
+    def test_shapes_and_finite(self, rng):
+        params = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1)
+        latent = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
+        out = latent_upsampler_apply(params, latent)
+        assert out.shape == (1, 8, 2, 8, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_upsample_latents_identity_stats(self, rng):
+        params = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1)
+        latent = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
+        mean = jnp.zeros((8,))
+        std = jnp.ones((8,))
+        a = upsample_latents(params, latent, mean, std)
+        b = latent_upsampler_apply(params, latent)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_upsample_latents_denorm_renorm(self, rng):
+        params = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1)
+        latent = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
+        mean = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        std = jnp.asarray(rng.uniform(0.5, 2.0, size=(8,)).astype(np.float32))
+        out = upsample_latents(params, latent, mean, std)
+        # oracle: (upsampler(latent*std+mean) - mean)/std
+        m = np.asarray(mean).reshape(1, -1, 1, 1, 1)
+        s = np.asarray(std).reshape(1, -1, 1, 1, 1)
+        raw = np.asarray(latent_upsampler_apply(params, latent * jnp.asarray(s) + jnp.asarray(m)))
+        np.testing.assert_allclose(np.asarray(out), (raw - m) / s, atol=1e-5)
+
+    def test_pixel_shuffle_order(self):
+        from mlx_video_tpu.models.ltx.upsampler import pixel_shuffle_2d
+
+        # channel packing (c, rh, rw): channel index c*4 + i*2 + j lands at (h*2+i, w*2+j)
+        x = jnp.arange(4, dtype=jnp.float32).reshape(1, 1, 1, 4)
+        out = np.asarray(pixel_shuffle_2d(x, 2))[0, :, :, 0]
+        np.testing.assert_array_equal(out, [[0, 1], [2, 3]])
