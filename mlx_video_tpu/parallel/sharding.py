@@ -1,0 +1,131 @@
+"""GSPMD sharding rules for the LTX DiT parameter pytree.
+
+New capability vs. the single-device reference (SURVEY §2.12). The scheme is
+megatron-style tensor parallelism over the hidden dimension plus FSDP
+sharding of the remaining large axis:
+
+- column-parallel (out-dim on ``tensor``): to_q / to_k / to_v, ff.proj_in,
+  adaLN modulation linears, patchify/caption projections;
+- row-parallel (in-dim on ``tensor``): to_out, ff.proj_out — XLA inserts the
+  reduce at the row-parallel matmul output;
+- the opposite matrix axis shards on ``fsdp`` (ZeRO-3-style param sharding,
+  all-gathered per layer by XLA during the scan);
+- adaLN tables / norm scales: small, sharded on ``tensor`` along their
+  hidden axis where that axis is live on-device, otherwise replicated;
+- the stacked layer axis (leading axis of every ``blocks`` leaf) is never
+  sharded (it is scanned over).
+
+Activations: batch on ``data``; token axis can additionally be sharded on
+``fsdp`` for sequence-parallel norm/modulation sections (constraint helper
+below). XLA's SPMD partitioner propagates everything else.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# Ordered (pattern, spec-for-matrix) rules matched against "/"-joined tree
+# paths. Specs are written for the *unstacked* (in, out) / vector layout; a
+# leading layer axis (blocks) gets None prepended automatically.
+_RULES = [
+    # attention projections
+    (r"(audio_)?attn\d/to_(q|k|v)/weight$", P("fsdp", "tensor")),
+    (r"(audio_to_video|video_to_audio)_attn/to_(q|k|v)/weight$", P("fsdp", "tensor")),
+    (r"(audio_)?attn\d/to_(q|k|v)/bias$", P("tensor")),
+    (r"(audio_to_video|video_to_audio)_attn/to_(q|k|v)/bias$", P("tensor")),
+    (r"attn\d?/to_out/weight$", P("tensor", "fsdp")),
+    (r"_attn/to_out/weight$", P("tensor", "fsdp")),
+    (r"to_out/bias$", P(None)),
+    (r"(q|k)_norm/weight$", P("tensor")),
+    # feed-forward
+    (r"ff/proj_in/weight$", P("fsdp", "tensor")),
+    (r"ff/proj_in/bias$", P("tensor")),
+    (r"ff/proj_out/weight$", P("tensor", "fsdp")),
+    (r"ff/proj_out/bias$", P(None)),
+    # block adaLN tables: (6|5, dim) — replicate the small row axis,
+    # fsdp-shard the hidden axis for memory
+    (r"scale_shift_table(_a2v_ca_(audio|video))?$", P(None, "fsdp")),
+    # top-level projections
+    (r"patchify_proj/weight$", P(None, "tensor")),
+    (r"patchify_proj/bias$", P("tensor")),
+    (r"caption_projection/linear1/weight$", P("fsdp", "tensor")),
+    (r"caption_projection/linear1/bias$", P("tensor")),
+    (r"caption_projection/linear2/weight$", P("tensor", "fsdp")),
+    (r"caption_projection/linear2/bias$", P(None)),
+    (r"proj_out/weight$", P("tensor", None)),
+    (r"proj_out/bias$", P(None)),
+    # adaLN MLPs
+    (r"adaln[a-z_]*/emb/timestep_embedder/linear1/weight$", P(None, "tensor")),
+    (r"adaln[a-z_]*/emb/timestep_embedder/linear1/bias$", P("tensor")),
+    (r"adaln[a-z_]*/emb/timestep_embedder/linear2/weight$", P("tensor", "fsdp")),
+    (r"adaln[a-z_]*/emb/timestep_embedder/linear2/bias$", P(None)),
+    (r"adaln[a-z_]*/linear/weight$", P("fsdp", "tensor")),
+    (r"adaln[a-z_]*/linear/bias$", P("tensor")),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str, ndim: int) -> P:
+    """PartitionSpec for one param leaf; stacked block leaves get a leading
+    None for the scanned layer axis."""
+    stacked = path_str.startswith("blocks/") or "/blocks/" in path_str
+    for pattern, spec in _RULES:
+        if re.search(pattern, path_str):
+            base = tuple(spec)
+            if stacked:
+                base = (None,) + base
+            # pad/truncate to ndim
+            base = (base + (None,) * ndim)[:ndim]
+            return P(*base)
+    return P(*((None,) * ndim))
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), leaf.ndim), params
+    )
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place a parameter pytree onto the mesh per the TP/FSDP rules."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)), params, specs
+    )
+
+
+def data_spec(ndim: int, batch_axes=("data",)) -> P:
+    """Batch-sharded spec for activations/inputs: axis 0 on ``data``."""
+    return P(batch_axes, *((None,) * (ndim - 1)))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place input arrays with batch axis sharded on ``data``."""
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, data_spec(leaf.ndim))), tree
+    )
+
+
+def constrain_tokens(x: jax.Array, mesh: Optional[Mesh] = None) -> jax.Array:
+    """Sequence-parallel constraint: shard the token axis of (B, S, D)
+    activations over ``fsdp`` (used around norm/modulation sections)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data", "fsdp", None)))

@@ -1,0 +1,98 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType
+from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
+from mlx_video_tpu.parallel.sharding import param_specs, shard_batch, shard_params
+from mlx_video_tpu.pipelines.positions import create_position_grid
+
+
+def tp_config():
+    return LTXModelConfig(
+        model_type=LTXModelType.VideoOnly,
+        num_attention_heads=8,
+        attention_head_dim=16,
+        in_channels=16,
+        out_channels=16,
+        num_layers=2,
+        cross_attention_dim=128,
+        caption_channels=32,
+        rope_type=LTXRopeType.SPLIT,
+    )
+
+
+class TestMesh:
+    def test_factor_devices(self):
+        assert factor_devices(1) == (1, 1, 1)
+        assert factor_devices(8) == (1, 1, 8)
+        assert factor_devices(16) == (1, 2, 8)
+        assert factor_devices(32) == (1, 4, 8)
+        d, f, t = factor_devices(12)
+        assert d * f * t == 12
+
+    def test_create_mesh(self):
+        mesh = create_mesh((2, 2, 2))
+        assert mesh.axis_names == ("data", "fsdp", "tensor")
+        assert mesh.devices.shape == (2, 2, 2)
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh((3, 3, 3))
+
+
+class TestShardingRules:
+    def test_specs_structure(self):
+        cfg = tp_config()
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        specs = param_specs(params)
+        # column parallel qkv, stacked layer axis unsharded
+        assert specs["blocks"]["attn1"]["to_q"]["weight"] == P(None, "fsdp", "tensor")
+        assert specs["blocks"]["attn1"]["to_out"]["weight"] == P(None, "tensor", "fsdp")
+        assert specs["blocks"]["ff"]["proj_in"]["weight"] == P(None, "fsdp", "tensor")
+        assert specs["blocks"]["ff"]["proj_out"]["weight"] == P(None, "tensor", "fsdp")
+        assert specs["blocks"]["scale_shift_table"] == P(None, None, "fsdp")
+        assert specs["video"]["patchify_proj"]["weight"] == P(None, "tensor")
+        assert specs["video"]["proj_out"]["weight"] == P("tensor", None)
+
+    def test_sharded_forward_matches_single_device(self):
+        """TP/FSDP-sharded forward must be numerically equal (up to fp
+        reassociation) to the unsharded forward."""
+        cfg = tp_config()
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w = 2, 2, 2, 2
+        latents = jnp.asarray(
+            rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)
+        )
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full((b, f * h * w), 0.7)
+
+        ref, _ = ltx_apply(
+            params, cfg, video=Modality(latent=latents, timesteps=ts, context=context, positions=positions)
+        )
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            sp = shard_params(params, mesh)
+            lat_s, pos_s, ctx_s, ts_s = shard_batch((latents, positions, context, ts), mesh)
+            fn = jax.jit(
+                lambda p, l, po, c, t: ltx_apply(
+                    p, cfg, video=Modality(latent=l, timesteps=t, context=c, positions=po)
+                )[0]
+            )
+            out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_shard_batch_places_on_data_axis(self):
+        mesh = create_mesh((2, 2, 2))
+        x = jnp.zeros((4, 6, 8))
+        (xs,) = shard_batch((x,), mesh)
+        spec = xs.sharding.spec
+        assert spec[0] == ("data",) or spec[0] == "data"

@@ -1,0 +1,197 @@
+"""Weights IO tests: safetensors round trip, PT-key sanitization, strict load."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.io.safetensors import (
+    SafetensorsReader,
+    read_metadata,
+    save_safetensors,
+    scan_keys,
+)
+from mlx_video_tpu.io.weights import (
+    dit_tree_path,
+    flatten_params,
+    load_dit_params,
+    load_native_params,
+    sanitize_pt_key,
+    save_dit_params,
+)
+from mlx_video_tpu.models.ltx.model import init_ltx_params
+
+
+class TestSafetensors:
+    def test_round_trip(self, tmp_path, rng):
+        tensors = {
+            "a": rng.normal(size=(3, 4)).astype(np.float32),
+            "b.c": rng.normal(size=(2,)).astype(np.float32).astype(ml_dtypes.bfloat16),
+            "d": np.arange(6, dtype=np.int32).reshape(2, 3),
+        }
+        p = tmp_path / "test.safetensors"
+        save_safetensors(p, tensors, metadata={"config": "{}"})
+        with SafetensorsReader(p) as r:
+            assert set(r.keys()) == set(tensors)
+            for k, v in tensors.items():
+                got = r.get(k)
+                assert got.dtype == v.dtype
+                np.testing.assert_array_equal(got, v)
+        assert read_metadata(p) == {"config": "{}"}
+        assert scan_keys([p]) == set(tensors)
+
+    def test_header_alignment(self, tmp_path):
+        # odd-length key forces header padding
+        save_safetensors(tmp_path / "x.safetensors", {"odd_key_name_x": np.zeros(3, np.float32)})
+        with SafetensorsReader(tmp_path / "x.safetensors") as r:
+            np.testing.assert_array_equal(r.get("odd_key_name_x"), np.zeros(3))
+
+
+class TestKeySanitize:
+    def test_pt_mapping(self):
+        cases = {
+            "model.diffusion_model.transformer_blocks.0.attn1.to_out.0.weight":
+                "transformer_blocks.0.attn1.to_out.weight",
+            "model.diffusion_model.transformer_blocks.3.ff.net.0.proj.bias":
+                "transformer_blocks.3.ff.proj_in.bias",
+            "model.diffusion_model.transformer_blocks.3.ff.net.2.weight":
+                "transformer_blocks.3.ff.proj_out.weight",
+            "model.diffusion_model.transformer_blocks.1.audio_ff.net.0.proj.weight":
+                "transformer_blocks.1.audio_ff.proj_in.weight",
+            "model.diffusion_model.adaln_single.emb.timestep_embedder.linear_1.weight":
+                "adaln_single.emb.timestep_embedder.linear1.weight",
+        }
+        for raw, expected in cases.items():
+            assert sanitize_pt_key(raw) == expected
+
+    def test_non_dit_keys_dropped(self):
+        assert sanitize_pt_key("vae.decoder.conv_in.weight") is None
+        assert sanitize_pt_key("model.diffusion_model.audio_embeddings_connector.x") is None
+
+    def test_tree_paths(self):
+        assert dit_tree_path("transformer_blocks.5.attn1.to_q.weight") == (
+            5, ("blocks", "attn1", "to_q", "weight"),
+        )
+        assert dit_tree_path("patchify_proj.weight") == (None, ("video", "patchify_proj", "weight"))
+        assert dit_tree_path("audio_patchify_proj.bias") == (
+            None, ("audio", "patchify_proj", "bias"),
+        )
+        assert dit_tree_path("av_ca_a2v_gate_adaln_single.linear.weight") == (
+            None, ("av", "av_ca_a2v_gate_adaln", "linear", "weight"),
+        )
+        assert dit_tree_path("scale_shift_table") == (None, ("video", "scale_shift_table"))
+
+
+def _to_pt_checkpoint(params, config):
+    """Inverse mapping: our pytree -> PyTorch-layout checkpoint dict."""
+    inv_av = {
+        "av_ca_video_scale_shift_adaln": "av_ca_video_scale_shift_adaln_single",
+        "av_ca_audio_scale_shift_adaln": "av_ca_audio_scale_shift_adaln_single",
+        "av_ca_a2v_gate_adaln": "av_ca_a2v_gate_adaln_single",
+        "av_ca_v2a_gate_adaln": "av_ca_v2a_gate_adaln_single",
+    }
+    out = {}
+    for flat_key, leaf in flatten_params(params).items():
+        parts = flat_key.split(".")
+        arr = np.asarray(leaf)
+        if parts[0] == "blocks":
+            rest = parts[1:]
+            for layer in range(arr.shape[0]):
+                out[_pt_key(["transformer_blocks", str(layer)] + rest)] = _maybe_t(arr[layer], rest)
+        elif parts[0] == "video":
+            out[_pt_key(parts[1:])] = _maybe_t(arr, parts[1:])
+        elif parts[0] == "audio":
+            out[_pt_key(["audio_" + parts[1]] + parts[2:])] = _maybe_t(arr, parts[1:])
+        elif parts[0] == "av":
+            out[_pt_key([inv_av[parts[1]]] + parts[2:])] = _maybe_t(arr, parts[1:])
+    return out
+
+
+def _maybe_t(arr, path_parts):
+    if arr.ndim == 2 and path_parts[-1] == "weight" and path_parts[-2] not in ("q_norm", "k_norm"):
+        return arr.T.copy()
+    return arr
+
+
+def _pt_key(parts):
+    k = "model.diffusion_model." + ".".join(parts)
+    k = k.replace(".to_out.", ".to_out.0.")
+    k = k.replace(".ff.proj_in.", ".ff.net.0.proj.")
+    k = k.replace(".ff.proj_out.", ".ff.net.2.")
+    k = k.replace(".linear1.", ".linear_1.")
+    k = k.replace(".linear2.", ".linear_2.")
+    return k
+
+
+class TestDitLoad:
+    @pytest.mark.parametrize("model_type", [LTXModelType.VideoOnly, LTXModelType.AudioVideo])
+    def test_pt_checkpoint_round_trip(self, tmp_path, model_type):
+        cfg = tiny_test_config(model_type)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        ckpt = _to_pt_checkpoint(ref, cfg)
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = load_dit_params(path, cfg, dtype=jnp.float32)
+        flat_ref = flatten_params(ref)
+        flat_loaded = flatten_params(loaded)
+        assert set(flat_ref) == set(flat_loaded)
+        for k in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat_loaded[k]), np.asarray(flat_ref[k]), atol=0, err_msg=k
+            )
+
+    def test_bf16_cast(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, _to_pt_checkpoint(ref, cfg))
+        loaded = load_dit_params(path, cfg, dtype=jnp.bfloat16)
+        assert all(v.dtype == jnp.bfloat16 for v in jax.tree.leaves(loaded))
+
+    def test_strict_missing_raises(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        ckpt = _to_pt_checkpoint(ref, cfg)
+        ckpt.pop("model.diffusion_model.patchify_proj.weight")
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+        with pytest.raises(ValueError, match="Missing 1 parameters"):
+            load_dit_params(path, cfg, dtype=jnp.float32)
+        # non-strict succeeds
+        load_dit_params(path, cfg, dtype=jnp.float32, strict=False)
+
+    def test_missing_layer_raises(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        ckpt = _to_pt_checkpoint(ref, cfg)
+        ckpt = {k: v for k, v in ckpt.items() if ".transformer_blocks.1.attn1.to_q." not in k}
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+        with pytest.raises(ValueError, match="layers"):
+            load_dit_params(path, cfg, dtype=jnp.float32)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        ckpt = _to_pt_checkpoint(ref, cfg)
+        ckpt["model.diffusion_model.scale_shift_table"] = np.zeros((3, 4), np.float32)
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+        with pytest.raises(ValueError, match="Shape mismatch"):
+            load_dit_params(path, cfg, dtype=jnp.float32)
+
+    def test_native_save_load_round_trip(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        path = tmp_path / "native.safetensors"
+        save_dit_params(path, ref)
+        loaded = load_native_params(path)
+        flat_ref, flat_loaded = flatten_params(ref), flatten_params(loaded)
+        assert set(flat_ref) == set(flat_loaded)
+        for k in flat_ref:
+            np.testing.assert_array_equal(np.asarray(flat_loaded[k]), np.asarray(flat_ref[k]))
