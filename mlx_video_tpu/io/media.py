@@ -1,0 +1,212 @@
+"""Image/video IO: loading, preprocessing, and MP4/WAV writing.
+
+Behavioral spec: reference mlx_video/utils.py:529-715 (load/prepare) and
+mlx_video/generate.py:1814-2033, 3569-3857 (cv2 writer, ffmpeg pipe writer,
+mux). Host-side NumPy; tensors cross into JAX at the encode boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+
+def load_image(
+    image_path: Union[str, Path],
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+) -> np.ndarray:
+    """Load an RGB image as (H, W, 3) float32 in [0, 1], resized to
+    (height, width) or rounded down to /32 (reference: utils.py:529-573)."""
+    from PIL import Image
+
+    image = Image.open(image_path).convert("RGB")
+    if height is not None and width is not None:
+        image = image.resize((width, height), Image.Resampling.LANCZOS)
+    elif height is not None or width is not None:
+        ow, oh = image.size
+        if height is not None:
+            nw = (int(ow * height / oh) // 32) * 32
+            image = image.resize((nw, height), Image.Resampling.LANCZOS)
+        else:
+            nh = (int(oh * width / ow) // 32) * 32
+            image = image.resize((width, nh), Image.Resampling.LANCZOS)
+    else:
+        ow, oh = image.size
+        nw, nh = (ow // 32) * 32, (oh // 32) * 32
+        if (nw, nh) != (ow, oh):
+            image = image.resize((nw, nh), Image.Resampling.LANCZOS)
+    return np.asarray(image, dtype=np.float32) / 255.0
+
+
+def load_video(
+    video_path: Union[str, Path],
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    frame_cap: Optional[int] = None,
+) -> np.ndarray:
+    """Load video frames as (F, H, W, 3) float32 in [0, 1]
+    (reference: utils.py:576-609)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise ValueError(f"Unable to open video: {video_path}")
+    frames = []
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if height is not None and width is not None:
+            frame = cv2.resize(frame, (width, height), interpolation=cv2.INTER_AREA)
+        frames.append(frame.astype(np.float32) / 255.0)
+        if frame_cap is not None and len(frames) >= frame_cap:
+            break
+    cap.release()
+    if not frames:
+        raise ValueError(f"No frames decoded from video: {video_path}")
+    return np.stack(frames, axis=0)
+
+
+def prepare_image_for_encoding(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    """(H, W, 3) [0,1] -> (1, 3, 1, H, W) in [-1, 1] (reference: utils.py:648-683)."""
+    if image.shape[0] != height or image.shape[1] != width:
+        from PIL import Image
+
+        arr = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        image = (
+            np.asarray(
+                Image.fromarray(arr).resize((width, height), Image.Resampling.LANCZOS),
+                dtype=np.float32,
+            )
+            / 255.0
+        )
+    out = image * 2.0 - 1.0
+    return np.transpose(out, (2, 0, 1))[None, :, None]
+
+
+def prepare_video_for_encoding(frames: np.ndarray, height: int, width: int) -> np.ndarray:
+    """(F, H, W, 3) [0,1] -> (1, 3, F, H, W) in [-1, 1] (reference: utils.py:686-715)."""
+    import cv2
+
+    if frames.shape[1] != height or frames.shape[2] != width:
+        frames = np.stack(
+            [cv2.resize(f, (width, height), interpolation=cv2.INTER_AREA) for f in frames], axis=0
+        )
+    out = frames * 2.0 - 1.0
+    return np.transpose(out, (3, 0, 1, 2))[None]
+
+
+def frames_to_uint8(video: np.ndarray) -> np.ndarray:
+    """(B, 3, F, H, W) [-1,1] -> (F, H, W, 3) uint8."""
+    v = video[0] if video.ndim == 5 else video
+    v = np.transpose(v, (1, 2, 3, 0))
+    return (np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+class VideoWriter:
+    """Streaming MP4 writer: ffmpeg rawvideo pipe with cv2 fallback
+    (reference: generate.py:3583-3644, 1814-1917)."""
+
+    def __init__(
+        self,
+        path: Union[str, Path],
+        width: int,
+        height: int,
+        fps: float,
+        encoder: str = "ffmpeg",
+        crf: int = 18,
+        preset: str = "veryfast",
+        codec: str = "libx264",
+    ):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.width, self.height, self.fps = width, height, fps
+        self._ffmpeg: Optional[subprocess.Popen] = None
+        self._cv2 = None
+        self.frames_written = 0
+
+        if encoder == "ffmpeg" and shutil.which("ffmpeg"):
+            cmd = [
+                "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                "-s", f"{width}x{height}", "-r", str(fps), "-i", "-", "-an",
+                "-c:v", codec, "-preset", preset, "-crf", str(crf),
+                "-pix_fmt", "yuv420p", str(self.path),
+            ]
+            try:
+                self._ffmpeg = subprocess.Popen(
+                    cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE
+                )
+            except Exception:
+                self._ffmpeg = None
+        if self._ffmpeg is None:
+            import cv2
+
+            for codec4 in ("avc1", "mp4v"):
+                fourcc = cv2.VideoWriter_fourcc(*codec4)
+                out = cv2.VideoWriter(str(self.path), fourcc, fps, (width, height))
+                if out.isOpened():
+                    self._cv2 = out
+                    break
+                out.release()
+            if self._cv2 is None:
+                raise RuntimeError(f"No video writer available for {self.path}")
+
+    def write(self, frames_uint8: np.ndarray) -> None:
+        """Write (F, H, W, 3) RGB uint8 frames."""
+        if self._ffmpeg is not None and self._ffmpeg.stdin is not None:
+            for frame in frames_uint8:
+                self._ffmpeg.stdin.write(np.ascontiguousarray(frame).tobytes())
+                self.frames_written += 1
+        else:
+            import cv2
+
+            for frame in frames_uint8:
+                self._cv2.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                self.frames_written += 1
+
+    def close(self) -> None:
+        if self._ffmpeg is not None:
+            if self._ffmpeg.stdin is not None:
+                self._ffmpeg.stdin.close()
+            self._ffmpeg.wait()
+        if self._cv2 is not None:
+            self._cv2.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_video(path: Union[str, Path], video: np.ndarray, fps: float, encoder: str = "ffmpeg") -> None:
+    """Write a full (B, 3, F, H, W) [-1,1] video tensor to MP4."""
+    frames = frames_to_uint8(video)
+    with VideoWriter(path, frames.shape[2], frames.shape[1], fps, encoder=encoder) as w:
+        w.write(frames)
+
+
+def mux_audio(
+    video_path: Union[str, Path],
+    audio_path: Union[str, Path],
+    output_path: Union[str, Path],
+    audio_filter: Optional[str] = None,
+) -> bool:
+    """Mux a WAV track into an MP4 via ffmpeg (reference: generate.py:3928-4160).
+    Returns False when ffmpeg is unavailable."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return False
+    cmd = [ffmpeg, "-y", "-i", str(video_path), "-i", str(audio_path)]
+    if audio_filter:
+        cmd += ["-af", audio_filter]
+    cmd += ["-c:v", "copy", "-c:a", "aac", "-shortest", str(output_path)]
+    result = subprocess.run(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+    return result.returncode == 0

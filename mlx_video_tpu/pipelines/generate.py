@@ -1,0 +1,547 @@
+"""End-to-end video generation orchestration.
+
+Behavioral spec: reference mlx_video/generate.py:2035-4197 (generate_video):
+dimension padding with crop-back, 1+8k frame rounding, distilled two-stage
+(stage1 half-res -> 2x latent upsample -> renoise -> stage2 refine), dev
+single-stage CFG, keyframe/IC-LoRA conditioning, tiled streaming decode into
+an MP4 writer, joint/separate audio with vocoder decode and mux.
+
+TPU-native design notes:
+- All model weights stay resident (optionally sharded) instead of the
+  reference's serial load/free choreography (generate.py:2853-3506) — HBM
+  budgeting is a sharding concern, not a cache-juggling one.
+- Text conditioning arrives as precomputed embeddings or a TextEncoder
+  callable (SURVEY §7 step 4/5: the precomputed path is the first-class
+  e2e slice; the Gemma encoder plugs into the same interface).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.config import LTXModelConfig
+from mlx_video_tpu.io import media
+from mlx_video_tpu.models.ltx.upsampler import upsample_latents
+from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, video_decoder_apply
+from mlx_video_tpu.models.ltx.video_vae.encoder import video_encoder_apply
+from mlx_video_tpu.models.ltx.video_vae.tiling import TilingConfig, decode_with_tiling
+from mlx_video_tpu.pipelines import denoise as dn
+from mlx_video_tpu.pipelines.conditioning import (
+    LatentState,
+    VideoConditionByKeyframeIndex,
+    VideoConditionByLatentIndex,
+    apply_conditioning,
+)
+from mlx_video_tpu.pipelines.positions import (
+    AUDIO_LATENT_CHANNELS,
+    AUDIO_MEL_BINS,
+    compute_audio_frames,
+    create_audio_position_grid,
+    create_position_grid,
+)
+from mlx_video_tpu.pipelines.schedulers import (
+    STAGE_1_SIGMAS,
+    STAGE_2_SIGMAS,
+    ltx2_scheduler,
+    subsample_refinement_sigmas,
+    subsample_sigmas,
+)
+from mlx_video_tpu.utils.profiling import PhaseTimer, log_memory, ui_event
+
+SPATIAL_SCALE = 32
+TEMPORAL_SCALE = 8
+
+
+class PipelineType(Enum):
+    """Pipeline selector (reference: generate.py:299-305)."""
+
+    DISTILLED = "distilled"
+    DEV = "dev"
+    KEYFRAME = "keyframe"
+    IC_LORA = "ic_lora"
+
+
+@dataclass
+class ModelBundle:
+    """All loaded model components used by generation."""
+
+    transformer_params: dict
+    transformer_config: LTXModelConfig
+    vae_decoder_params: dict
+    vae_decoder_config: DecoderConfig
+    vae_encoder_params: Optional[dict] = None
+    vae_encoder_config: Optional[object] = None
+    upsampler_params: Optional[dict] = None
+    stage2_transformer_params: Optional[dict] = None
+    # Audio (joint or separate generation + decode)
+    audio_decoder_params: Optional[dict] = None
+    audio_decoder_config: Optional[object] = None
+    vocoder_params: Optional[dict] = None
+    vocoder_config: Optional[object] = None
+    audio_transformer_params: Optional[dict] = None
+    audio_transformer_config: Optional[LTXModelConfig] = None
+
+    @property
+    def latents_mean(self):
+        return self.vae_decoder_params["latents_mean"]
+
+    @property
+    def latents_std(self):
+        return self.vae_decoder_params["latents_std"]
+
+
+@dataclass
+class TextConditioning:
+    """Precomputed text context (reference interface: generate.py:2768-2855)."""
+
+    video_embeddings: jax.Array  # (B, S_ctx, caption_channels)
+    video_neg_embeddings: Optional[jax.Array] = None
+    audio_embeddings: Optional[jax.Array] = None
+    audio_neg_embeddings: Optional[jax.Array] = None
+
+
+@dataclass
+class GenerateResult:
+    video_path: Optional[Path]
+    latents: np.ndarray
+    audio_latents: Optional[np.ndarray] = None
+    video: Optional[np.ndarray] = None
+    phase_timer: Optional[PhaseTimer] = None
+
+
+def pad_dimensions(
+    height: int, width: int, divisor: int
+) -> Tuple[int, int, Optional[Tuple[int, int, int, int]]]:
+    """Pad H/W up to a divisor, returning crop-back params
+    (reference: generate.py:2238-2259)."""
+    if height % divisor == 0 and width % divisor == 0:
+        return height, width, None
+    pad_h = (divisor - height % divisor) % divisor
+    pad_w = (divisor - width % divisor) % divisor
+    pad_top, pad_left = pad_h // 2, pad_w // 2
+    crop = (pad_top, pad_left, height, width)
+    return height + pad_h, width + pad_w, crop
+
+
+def round_frames(num_frames: int) -> int:
+    """Round UP to 1 + 8k (reference: generate.py:2261-2266)."""
+    if num_frames % 8 == 1:
+        return num_frames
+    return ((num_frames - 1 + 7) // 8) * 8 + 1
+
+
+def _masked_renoise(state: LatentState, key: jax.Array, sigma0: float) -> LatentState:
+    """latent = noise*mask*s0 + latent*(1 - mask*s0) (reference: generate.py:3153-3161)."""
+    noise = jax.random.normal(key, state.latent.shape, dtype=jnp.float32).astype(state.latent.dtype)
+    scaled = state.denoise_mask.astype(state.latent.dtype) * sigma0
+    return state._replace(latent=noise * scaled + state.latent * (1.0 - scaled))
+
+
+def _encode_conditionings(
+    models: ModelBundle,
+    images: Sequence[Tuple[str, int, float]],
+    videos: Sequence[Tuple[str, int, float]],
+    height: int,
+    width: int,
+    num_frames: int,
+    mode: str,
+    dtype,
+):
+    """VAE-encode image/video conditionings at one resolution
+    (reference: generate.py:3059-3124)."""
+    if models.vae_encoder_params is None:
+        raise ValueError("Image/video conditioning requires a loaded VAE encoder")
+    conds = []
+    encode = jax.jit(
+        lambda v: video_encoder_apply(models.vae_encoder_params, models.vae_encoder_config, v)
+    )
+    for img_path, frame_idx, strength in images:
+        image = media.load_image(img_path, height=height, width=width)
+        tensor = jnp.asarray(media.prepare_image_for_encoding(image, height, width), dtype=dtype)
+        latent = encode(tensor)
+        cls = VideoConditionByKeyframeIndex if mode == "guide" else VideoConditionByLatentIndex
+        if mode == "guide":
+            conds.append(cls(keyframes=latent, frame_idx=frame_idx, strength=strength))
+        else:
+            conds.append(cls(latent=latent, frame_idx=frame_idx, strength=strength))
+    for vid_path, frame_idx, strength in videos:
+        frames = media.load_video(vid_path, height=height, width=width, frame_cap=num_frames)
+        tensor = jnp.asarray(media.prepare_video_for_encoding(frames, height, width), dtype=dtype)
+        latent = encode(tensor)
+        conds.append(
+            VideoConditionByKeyframeIndex(keyframes=latent, frame_idx=frame_idx, strength=strength)
+        )
+    return conds
+
+
+def _init_state_with_conditioning(
+    shape, conds, key: jax.Array, sigma0: float, dtype
+) -> Tuple[jax.Array, Optional[LatentState]]:
+    """Build the initial (possibly conditioned) latent
+    (reference: generate.py:3142-3165, 3431-3454)."""
+    if conds:
+        state = LatentState(
+            latent=jnp.zeros(shape, dtype=dtype),
+            clean_latent=jnp.zeros(shape, dtype=dtype),
+            denoise_mask=jnp.ones((shape[0], 1, shape[2], 1, 1), dtype=dtype),
+        )
+        state = apply_conditioning(state, conds)
+        state = _masked_renoise(state, key, sigma0)
+        return state.latent, state
+    latents = jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
+    return latents, None
+
+
+def select_tiling(tiling: str, height: int, width: int, num_frames: int, stream: bool):
+    """Tiling mode selection incl. stream forcing (reference: generate.py:3522-3563)."""
+    if tiling == "none":
+        cfg = None
+    elif tiling == "auto":
+        cfg = TilingConfig.auto(height, width, num_frames)
+    elif tiling == "default":
+        cfg = TilingConfig.default()
+    elif tiling == "aggressive":
+        cfg = TilingConfig.aggressive()
+    elif tiling == "conservative":
+        cfg = TilingConfig.conservative()
+    elif tiling == "spatial":
+        cfg = TilingConfig.spatial_only()
+    elif tiling == "temporal":
+        cfg = TilingConfig.temporal_only()
+    else:
+        cfg = TilingConfig.auto(height, width, num_frames)
+    if stream and cfg is None:
+        tile_size = 64
+        if num_frames < tile_size:
+            tile_size = max(16, (num_frames // 8) * 8) or 16
+        overlap = 24 if tile_size >= 64 else 8
+        cfg = TilingConfig.temporal_only(tile_size=tile_size, overlap=overlap)
+    return cfg
+
+
+def decode_latents(
+    models: ModelBundle,
+    latents: jax.Array,
+    tiling_config: Optional[TilingConfig],
+    decode_timestep: Optional[float] = None,
+    noise_key: Optional[jax.Array] = None,
+    on_frames_ready=None,
+) -> np.ndarray:
+    """Tiled (or whole) VAE decode -> (B, 3, F, H, W) float in [-1, 1]."""
+    dec_cfg = models.vae_decoder_config
+    timestep = None
+    if decode_timestep is not None:
+        timestep = jnp.full((latents.shape[0],), decode_timestep, dtype=jnp.float32)
+
+    decode_jit = jax.jit(
+        lambda x: video_decoder_apply(
+            models.vae_decoder_params, dec_cfg, x, timestep=timestep, noise_key=noise_key
+        )
+    )
+    if tiling_config is None:
+        out = np.asarray(decode_jit(latents), dtype=np.float32)
+        if on_frames_ready is not None:
+            on_frames_ready(out, 0)
+        return out
+    return decode_with_tiling(
+        lambda tile: decode_jit(jnp.asarray(tile)),
+        np.asarray(latents),
+        tiling_config,
+        spatial_scale=SPATIAL_SCALE,
+        temporal_scale=TEMPORAL_SCALE,
+        on_frames_ready=on_frames_ready,
+    )
+
+
+def generate_video(
+    models: ModelBundle,
+    text: TextConditioning,
+    prompt: str = "",
+    height: int = 512,
+    width: int = 512,
+    num_frames: int = 33,
+    fps: float = 24.0,
+    seed: int = 0,
+    pipeline: PipelineType = PipelineType.DISTILLED,
+    # distilled options
+    stage1_steps: int = 8,
+    stage2_steps: int = 3,
+    sigma_subsample: str = "farthest",
+    stage2_cfg: bool = False,
+    cfg_scale: float = 4.0,
+    # dev options
+    num_inference_steps: int = 40,
+    # conditioning
+    images: Sequence[Tuple[str, int, float]] = (),
+    video_conditionings: Sequence[Tuple[str, int, float]] = (),
+    # audio
+    audio: bool = False,
+    audio_mode: str = "auto",
+    # output
+    output_path: Optional[Union[str, Path]] = None,
+    tiling: str = "auto",
+    stream: bool = False,
+    video_encoder: str = "ffmpeg",
+    decode_latents_only: bool = False,
+    dtype=jnp.bfloat16,
+    progress_callback=None,
+    profile: bool = False,
+) -> GenerateResult:
+    """Generate a video (and optionally audio). See module docstring for the
+    orchestration spec mapping."""
+    timer = PhaseTimer()
+    is_distilled = pipeline in (PipelineType.DISTILLED, PipelineType.KEYFRAME, PipelineType.IC_LORA)
+    conditioning_mode = "guide" if pipeline == PipelineType.KEYFRAME else "replace"
+    if pipeline == PipelineType.IC_LORA and not video_conditionings:
+        raise ValueError("IC-LoRA pipeline requires video conditionings")
+    if pipeline == PipelineType.DEV and video_conditionings:
+        raise ValueError("Video conditioning is only supported in ic_lora/distilled pipelines.")
+
+    divisor = 64 if is_distilled else 32
+    height, width, crop_params = pad_dimensions(height, width, divisor)
+    num_frames = round_frames(num_frames)
+    latent_channels = models.transformer_config.in_channels
+    latent_frames = 1 + (num_frames - 1) // TEMPORAL_SCALE
+    latent_h, latent_w = height // SPATIAL_SCALE, width // SPATIAL_SCALE
+
+    if sigma_subsample not in ("uniform", "farthest"):
+        raise ValueError("sigma_subsample must be 'uniform' or 'farthest'.")
+
+    # Audio mode resolution (reference: generate.py:2278-2304).
+    joint_audio = separate_audio = False
+    if audio:
+        if audio_mode == "auto":
+            audio_mode = "separate" if pipeline != PipelineType.DEV else "joint"
+        joint_audio = audio_mode == "joint"
+        separate_audio = audio_mode == "separate"
+        if joint_audio and not models.transformer_config.model_type.audio_enabled:
+            raise ValueError("Joint audio requires an AudioVideo transformer config")
+    audio_frames = compute_audio_frames(num_frames, fps) if audio else 0
+
+    key = jax.random.key(seed)
+    keys = jax.random.split(key, 8)
+    params = models.transformer_params
+    config = models.transformer_config
+
+    audio_latents = None
+    audio_positions = None
+    if joint_audio:
+        audio_positions = jnp.asarray(create_audio_position_grid(1, audio_frames))
+        audio_latents = jax.random.normal(
+            keys[5], (1, AUDIO_LATENT_CHANNELS, audio_frames, AUDIO_MEL_BINS), dtype=jnp.float32
+        ).astype(dtype)
+
+    audio_kwargs = {}
+    if joint_audio:
+        audio_kwargs = dict(
+            audio_latents=audio_latents,
+            audio_positions=audio_positions,
+            audio_context=text.audio_embeddings,
+            audio_neg_context=text.audio_neg_embeddings,
+        )
+
+    if is_distilled:
+        if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:
+            raise ValueError(f"stage1_steps must be between 1 and {len(STAGE_1_SIGMAS) - 1}.")
+        if stage2_steps not in (1, 2, 3):
+            raise ValueError("stage2_steps must be 1, 2, or 3.")
+
+        stage1_h, stage1_w = latent_h // 2, latent_w // 2
+        s1_sigmas = subsample_sigmas(STAGE_1_SIGMAS, stage1_steps, sigma_subsample)
+        s2_sigmas = subsample_refinement_sigmas(STAGE_2_SIGMAS, stage2_steps, sigma_subsample)
+
+        # Conditionings at both stage resolutions (reference: generate.py:3059-3124).
+        s1_conds = s2_conds = []
+        if images or video_conditionings:
+            with timer.phase("cond_encode"):
+                s1_conds = _encode_conditionings(
+                    models, images, video_conditionings, height // 2, width // 2,
+                    num_frames, conditioning_mode, dtype,
+                )
+                s2_conds = _encode_conditionings(
+                    models, images, (), height, width, num_frames, conditioning_mode, dtype
+                )
+
+        positions1 = jnp.asarray(create_position_grid(1, latent_frames, stage1_h, stage1_w))
+        shape1 = (1, latent_channels, latent_frames, stage1_h, stage1_w)
+        latents, state1 = _init_state_with_conditioning(
+            shape1, s1_conds, keys[0], s1_sigmas[0], dtype
+        )
+
+        with timer.phase("stage1_denoise"):
+            latents, audio_latents = dn.denoise(
+                params, config, latents, positions1, text.video_embeddings, s1_sigmas,
+                state=state1, progress_callback=progress_callback, **audio_kwargs,
+            )
+        log_memory("stage1 complete", profile)
+
+        with timer.phase("upsample"):
+            if models.upsampler_params is None:
+                raise ValueError("Distilled pipeline requires upsampler weights")
+            up = jax.jit(
+                lambda l: upsample_latents(
+                    models.upsampler_params, l, models.latents_mean, models.latents_std
+                )
+            )
+            latents = up(latents)
+
+        # Stage 2: renoise at sigma0 then refine (reference: generate.py:3285-3326).
+        positions2 = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))
+        state2 = None
+        if s2_conds:
+            state2 = LatentState(
+                latent=latents,
+                clean_latent=jnp.zeros_like(latents),
+                denoise_mask=jnp.ones((1, 1, latent_frames, 1, 1), dtype=dtype),
+            )
+            state2 = apply_conditioning(state2, s2_conds)
+            state2 = _masked_renoise(state2, keys[1], s2_sigmas[0])
+            latents = state2.latent
+        else:
+            noise = jax.random.normal(keys[1], latents.shape, dtype=jnp.float32).astype(dtype)
+            latents = noise * s2_sigmas[0] + latents * (1.0 - s2_sigmas[0])
+        if joint_audio and audio_latents is not None:
+            a_noise = jax.random.normal(keys[6], audio_latents.shape, dtype=jnp.float32).astype(dtype)
+            audio_latents = a_noise * s2_sigmas[0] + audio_latents * (1.0 - s2_sigmas[0])
+            audio_kwargs["audio_latents"] = audio_latents
+
+        stage2_params = models.stage2_transformer_params or params
+        with timer.phase("stage2_denoise"):
+            if stage2_cfg and text.video_neg_embeddings is not None:
+                latents = dn.denoise(
+                    stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
+                    neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
+                    state=state2, progress_callback=progress_callback,
+                )[0]
+            else:
+                latents, audio_latents = dn.denoise(
+                    stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
+                    state=state2, progress_callback=progress_callback, **audio_kwargs,
+                )
+        log_memory("stage2 complete", profile)
+    else:
+        # Dev single-stage CFG (reference: generate.py:3374-3495).
+        dev_conds = []
+        if images:
+            with timer.phase("cond_encode"):
+                dev_conds = _encode_conditionings(
+                    models, images, (), height, width, num_frames, conditioning_mode, dtype
+                )
+        num_tokens = latent_frames * latent_h * latent_w
+        sigmas = ltx2_scheduler(steps=num_inference_steps, num_tokens=num_tokens)
+        positions = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))
+        shape = (1, latent_channels, latent_frames, latent_h, latent_w)
+        latents, state = _init_state_with_conditioning(
+            shape, dev_conds, keys[0], float(sigmas[0]), dtype
+        )
+        with timer.phase("dev_denoise"):
+            latents, audio_latents = dn.denoise(
+                params, config, latents, positions, text.video_embeddings, sigmas,
+                neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
+                state=state, progress_callback=progress_callback, **audio_kwargs,
+            )
+        log_memory("denoise complete", profile)
+
+    # Separate audio generation (reference: generate.py:3928-4047).
+    if separate_audio:
+        if models.audio_transformer_params is None:
+            raise ValueError("Separate audio requires an AudioOnly transformer")
+        if text.audio_embeddings is None:
+            raise ValueError("Separate audio requires audio text embeddings")
+        a_positions = jnp.asarray(create_audio_position_grid(1, audio_frames))
+        a_init = jax.random.normal(
+            keys[7], (1, AUDIO_LATENT_CHANNELS, audio_frames, AUDIO_MEL_BINS), dtype=jnp.float32
+        ).astype(dtype)
+        with timer.phase("audio_denoise"):
+            audio_latents = dn.denoise_audio_only(
+                models.audio_transformer_params,
+                models.audio_transformer_config or config,
+                a_init, a_positions, text.audio_embeddings,
+                subsample_sigmas(STAGE_1_SIGMAS, 8, "farthest"),
+                audio_neg_context=text.audio_neg_embeddings,
+                cfg_scale=cfg_scale if text.audio_neg_embeddings is not None else 1.0,
+            )
+
+    latents_np = np.asarray(latents, dtype=np.float32)
+    audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
+    if decode_latents_only or output_path is None:
+        if profile:
+            timer.report()
+        return GenerateResult(
+            video_path=None, latents=latents_np, audio_latents=audio_np, phase_timer=timer
+        )
+
+    # Decode + write (reference: generate.py:3522-3857).
+    output_path = Path(output_path)
+    tiling_config = select_tiling(tiling, height, width, num_frames, stream)
+    writer_h, writer_w = (height, width) if crop_params is None else (crop_params[2], crop_params[3])
+    video_file = output_path.with_suffix(".temp.mp4") if audio else output_path
+
+    with timer.phase("vae_decode"):
+        writer = media.VideoWriter(video_file, writer_w, writer_h, fps, encoder=video_encoder)
+        t0 = time.perf_counter()
+        frames_done = [0]
+
+        def on_ready(frames: np.ndarray, start_idx: int) -> None:
+            u8 = media.frames_to_uint8(frames)[:num_frames - start_idx]
+            if crop_params is not None:
+                top, left, out_h, out_w = crop_params
+                u8 = u8[:, top : top + out_h, left : left + out_w]
+            writer.write(u8)
+            frames_done[0] += u8.shape[0]
+            ui_event(
+                {
+                    "kind": "progress",
+                    "phase": "decode",
+                    "current": frames_done[0],
+                    "total": num_frames,
+                    "eta_seconds": (time.perf_counter() - t0)
+                    / max(frames_done[0], 1)
+                    * max(num_frames - frames_done[0], 0),
+                }
+            )
+
+        video_np = decode_latents(
+            models, latents, tiling_config, decode_timestep=0.05, noise_key=keys[2],
+            on_frames_ready=on_ready,
+        )
+        writer.close()
+
+    # Audio decode + mux (reference: generate.py:3928-4160).
+    if audio and audio_np is not None and models.audio_decoder_params is not None:
+        from mlx_video_tpu.models.ltx.audio_vae.processing import save_wav
+        from mlx_video_tpu.models.ltx.audio_vae.vocoder import decode_audio
+
+        with timer.phase("audio_decode"):
+            wav = decode_audio(
+                jnp.asarray(audio_np),
+                models.audio_decoder_params,
+                models.audio_decoder_config,
+                models.vocoder_params,
+                models.vocoder_config,
+            )
+            wav_path = output_path.with_suffix(".wav")
+            save_wav(str(wav_path), np.asarray(wav), models.vocoder_config.output_sample_rate)
+        with timer.phase("audio_mux"):
+            if media.mux_audio(video_file, wav_path, output_path):
+                video_file.unlink(missing_ok=True)
+            else:
+                video_file.rename(output_path)
+
+    if profile:
+        timer.report()
+    return GenerateResult(
+        video_path=output_path,
+        latents=latents_np,
+        audio_latents=audio_np,
+        video=video_np,
+        phase_timer=timer,
+    )

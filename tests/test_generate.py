@@ -1,0 +1,187 @@
+"""End-to-end generate_video tests with tiny real-geometry models."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, VideoVAEConfig, tiny_test_config
+from mlx_video_tpu.models.ltx.model import init_ltx_params
+from mlx_video_tpu.models.ltx.upsampler import init_latent_upsampler
+from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder
+from mlx_video_tpu.pipelines.generate import (
+    ModelBundle,
+    PipelineType,
+    TextConditioning,
+    generate_video,
+    pad_dimensions,
+    round_frames,
+    select_tiling,
+)
+
+# 32x spatial / 8x temporal, like the real VAE, but tiny channels.
+REAL_GEOM_ENCODER_BLOCKS = (
+    ("res_x", {"num_layers": 1}),
+    ("compress_space_res", {"multiplier": 2}),
+    ("compress_time_res", {"multiplier": 2}),
+    ("compress_all_res", {"multiplier": 2}),
+    ("compress_all_res", {"multiplier": 2}),
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = tiny_test_config(LTXModelType.VideoOnly)
+    enc_cfg = VideoVAEConfig(
+        in_channels=3, out_channels=cfg.in_channels, latent_channels=cfg.in_channels,
+        patch_size=4, encoder_blocks=REAL_GEOM_ENCODER_BLOCKS,
+    )
+    dec_cfg = DecoderConfig(
+        in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+        num_upsamples=3, patch_size=4,
+    )
+    return ModelBundle(
+        transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+        transformer_config=cfg,
+        vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+        vae_decoder_config=dec_cfg,
+        vae_encoder_params=init_video_encoder(jax.random.key(2), enc_cfg),
+        vae_encoder_config=enc_cfg,
+        upsampler_params=init_latent_upsampler(
+            jax.random.key(3), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+        ),
+    )
+
+
+def _text(cfg, with_neg=False, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32))
+    return TextConditioning(video_embeddings=pos, video_neg_embeddings=neg if with_neg else None)
+
+
+class TestHelpers:
+    def test_pad_dimensions(self):
+        assert pad_dimensions(512, 512, 64) == (512, 512, None)
+        h, w, crop = pad_dimensions(480, 832, 64)
+        assert h == 512 and w == 832
+        assert crop == (16, 0, 480, 832)
+
+    def test_round_frames(self):
+        assert round_frames(33) == 33
+        assert round_frames(30) == 33
+        assert round_frames(34) == 41
+        assert round_frames(1) == 1
+
+    def test_select_tiling_stream_forces_temporal(self):
+        cfg = select_tiling("none", 256, 256, 33, stream=True)
+        assert cfg is not None and cfg.temporal_config is not None
+        assert select_tiling("none", 256, 256, 33, stream=False) is None
+
+
+class TestDistilledPipeline:
+    def test_t2v_writes_mp4(self, models, tmp_path):
+        out = tmp_path / "video.mp4"
+        result = generate_video(
+            models, _text(models.transformer_config),
+            height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=2, stage2_steps=1,
+            output_path=out, tiling="none", dtype=jnp.float32,
+        )
+        assert out.exists() and out.stat().st_size > 0
+        assert result.latents.shape == (1, 16, 2, 2, 2)
+        assert result.video.shape == (1, 3, 9, 64, 64)
+        assert np.all(np.isfinite(result.video))
+        assert "stage1_denoise" in result.phase_timer.phases
+        assert "stage2_denoise" in result.phase_timer.phases
+        assert "vae_decode" in result.phase_timer.phases
+
+    def test_latents_only(self, models):
+        result = generate_video(
+            models, _text(models.transformer_config),
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert result.video_path is None
+        assert result.latents.shape == (1, 16, 2, 2, 2)
+
+    def test_i2v_conditioning(self, models, tmp_path):
+        from PIL import Image
+
+        img_path = tmp_path / "cond.png"
+        Image.fromarray(
+            (np.random.default_rng(0).uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+        ).save(img_path)
+        result = generate_video(
+            models, _text(models.transformer_config),
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1,
+            images=[(str(img_path), 0, 1.0)],
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert np.all(np.isfinite(result.latents))
+
+    def test_seed_determinism(self, models):
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, decode_latents_only=True, dtype=jnp.float32,
+        )
+        a = generate_video(models, _text(models.transformer_config), seed=7, **kw)
+        b = generate_video(models, _text(models.transformer_config), seed=7, **kw)
+        c = generate_video(models, _text(models.transformer_config), seed=8, **kw)
+        np.testing.assert_array_equal(a.latents, b.latents)
+        assert np.max(np.abs(a.latents - c.latents)) > 1e-3
+
+    def test_invalid_steps_raise(self, models):
+        with pytest.raises(ValueError, match="stage2_steps"):
+            generate_video(
+                models, _text(models.transformer_config),
+                height=64, width=64, num_frames=9, stage2_steps=5,
+                decode_latents_only=True,
+            )
+
+
+class TestDevPipeline:
+    def test_dev_cfg(self, models):
+        result = generate_video(
+            models, _text(models.transformer_config, with_neg=True),
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=3, cfg_scale=3.0,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert result.latents.shape == (1, 16, 2, 2, 2)
+        assert np.all(np.isfinite(result.latents))
+
+    def test_dev_rejects_video_conditioning(self, models):
+        with pytest.raises(ValueError, match="ic_lora/distilled"):
+            generate_video(
+                models, _text(models.transformer_config),
+                height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+                video_conditionings=[("x.mp4", 0, 1.0)], decode_latents_only=True,
+            )
+
+    def test_ic_lora_requires_video_conditioning(self, models):
+        with pytest.raises(ValueError, match="video conditionings"):
+            generate_video(
+                models, _text(models.transformer_config),
+                height=64, width=64, num_frames=9, pipeline=PipelineType.IC_LORA,
+                decode_latents_only=True,
+            )
+
+
+class TestCropBack:
+    def test_padded_output_cropped(self, models, tmp_path):
+        # 96x96 -> padded to 128x128 for distilled (div 64), cropped back on write
+        out = tmp_path / "cropped.mp4"
+        result = generate_video(
+            models, _text(models.transformer_config),
+            height=96, width=96, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, output_path=out, tiling="none",
+            dtype=jnp.float32,
+        )
+        assert out.exists()
+        # internal latents at padded res 128/32 = 4
+        assert result.latents.shape[-2:] == (4, 4)
