@@ -78,21 +78,34 @@ def main() -> None:
     sigmas = [1.0, 0.99375, 0.9875, 0.975, 0.909375, 0.725, 0.421875, 0.2, 0.0]
     n_steps = len(sigmas) - 1
 
+    # NOTE: through the axon tunnel, block_until_ready() returns before the
+    # computation finishes (verified: it reported 41 PFLOP/s on one chip).
+    # A scalar-reduction fetch is the only honest sync, so timing is
+    # "time-to-scalar(sum(out))" minus the measured RPC baseline.
+    sum_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+
     t0 = time.time()
     v, _ = dn.denoise(params, config, latents, positions, context, sigmas)
-    v.block_until_ready()
+    first_sum = float(sum_jit(v))
     compile_and_first = time.time() - t0
     print(f"first run (incl compile): {compile_and_first:.1f}s", file=sys.stderr)
+    assert np.isfinite(first_sum), "non-finite output"
 
-    # steady-state timing
+    # RPC latency baseline: fetch a scalar of an already-computed value.
+    t0 = time.time()
+    for _ in range(3):
+        float(sum_jit(latents))
+    rpc_baseline = (time.time() - t0) / 3
+    print(f"rpc baseline: {rpc_baseline * 1000:.0f}ms", file=sys.stderr)
+
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         v, _ = dn.denoise(params, config, latents, positions, context, sigmas)
-    v.block_until_ready()
-    elapsed = time.time() - t0
+    final_sum = float(sum_jit(v))
+    elapsed = max(time.time() - t0 - rpc_baseline, 1e-9)
     steps_per_sec = reps * n_steps / elapsed
-    assert np.all(np.isfinite(np.asarray(v, dtype=np.float32))), "non-finite output"
+    assert np.isfinite(final_sum), "non-finite output"
 
     print(
         json.dumps(

@@ -1,0 +1,329 @@
+"""LoRA: offline merge, runtime adapters, and training injection.
+
+Behavioral spec: reference mlx_video/lora.py:94-275 (merge W += s*B@A with
+key-candidate search; runtime adapters y = base(x) + s*x@A^T@B^T) and
+mlx_video/mlx_trainer/lora.py:11-164 (LoRALinear init A~N(0, 0.01), B=0,
+scaling alpha/r, target-module patterns, export as
+``diffusion_model.<path>.lora_A.weight``).
+
+Functional design: LoRA factors are extra leaves (``lora_A`` (r, in),
+``lora_B`` (out, r), ``lora_scale`` ()) inside the SAME linear param dict;
+``ops.linear.linear`` applies them when present. That makes runtime
+adapters, training (optimize only lora leaves via an optax mask), and
+offline merge all plain pytree transformations — no module wrappers.
+Stacked block leaves get a leading layer axis like every other block param.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.config import LTXModelConfig
+from mlx_video_tpu.io.safetensors import SafetensorsReader, save_safetensors
+from mlx_video_tpu.io.weights import dit_tree_path, sanitize_pt_key
+
+DEFAULT_TARGET_MODULES = (
+    "to_q",
+    "to_k",
+    "to_v",
+    "to_out",
+    "ff.proj_in",
+    "ff.proj_out",
+    "audio_ff.proj_in",
+    "audio_ff.proj_out",
+    "audio_attn1",
+    "audio_attn2",
+    "audio_to_video_attn",
+    "video_to_audio_attn",
+)
+
+
+@dataclass(frozen=True)
+class LoraSpec:
+    path: Path
+    strength: float = 1.0
+
+
+@dataclass
+class LoRAConfig:
+    """(reference: mlx_trainer/lora.py:10-15)."""
+
+    rank: int = 8
+    alpha: float = 16.0
+    dropout: float = 0.0
+    target_modules: Optional[Tuple[str, ...]] = None
+
+
+def load_lora_state(path: Union[str, Path]) -> Dict[str, np.ndarray]:
+    with SafetensorsReader(path) as r:
+        return {k: r.get(k) for k in r.keys()}
+
+
+def _strip_lora_prefixes(key: str) -> str:
+    for prefix in ("model.diffusion_model.", "diffusion_model."):
+        if key.startswith(prefix):
+            return key[len(prefix) :]
+    return key
+
+
+def iter_lora_pairs(
+    lora_sd: Dict[str, np.ndarray],
+) -> Iterable[Tuple[str, np.ndarray, np.ndarray]]:
+    """Yield (sanitized base key, A (r, in), B (out, r)) for each LoRA pair
+    (reference: lora.py:36-73)."""
+    for key in lora_sd:
+        if not key.endswith(".lora_A.weight"):
+            continue
+        prefix = key[: -len(".lora_A.weight")]
+        key_b = f"{prefix}.lora_B.weight"
+        if key_b not in lora_sd:
+            continue
+        base = _strip_lora_prefixes(prefix) + ".weight"
+        base = sanitize_pt_key("model.diffusion_model." + base) or base
+        yield base[: -len(".weight")], np.asarray(lora_sd[key]), np.asarray(lora_sd[key_b])
+
+
+def _locate_linear(params: dict, sanitized_module: str):
+    """Map a sanitized module key to (layer_index_or_None, linear param dict)."""
+    mapped = dit_tree_path(sanitized_module + ".weight")
+    if mapped is None:
+        return None
+    layer, path = mapped
+    node = params
+    for part in path[:-1]:
+        if not isinstance(node, dict) or part not in node:
+            return None
+        node = node[part]
+    if "weight" not in node and "quant_weight" not in node:
+        return None
+    return layer, node
+
+
+def merge_lora_into_params(
+    params: dict,
+    lora_specs: Sequence[LoraSpec],
+    verbose: bool = False,
+) -> dict:
+    """Offline merge: W += strength * (B @ A)^T applied to the (in, out)
+    weights (reference: lora.py:94-127). Returns a new pytree."""
+    params = jax.tree.map(lambda x: x, params)  # shallow copy of leaves refs
+    # deep-copy dict structure so in-place edits don't alias the input
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(lambda x: x, params))
+
+    for spec in lora_specs:
+        lora_sd = load_lora_state(spec.path)
+        applied = skipped = 0
+        for module_key, A, B in iter_lora_pairs(lora_sd):
+            loc = _locate_linear(params, module_key)
+            if loc is None:
+                skipped += 1
+                continue
+            layer, node = loc
+            if "weight" not in node:
+                skipped += 1  # quantized base: use runtime adapters instead
+                continue
+            delta = (B.astype(np.float32) @ A.astype(np.float32)).T * spec.strength
+            w = node["weight"]
+            if layer is None:
+                node["weight"] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+            else:
+                upd = w[layer].astype(jnp.float32) + delta
+                node["weight"] = w.at[layer].set(upd.astype(w.dtype))
+            applied += 1
+        if verbose or applied == 0:
+            print(f"[LoRA] {spec.path} applied={applied} skipped={skipped}")
+    return params
+
+
+def attach_runtime_lora(
+    params: dict,
+    lora_specs: Sequence[LoraSpec],
+    config: LTXModelConfig,
+    verbose: bool = False,
+) -> dict:
+    """Attach LoRA factors as adapter leaves without touching base weights —
+    required for quantized bases (reference: lora.py:188-275).
+
+    Restriction (scan layout): either every layer of a block linear has a
+    LoRA pair or none; partially-covered block linears get zero factors for
+    the missing layers.
+    """
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    num_layers = config.num_layers
+
+    for spec in lora_specs:
+        lora_sd = load_lora_state(spec.path)
+        # group per (block-relative path) -> {layer: (A, B)} / top-level
+        grouped: Dict[Tuple, Dict] = {}
+        for module_key, A, B in iter_lora_pairs(lora_sd):
+            mapped = dit_tree_path(module_key + ".weight")
+            if mapped is None:
+                continue
+            layer, path = mapped
+            grouped.setdefault(path[:-1], {})[layer] = (A, B)
+
+        applied = 0
+        for path, layers in grouped.items():
+            node = params
+            ok = True
+            for part in path:
+                if not isinstance(node, dict) or part not in node:
+                    ok = False
+                    break
+                node = node[part]
+            if not ok or not isinstance(node, dict):
+                continue
+            sample_A, sample_B = next(iter(layers.values()))
+            r, in_dim = sample_A.shape
+            out_dim = sample_B.shape[0]
+            if None in layers:  # top-level linear
+                A, B = layers[None]
+                node["lora_A"] = jnp.asarray(A.astype(np.float32)) * spec.strength
+                node["lora_B"] = jnp.asarray(B.astype(np.float32))
+            else:  # stacked block linear
+                A_stack = np.zeros((num_layers, r, in_dim), dtype=np.float32)
+                B_stack = np.zeros((num_layers, out_dim, r), dtype=np.float32)
+                for layer, (A, B) in layers.items():
+                    A_stack[layer] = A.astype(np.float32) * spec.strength
+                    B_stack[layer] = B.astype(np.float32)
+                node["lora_A"] = jnp.asarray(A_stack)
+                node["lora_B"] = jnp.asarray(B_stack)
+            applied += 1
+        if verbose or applied == 0:
+            print(f"[LoRA] runtime attach {spec.path} applied={applied}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Training injection (reference: mlx_trainer/lora.py:78-131)
+# ---------------------------------------------------------------------------
+
+
+def _module_matches(path_parts: Tuple[str, ...], targets: Sequence[str]) -> bool:
+    path = ".".join(path_parts)
+    return any(path.endswith(t) or f".{t}." in path + "." for t in targets)
+
+
+def inject_lora(
+    params: dict,
+    config: LTXModelConfig,
+    lora_config: LoRAConfig,
+    key: jax.Array,
+    dtype=jnp.float32,
+) -> dict:
+    """Add trainable (lora_A ~ N(0, 0.01), lora_B = 0) leaves to every
+    matching linear. Block linears get stacked (L, ...) factors."""
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    targets = lora_config.target_modules or DEFAULT_TARGET_MODULES
+    rank = lora_config.rank
+    scale = lora_config.alpha / rank if rank > 0 else 1.0
+    counter = [0]
+
+    def walk(node: dict, path: Tuple[str, ...]):
+        if ("weight" in node or "quant_weight" in node) and _module_matches(path, targets):
+            w = node.get("weight")
+            if w is not None and w.ndim in (2, 3):
+                stacked = w.ndim == 3
+                in_dim, out_dim = w.shape[-2], w.shape[-1]
+            elif "quant_weight" in node:
+                sc = node["scales"]
+                stacked = sc.ndim == 3
+                out_dim = sc.shape[-2]
+                # in = packed_words * 32/bits; recover via scales groups x group
+                in_dim = None
+                for b in (8, 6, 4, 3, 2):
+                    if 32 % b:
+                        continue
+                    cand = node["quant_weight"].shape[-1] * (32 // b)
+                    if cand % sc.shape[-1] == 0:
+                        in_dim = cand
+                        break
+                if in_dim is None:
+                    return
+            else:
+                return
+            k = jax.random.fold_in(key, counter[0])
+            counter[0] += 1
+            a_shape = (rank, in_dim)
+            b_shape = (out_dim, rank)
+            # lora_scale must carry the layer axis too so the block scan can
+            # slice it like every other stacked leaf.
+            scale_shape: Tuple[int, ...] = ()
+            if stacked:
+                a_shape = (config.num_layers,) + a_shape
+                b_shape = (config.num_layers,) + b_shape
+                scale_shape = (config.num_layers,)
+            node["lora_A"] = (jax.random.normal(k, a_shape, dtype=jnp.float32) * 0.01).astype(dtype)
+            node["lora_B"] = jnp.zeros(b_shape, dtype=dtype)
+            node["lora_scale"] = jnp.full(scale_shape, scale, dtype=jnp.float32)
+            return
+        for name, child in node.items():
+            if isinstance(child, dict):
+                walk(child, path + (name,))
+
+    walk(params, ())
+    return params
+
+
+def lora_mask(params: dict) -> dict:
+    """Boolean pytree: True for lora leaves (the optax trainable mask,
+    reference freeze semantics: mlx_trainer/lora.py:124-131)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(k, "key", None) in ("lora_A", "lora_B") for k in path
+        ),
+        params,
+    )
+
+
+def export_lora_state(params: dict, config: LTXModelConfig) -> Dict[str, np.ndarray]:
+    """Export lora_A/lora_B leaves in the reference checkpoint format
+    ``diffusion_model.<sanitized path>.lora_{A,B}.weight``
+    (reference: mlx_trainer/lora.py:133-140). Stacked factors unstack per layer."""
+    from mlx_video_tpu.io.weights import flatten_params
+
+    inv_av = {
+        "av_ca_video_scale_shift_adaln": "av_ca_video_scale_shift_adaln_single",
+        "av_ca_audio_scale_shift_adaln": "av_ca_audio_scale_shift_adaln_single",
+        "av_ca_a2v_gate_adaln": "av_ca_a2v_gate_adaln_single",
+        "av_ca_v2a_gate_adaln": "av_ca_v2a_gate_adaln_single",
+    }
+    out: Dict[str, np.ndarray] = {}
+    for flat_key, leaf in flatten_params(params).items():
+        parts = flat_key.split(".")
+        if parts[-1] not in ("lora_A", "lora_B"):
+            continue
+        which = parts[-1]
+        module = parts[:-1]
+        arr = np.asarray(leaf, dtype=np.float32)
+        if module[0] == "blocks":
+            rel = module[1:]
+            for layer in range(arr.shape[0]):
+                name = ".".join(["transformer_blocks", str(layer)] + rel)
+                out[f"diffusion_model.{name}.{which}.weight"] = arr[layer]
+        elif module[0] == "video":
+            out[f"diffusion_model.{'.'.join(module[1:])}.{which}.weight"] = arr
+        elif module[0] == "audio":
+            name = "audio_" + ".".join(module[1:])
+            out[f"diffusion_model.{name}.{which}.weight"] = arr
+        elif module[0] == "av":
+            name = ".".join([inv_av[module[1]]] + module[2:])
+            out[f"diffusion_model.{name}.{which}.weight"] = arr
+    return out
+
+
+def save_lora(path: Union[str, Path], params: dict, config: LTXModelConfig) -> None:
+    save_safetensors(path, export_lora_state(params, config))

@@ -16,19 +16,44 @@ import jax.numpy as jnp
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
-    """y = x @ W (+ b). ``params`` holds ``weight`` (in, out) and optional ``bias``.
+    """y = x @ W (+ b) with optional quantized weights and LoRA adapters.
+
+    ``params`` variants (all plain pytree leaves):
+    - dense:      ``weight`` (in, out), optional ``bias``;
+    - quantized:  ``quant_weight``/``scales``/``biases`` in the MLX affine
+      layout (see ops/quant.py) — dequantized into the matmul prologue;
+    - LoRA:       additional ``lora_A`` (r, in), ``lora_B`` (out, r), optional
+      ``lora_scale`` — y += scale * x @ A^T @ B^T in fp32
+      (reference: mlx_video/lora.py:204-219, mlx_trainer/lora.py:34-44).
 
     fp32 operands force ``Precision.HIGHEST``: XLA's default fp32 matmul uses a
     split-bf16 fast path on TPU (and an equivalent low-precision path on CPU),
     which would silently degrade the model's fp32 islands. bf16 operands keep
     the default fast MXU path.
     """
-    w = params["weight"]
+    if "quant_weight" in params:
+        from mlx_video_tpu.ops.quant import dequantize_affine
+
+        w = dequantize_affine(
+            params["quant_weight"], params["scales"], params["biases"],
+            dtype=x.dtype, in_dim=x.shape[-1],
+        ).T
+    else:
+        w = params["weight"]
     precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
     y = jnp.dot(x, w, preferred_element_type=x.dtype, precision=precision)
     b = params.get("bias")
     if b is not None:
         y = y + b
+    if "lora_A" in params:
+        a = params["lora_A"].astype(jnp.float32)
+        bm = params["lora_B"].astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        delta = jnp.dot(jnp.dot(xf, a.T), bm.T)
+        scale = params.get("lora_scale")
+        if scale is not None:
+            delta = delta * scale
+        y = y + delta.astype(y.dtype)
     return y
 
 

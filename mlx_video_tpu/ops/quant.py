@@ -1,0 +1,180 @@
+"""Group-wise affine quantization (2-8 bit) with MLX-compatible layout.
+
+Behavioral spec: the reference relies on ``mlx.nn.quantize`` /
+``QuantizedLinear`` (reference: mlx_video/models/ltx/ltx.py:641-721,
+convert.py quantize path) whose checkpoint format is:
+
+- ``<name>.weight``: uint32-packed quantized values, shape
+  ``(out, in * bits / 32)``, LSB-first along the ``in`` axis
+  (``32 // bits`` values per word);
+- ``<name>.scales`` / ``<name>.biases``: per-(out, group) affine params,
+  shape ``(out, in / group_size)``; dequant is ``w = q * scale + bias``.
+
+We reproduce that exact layout so pre-quantized MLX checkpoints (AITRADER
+4/8-bit repos, README.md:230-235) load directly, and our own ``convert``
+output is readable by the reference.
+
+On TPU, the dequant-matmul runs as dequantize (bit-shift + affine) fused by
+XLA into the matmul prologue; ``bits`` and ``group_size`` are derived from
+array shapes, so quantized layers need no side-channel metadata inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_affine(
+    w: jax.Array, group_size: int = 64, bits: int = 4
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Quantize a 2D (out, in) matrix.
+
+    Returns (packed uint32 (out, in*bits//32), scales (out, in//g),
+    biases (out, in//g)) with w ~= q * scales + biases per group.
+    """
+    if 32 % bits != 0:
+        raise ValueError(f"bits must divide 32, got {bits}")
+    out_dim, in_dim = w.shape
+    if in_dim % group_size != 0:
+        raise ValueError(f"in dim {in_dim} not divisible by group_size {group_size}")
+    n_groups = in_dim // group_size
+    levels = (1 << bits) - 1
+
+    wf = w.astype(jnp.float32).reshape(out_dim, n_groups, group_size)
+    w_min = jnp.min(wf, axis=-1)
+    w_max = jnp.max(wf, axis=-1)
+    scales = jnp.maximum((w_max - w_min) / levels, 1e-8)
+    biases = w_min
+
+    q = jnp.clip(jnp.round((wf - biases[..., None]) / scales[..., None]), 0, levels)
+    q = q.astype(jnp.uint32).reshape(out_dim, in_dim)
+
+    els = 32 // bits
+    q = q.reshape(out_dim, in_dim // els, els)
+    shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
+    packed = jnp.sum(q << shifts, axis=-1).astype(jnp.uint32)
+    return packed, scales, biases
+
+
+def dequantize_affine(
+    packed: jax.Array,
+    scales: jax.Array,
+    biases: jax.Array,
+    bits: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    in_dim: Optional[int] = None,
+) -> jax.Array:
+    """Inverse of :func:`quantize_affine`.
+
+    ``bits`` is derived exactly from ``in_dim`` when provided
+    (``bits = words * 32 / in_dim``); shape-only inference is ambiguous
+    (e.g. 4-bit group-32 vs 8-bit group-16 pack to the same shapes) and is
+    refused — callers always know the in dimension.
+    """
+    out_dim = packed.shape[0]
+    n_groups = scales.shape[1]
+    if bits is None:
+        if in_dim is None:
+            raise ValueError("dequantize_affine requires bits or in_dim")
+        bits = packed.shape[1] * 32 // in_dim
+        if bits not in (2, 4, 8, 16) or packed.shape[1] * 32 != bits * in_dim:
+            raise ValueError(
+                f"Inconsistent quantized shapes: words={packed.shape[1]} in_dim={in_dim}"
+            )
+    els = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
+    q = (packed[..., None] >> shifts) & mask
+    in_dim = packed.shape[1] * els
+    q = q.reshape(out_dim, in_dim).astype(jnp.float32)
+    group_size = in_dim // n_groups
+    qg = q.reshape(out_dim, n_groups, group_size)
+    w = qg * scales.astype(jnp.float32)[..., None] + biases.astype(jnp.float32)[..., None]
+    return w.reshape(out_dim, in_dim).astype(dtype)
+
+
+def quantize_linear_params(params: dict, group_size: int = 64, bits: int = 4) -> dict:
+    """Convert a {'weight': (in, out), 'bias'?} linear param dict into its
+    quantized form {'quant_weight', 'scales', 'biases', 'bias'?}.
+
+    The quantized tensors use the MLX (out, in) orientation for checkpoint
+    compatibility; :func:`mlx_video_tpu.ops.linear.linear` transposes at the
+    matmul (fused by XLA).
+    """
+    w = params["weight"]
+    stacked = w.ndim == 3  # (L, in, out) scan-stacked
+    if stacked:
+        packed, scales, biases = jax.vmap(
+            lambda m: quantize_affine(m.T, group_size, bits)
+        )(w)
+    else:
+        packed, scales, biases = quantize_affine(w.T, group_size, bits)
+    out = {"quant_weight": packed, "scales": scales, "biases": biases}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def dequantize_linear_params(params: dict, bits: int, dtype=jnp.bfloat16) -> dict:
+    """Inverse of :func:`quantize_linear_params` (back to {'weight': (in, out)})."""
+    pw, sc, bi = params["quant_weight"], params["scales"], params["biases"]
+    if pw.ndim == 3:
+        w = jax.vmap(lambda p, s, b: dequantize_affine(p, s, b, bits=bits, dtype=dtype).T)(pw, sc, bi)
+    else:
+        w = dequantize_affine(pw, sc, bi, bits=bits, dtype=dtype).T
+    out = {"weight": w}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def _match_any(path: str, patterns) -> bool:
+    return any(p in path for p in patterns)
+
+
+# Quantization scopes mirroring the reference predicates
+# (reference: ltx.py:676-713, convert.py scope attn1/core/all).
+SCOPE_PATTERNS = {
+    "attn1": ("blocks/attn1/",),
+    "core": (
+        "blocks/attn1/", "blocks/attn2/", "blocks/ff/",
+        "blocks/audio_attn1/", "blocks/audio_attn2/", "blocks/audio_ff/",
+        "blocks/audio_to_video_attn/", "blocks/video_to_audio_attn/",
+    ),
+    "all": ("blocks/",),
+}
+
+
+def quantize_dit_params(
+    params: dict, group_size: int = 64, bits: int = 4, scope: str = "core"
+) -> dict:
+    """Quantize the DiT parameter pytree in place of eligible linears.
+
+    Only 2D-weight linears inside transformer blocks are quantized (the
+    reference's predicate scope, ltx.py:676-713); norms / tables / adaLN MLPs
+    stay in bf16.
+    """
+    patterns = SCOPE_PATTERNS[scope]
+
+    def walk(node: dict, path: str) -> dict:
+        if "weight" in node and node["weight"].ndim in (2, 3) and _match_any(path + "/", patterns):
+            # only quantize matmul weights, not norm vectors
+            w = node["weight"]
+            in_dim = w.shape[-2]
+            if w.ndim >= 2 and in_dim % group_size == 0 and path.rsplit("/", 1)[-1] not in (
+                "q_norm", "k_norm",
+            ):
+                return quantize_linear_params(node, group_size, bits)
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, f"{path}/{k}" if path else k)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, "")

@@ -1,0 +1,212 @@
+"""LoRA and quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.io.safetensors import save_safetensors
+from mlx_video_tpu.lora import (
+    LoRAConfig,
+    LoraSpec,
+    attach_runtime_lora,
+    inject_lora,
+    lora_mask,
+    merge_lora_into_params,
+    save_lora,
+)
+from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+from mlx_video_tpu.ops.linear import linear
+from mlx_video_tpu.ops.quant import (
+    dequantize_affine,
+    dequantize_linear_params,
+    quantize_affine,
+    quantize_dit_params,
+    quantize_linear_params,
+)
+from mlx_video_tpu.pipelines.positions import create_position_grid
+
+
+class TestQuantization:
+    def test_round_trip_error_bounded(self, rng):
+        w = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+        for bits in (8, 4, 2):
+            packed, scales, biases = quantize_affine(w, group_size=32, bits=bits)
+            deq = dequantize_affine(packed, scales, biases, bits=bits, dtype=jnp.float32)
+            # max error per element is bounded by half a quantization step
+            step = np.asarray(scales).max()
+            err = np.max(np.abs(np.asarray(deq) - np.asarray(w)))
+            assert err <= step * 0.51, f"bits={bits}: err {err} > step {step}"
+
+    def test_packing_layout_lsb_first(self):
+        """Value at in-index i lives at bits [bits*(i%els), ...) of word i//els."""
+        w = jnp.asarray(np.arange(8, dtype=np.float32)[None])  # (1, 8), exact 4-bit range
+        packed, scales, biases = quantize_affine(w, group_size=8, bits=4)
+        assert packed.shape == (1, 1)
+        word = int(np.asarray(packed)[0, 0])
+        scale, bias = float(np.asarray(scales)[0, 0]), float(np.asarray(biases)[0, 0])
+        for i in range(8):
+            q = (word >> (4 * i)) & 0xF
+            np.testing.assert_allclose(q * scale + bias, float(i), atol=0.5)
+
+    def test_quantized_linear_close_to_dense(self, rng):
+        params = {
+            "weight": jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32) * 0.05),
+            "bias": jnp.asarray(rng.normal(size=(32,)).astype(np.float32)),
+        }
+        x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+        dense = linear(params, x)
+        qparams = quantize_linear_params(params, group_size=32, bits=8)
+        assert "weight" not in qparams
+        quant = linear(qparams, x)
+        np.testing.assert_allclose(np.asarray(quant), np.asarray(dense), atol=0.02)
+        # round-trip back to dense layout
+        back = dequantize_linear_params(qparams, bits=8, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(back["weight"]), np.asarray(params["weight"]), atol=2e-3)
+
+    def test_stacked_quantization(self, rng):
+        params = {"weight": jnp.asarray(rng.normal(size=(3, 64, 32)).astype(np.float32) * 0.05)}
+        q = quantize_linear_params(params, group_size=32, bits=8)
+        assert q["quant_weight"].shape[0] == 3
+        back = dequantize_linear_params(q, bits=8, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(back["weight"]), np.asarray(params["weight"]), atol=2e-3)
+
+    def test_quantize_dit_forward_close(self, rng):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        qparams = quantize_dit_params(params, group_size=32, bits=8, scope="core")
+        # block attn/ff linears quantized; norms untouched
+        assert "quant_weight" in qparams["blocks"]["attn1"]["to_q"]
+        assert "weight" in qparams["blocks"]["attn1"]["q_norm"]
+        assert "weight" in qparams["video"]["patchify_proj"]
+
+        video = _video_inputs(cfg)
+        ref, _ = ltx_apply(params, cfg, video=video)
+        out, _ = ltx_apply(qparams, cfg, video=video)
+        # 8-bit quantization of a random-init model: outputs close
+        assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 0.1
+
+
+def _video_inputs(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    s = 2 * 3 * 4
+    return Modality(
+        latent=jnp.asarray(rng.normal(size=(1, s, cfg.in_channels)).astype(np.float32)),
+        timesteps=jnp.full((1, s), 0.5),
+        context=jnp.asarray(rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)),
+        positions=jnp.asarray(create_position_grid(1, 2, 3, 4)),
+    )
+
+
+class TestLoRA:
+    def test_inject_zero_B_is_identity(self):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lparams = inject_lora(params, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        assert "lora_A" in lparams["blocks"]["attn1"]["to_q"]
+        video = _video_inputs(cfg)
+        ref, _ = ltx_apply(params, cfg, video=video)
+        out, _ = ltx_apply(lparams, cfg, video=video)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_nonzero_B_changes_output(self):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lparams = inject_lora(params, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        lparams["blocks"]["attn1"]["to_q"]["lora_B"] = (
+            jnp.ones_like(lparams["blocks"]["attn1"]["to_q"]["lora_B"]) * 0.1
+        )
+        video = _video_inputs(cfg)
+        ref, _ = ltx_apply(params, cfg, video=video)
+        out, _ = ltx_apply(lparams, cfg, video=video)
+        assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) > 1e-4
+
+    def test_lora_mask_marks_only_lora(self):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lparams = inject_lora(params, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        mask = lora_mask(lparams)
+        assert mask["blocks"]["attn1"]["to_q"]["lora_A"] is True
+        assert mask["blocks"]["attn1"]["to_q"]["weight"] is False
+        assert mask["video"]["patchify_proj"]["weight"] is False
+
+    def test_targets_respected(self):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lparams = inject_lora(
+            params, cfg, LoRAConfig(rank=4, target_modules=("to_q",)), jax.random.key(1)
+        )
+        assert "lora_A" in lparams["blocks"]["attn1"]["to_q"]
+        assert "lora_A" not in lparams["blocks"]["attn1"]["to_k"]
+        assert "lora_A" not in lparams["blocks"]["ff"]["proj_in"]
+
+    def test_export_merge_matches_runtime(self, tmp_path):
+        """inject (random B) -> export -> offline merge == runtime adapters."""
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lcfg = LoRAConfig(rank=4, alpha=8.0)
+        lparams = inject_lora(params, cfg, lcfg, jax.random.key(1))
+        # randomize B so LoRA is active
+        rng = np.random.default_rng(3)
+
+        def rand_b(node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    rand_b(v)
+                elif k == "lora_B":
+                    node[k] = jnp.asarray(rng.normal(size=v.shape).astype(np.float32) * 0.05)
+
+        rand_b(lparams)
+
+        video = _video_inputs(cfg)
+        runtime_out, _ = ltx_apply(lparams, cfg, video=video)
+
+        lora_path = tmp_path / "adapter.safetensors"
+        save_lora(lora_path, lparams, cfg)
+
+        scale = lcfg.alpha / lcfg.rank
+        merged = merge_lora_into_params(params, [LoraSpec(lora_path, strength=scale)])
+        merged_out, _ = ltx_apply(merged, cfg, video=video)
+        np.testing.assert_allclose(
+            np.asarray(merged_out), np.asarray(runtime_out), atol=5e-4
+        )
+
+    def test_runtime_attach_matches_merge(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        # hand-build a reference-format LoRA file for attn1.to_q on layer 0
+        in_dim = cfg.inner_dim
+        state = {
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(4, in_dim)).astype(np.float32) * 0.1,
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(in_dim, 4)).astype(np.float32) * 0.1,
+        }
+        path = tmp_path / "lora.safetensors"
+        save_safetensors(path, state)
+
+        video = _video_inputs(cfg)
+        merged = merge_lora_into_params(params, [LoraSpec(path, strength=0.7)])
+        attached = attach_runtime_lora(params, [LoraSpec(path, strength=0.7)], cfg)
+        m_out, _ = ltx_apply(merged, cfg, video=video)
+        a_out, _ = ltx_apply(attached, cfg, video=video)
+        np.testing.assert_allclose(np.asarray(a_out), np.asarray(m_out), atol=5e-4)
+        # and it differs from base
+        base_out, _ = ltx_apply(params, cfg, video=video)
+        assert np.max(np.abs(np.asarray(m_out) - np.asarray(base_out))) > 1e-5
+
+    def test_lora_on_quantized_base(self, rng):
+        """Runtime adapters compose with quantized weights."""
+        params = {
+            "weight": jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32) * 0.05),
+        }
+        q = quantize_linear_params(params, group_size=32, bits=8)
+        q["lora_A"] = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32) * 0.1)
+        q["lora_B"] = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+        out = linear(q, x)
+        base = linear(quantize_linear_params(params, group_size=32, bits=8), x)
+        expected_delta = np.asarray(x) @ np.asarray(q["lora_A"]).T @ np.asarray(q["lora_B"]).T
+        np.testing.assert_allclose(np.asarray(out - base), expected_delta, atol=1e-4)
