@@ -1,0 +1,106 @@
+"""Training checkpoints with full optimizer state + step (resume-capable).
+
+The reference saves only LoRA A/B or raw params every N steps and resumes
+without optimizer/step state (reference: mlx_video/mlx_trainer/
+trainer.py:650-674, 282-293). SURVEY §5 flags this as the gap to close for
+multi-host training: here a checkpoint is {params, opt_state pytree, step,
+rng} saved as safetensors + a JSON treedef, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.io.safetensors import SafetensorsReader, save_safetensors
+
+
+def _flatten_with_treedef(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_train_checkpoint(
+    path: Path, params: dict, opt_state, step: int, extra: Optional[dict] = None
+) -> None:
+    """Save params + optimizer state + step to <path> (.safetensors)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    tensors = {}
+    p_leaves, p_def = _flatten_with_treedef(params)
+    for i, leaf in enumerate(p_leaves):
+        tensors[f"params.{i}"] = np.asarray(leaf)
+    o_leaves, o_def = _flatten_with_treedef(opt_state)
+    for i, leaf in enumerate(o_leaves):
+        tensors[f"opt.{i}"] = np.asarray(leaf)
+
+    meta = {
+        "step": str(step),
+        "params_treedef": str(p_def),
+        "num_params_leaves": str(len(p_leaves)),
+        "num_opt_leaves": str(len(o_leaves)),
+    }
+    if extra:
+        meta["extra"] = json.dumps(extra)
+    save_safetensors(path, tensors, metadata=meta)
+
+
+def load_train_checkpoint(
+    path: Path, params_template: dict, opt_state_template
+) -> Tuple[dict, object, int]:
+    """Restore (params, opt_state, step); templates provide the tree
+    structure (shapes validated leaf-by-leaf)."""
+    with SafetensorsReader(path) as r:
+        meta = r.metadata
+        step = int(meta.get("step", "0"))
+        p_leaves, p_def = _flatten_with_treedef(params_template)
+        o_leaves, o_def = _flatten_with_treedef(opt_state_template)
+        new_p = []
+        for i, tmpl in enumerate(p_leaves):
+            arr = r.get(f"params.{i}")
+            if tuple(arr.shape) != tuple(np.shape(tmpl)):
+                raise ValueError(
+                    f"Checkpoint param leaf {i} shape {arr.shape} != template {np.shape(tmpl)}"
+                )
+            new_p.append(jnp.asarray(arr))
+        new_o = []
+        for i, tmpl in enumerate(o_leaves):
+            arr = r.get(f"opt.{i}")
+            new_o.append(jnp.asarray(arr))
+    return (
+        jax.tree_util.tree_unflatten(p_def, new_p),
+        jax.tree_util.tree_unflatten(o_def, new_o),
+        step,
+    )
+
+
+def prune_checkpoints(output_dir: Path, keep_last_n: int) -> None:
+    """Keep the newest N checkpoints (reference: trainer.py:662-674)."""
+    if keep_last_n is None or keep_last_n < 0:
+        return
+    files = sorted(
+        Path(output_dir).glob("*.safetensors"),
+        key=lambda p: _step_of(p.name),
+    )
+    for f in files[: max(0, len(files) - keep_last_n)]:
+        try:
+            f.unlink()
+        except OSError:
+            pass
+
+
+def _step_of(name: str) -> int:
+    m = re.search(r"step_(\d+)", name)
+    return int(m.group(1)) if m else -1
+
+
+def latest_checkpoint(output_dir: Path, prefix: str = "state_step_") -> Optional[Path]:
+    files = sorted(Path(output_dir).glob(f"{prefix}*.safetensors"), key=lambda p: _step_of(p.name))
+    return files[-1] if files else None

@@ -1,13 +1,14 @@
-"""Jit-compiled flow-matching training step.
+"""Jit-compiled training step and optimizer construction.
 
-Behavioral spec: reference mlx_video/mlx_trainer/training_strategies/
-text_to_video.py:35-127 (x_t = (1-sigma)x + sigma*eps, target v = eps - x,
-first-frame conditioning mask, masked MSE) and trainer.py:546-648 (grad
-accumulation / clip / AdamW update).
+Behavioral spec: reference mlx_video/mlx_trainer/trainer.py:297-326
+(AdamW + linear/cosine schedules), 546-648 (grad accumulation, global-norm
+clip, update cadence).
 
-TPU-native: the whole step (noising, forward, loss, grad, clip, optimizer
-update) is one jitted function, shardable over a (data, fsdp, tensor) mesh
-by annotating params and batch (parallel/sharding.py).
+TPU-native: the whole microbatch step (noising -> forward -> loss -> grad)
+is one jitted function; gradient accumulation sums grads in device buffers
+across microbatches and a second jitted function applies clip + optimizer
+update. LoRA-only training uses an optax mask so frozen weights receive
+zero updates and allocate no optimizer state.
 """
 
 from __future__ import annotations
@@ -20,103 +21,93 @@ import jax.numpy as jnp
 import optax
 
 from mlx_video_tpu.config import LTXModelConfig
-from mlx_video_tpu.models.ltx.model import Modality, ltx_apply
-from mlx_video_tpu.pipelines.denoise import flatten_video_latents, precompute_video_pe
+from mlx_video_tpu.trainer.strategies import StrategyBatch, strategy_loss_fn
 
 
-class TrainBatch(NamedTuple):
-    """Precomputed-latent training batch.
-
-    latents:   (B, C, F, H, W) clean video latents
-    positions: (B, 3, S, 2) RoPE position grid
-    context:   (B, S_ctx, caption_channels) text embeddings
-    """
-
-    latents: jax.Array
-    positions: jax.Array
-    context: jax.Array
-
-
-def flow_matching_loss(
-    params: dict,
-    config: LTXModelConfig,
-    batch: TrainBatch,
-    noise: jax.Array,
-    sigmas: jax.Array,
-    loss_mask: Optional[jax.Array] = None,
-    first_frame_conditioned: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Masked flow-matching MSE (reference: text_to_video.py:35-127).
-
-    sigmas: (B,) per-sample noise levels.
-    first_frame_conditioned: optional (B,) 0/1 — when 1, the first latent
-    frame's timestep is zeroed and its loss masked (I2V conditioning during
-    training).
-    """
-    latents = batch.latents
-    b, c, f, h, w = latents.shape
-    s = f * h * w
-    dtype = latents.dtype
-
-    sig = sigmas.reshape(b, 1, 1, 1, 1).astype(jnp.float32)
-    lat32 = latents.astype(jnp.float32)
-    noise32 = noise.astype(jnp.float32)
-    noisy = ((1.0 - sig) * lat32 + sig * noise32).astype(dtype)
-    target = (noise32 - lat32).astype(jnp.float32)
-
-    timesteps = jnp.broadcast_to(sigmas.astype(dtype)[:, None], (b, s))
-    frame_mask = jnp.ones((b, s), dtype=jnp.float32)
-    if first_frame_conditioned is not None:
-        per_frame = jnp.ones((b, f), dtype=jnp.float32)
-        per_frame = per_frame.at[:, 0].set(1.0 - first_frame_conditioned.astype(jnp.float32))
-        per_token = jnp.repeat(per_frame, h * w, axis=1)
-        timesteps = timesteps * per_token.astype(dtype)
-        frame_mask = per_token
-
-    tokens = flatten_video_latents(noisy)
-    vel, _ = ltx_apply(
-        params,
-        config,
-        video=Modality(
-            latent=tokens, timesteps=timesteps, context=batch.context, positions=batch.positions
-        ),
-    )
-    vel = jnp.transpose(vel, (0, 2, 1)).reshape(b, c, f, h, w).astype(jnp.float32)
-
-    err = jnp.square(vel - target)
-    mask5 = frame_mask.reshape(b, 1, f, h, w)
-    if loss_mask is not None:
-        mask5 = mask5 * loss_mask.astype(jnp.float32)
-    return jnp.sum(err * mask5) / jnp.maximum(jnp.sum(mask5) * c, 1.0)
-
-
-def sample_shifted_logit_normal(
-    key: jax.Array, batch: int, num_tokens: int, std: float = 1.0
-) -> jax.Array:
-    """Shifted logit-normal timestep sampler with the seq-len-dependent shift
-    (reference: mlx_trainer/timestep_samplers.py:10-55, trainer.py:357-369;
-    anchors at generate.py:343-344)."""
-    import math
-
-    from mlx_video_tpu.pipelines.schedulers import BASE_SHIFT_ANCHOR, MAX_SHIFT_ANCHOR
-
-    tokens = min(num_tokens, MAX_SHIFT_ANCHOR)
-    mm = (2.05 - 0.95) / (MAX_SHIFT_ANCHOR - BASE_SHIFT_ANCHOR)
-    shift = tokens * mm + (0.95 - mm * BASE_SHIFT_ANCHOR)
-    normal = jax.random.normal(key, (batch,)) * std + shift
-    return jax.nn.sigmoid(normal)
+def make_lr_schedule(
+    scheduler_type: str, lr: float, total_steps: int
+):
+    """constant / linear / cosine (reference: trainer.py:314-326)."""
+    sched = (scheduler_type or "constant").lower()
+    if sched == "linear":
+        return optax.linear_schedule(lr, 0.0, max(1, total_steps))
+    if sched == "cosine":
+        return optax.cosine_decay_schedule(lr, max(1, total_steps), alpha=0.0)
+    return lr
 
 
 def make_optimizer(
-    learning_rate=1e-4, weight_decay: float = 0.01, max_grad_norm: Optional[float] = 1.0,
-    b1: float = 0.9, b2: float = 0.999,
+    learning_rate=1e-4,
+    weight_decay: float = 0.01,
+    max_grad_norm: Optional[float] = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    trainable_mask: Optional[dict] = None,
 ) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping (reference: trainer.py:297-326)."""
+    """AdamW with global-norm clipping; optionally masked to LoRA leaves."""
     chain = []
-    if max_grad_norm is not None:
+    if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        # NOTE: optax.masked would pass raw gradients THROUGH for masked-out
+        # leaves (it means "don't transform", not "freeze"); multi_transform
+        # with set_to_zero is the correct freeze.
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "first_frame_conditioning_p", "timestep_sampling_mode",
+                     "timestep_sampling_std"),
+)
+def grad_step(
+    params: dict,
+    sb: StrategyBatch,
+    key: jax.Array,
+    config: LTXModelConfig,
+    first_frame_conditioning_p: float = 0.1,
+    timestep_sampling_mode: str = "uniform",
+    timestep_sampling_std: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """One microbatch: loss + grads (no update)."""
+    return jax.value_and_grad(strategy_loss_fn)(
+        params, config, sb, key,
+        first_frame_conditioning_p=first_frame_conditioning_p,
+        timestep_sampling_mode=timestep_sampling_mode,
+        timestep_sampling_std=timestep_sampling_std,
+    )
+
+
+@jax.jit
+def accumulate_grads(acc: dict, grads: dict) -> dict:
+    return jax.tree.map(jnp.add, acc, grads)
+
+
+@partial(jax.jit, static_argnames=("optimizer", "accum_steps"), donate_argnums=(0, 1, 2))
+def apply_updates(
+    params: dict,
+    opt_state,
+    grads: dict,
+    optimizer: optax.GradientTransformation,
+    accum_steps: int = 1,
+):
+    """Scale accumulated grads, clip (inside the optimizer chain), update."""
+    if accum_steps > 1:
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state
+
+
+# Back-compat simple API used by __graft_entry__.dryrun_multichip.
+class TrainBatch(NamedTuple):
+    latents: jax.Array  # (B, C, F, H, W)
+    positions: jax.Array
+    context: jax.Array
 
 
 @partial(jax.jit, static_argnames=("config", "optimizer"), donate_argnums=(0, 1))
@@ -127,15 +118,26 @@ def train_step(
     optimizer: optax.GradientTransformation,
     batch: TrainBatch,
     key: jax.Array,
-) -> Tuple[dict, object, jax.Array]:
-    """One full training step: sample sigma/noise -> loss -> grad -> update."""
-    b = batch.latents.shape[0]
-    s = batch.positions.shape[2]
-    k_noise, k_sigma = jax.random.split(key)
-    noise = jax.random.normal(k_noise, batch.latents.shape, dtype=jnp.float32)
-    sigmas = sample_shifted_logit_normal(k_sigma, b, s)
+):
+    """One full T2V training step from raw (B, C, F, H, W) latents."""
+    from mlx_video_tpu.trainer.strategies import (
+        StrategyBatch,
+        _first_frame_token_mask,
+        strategy_loss_fn,
+    )
+    import numpy as np
 
-    loss, grads = jax.value_and_grad(flow_matching_loss)(params, config, batch, noise, sigmas)
+    b, c, f, h, w = batch.latents.shape
+    tokens = jnp.transpose(batch.latents.reshape(b, c, -1), (0, 2, 1))
+    sb = StrategyBatch(
+        video_latents=tokens,
+        positions=batch.positions,
+        context=batch.context,
+        context_mask=None,
+        first_frame_token_mask=jnp.asarray(_first_frame_token_mask(b, f, h, w)),
+        always_conditioned_mask=jnp.zeros((b, f * h * w), dtype=bool),
+    )
+    loss, grads = jax.value_and_grad(strategy_loss_fn)(params, config, sb, key)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss

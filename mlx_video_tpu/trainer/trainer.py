@@ -1,0 +1,272 @@
+"""TPU trainer: LoRA / full finetune over precomputed latents.
+
+Behavioral spec: reference mlx_video/mlx_trainer/trainer.py:93-742
+(dataset -> model (SPLIT rope, video-only or AV) -> LoRA inject + freeze ->
+AdamW(+schedule) -> loop with grad accumulation / clip / update ->
+checkpoint save + prune -> validation via generate -> wandb).
+
+TPU-native differences:
+- the microbatch step and the optimizer update are jitted; grads accumulate
+  in device buffers (no host round trips per step);
+- optional (data, fsdp, tensor) mesh sharding of params + batch;
+- checkpoints carry optimizer state + step and resume exactly
+  (trainer/checkpoints.py) — the reference loses optimizer state;
+- quantized-base models are restricted to LoRA mode (reference guard:
+  trainer.py:234-295).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType
+from mlx_video_tpu.io.safetensors import save_safetensors
+from mlx_video_tpu.io.weights import flatten_params, load_dit_params
+from mlx_video_tpu.lora import LoRAConfig, inject_lora, lora_mask, save_lora
+from mlx_video_tpu.models.ltx.model import init_ltx_params
+from mlx_video_tpu.trainer import checkpoints as ckpt
+from mlx_video_tpu.trainer.config import TrainingConfig
+from mlx_video_tpu.trainer.datasets import Batch, DummyDataset, PrecomputedDataset, iter_batches
+from mlx_video_tpu.trainer.strategies import (
+    prepare_text_to_video,
+    prepare_video_to_video,
+)
+from mlx_video_tpu.trainer.train_step import (
+    accumulate_grads,
+    apply_updates,
+    grad_step,
+    make_lr_schedule,
+    make_optimizer,
+)
+
+
+def _params_has_quant(params: dict) -> bool:
+    found = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if "quant_weight" in n:
+                found.append(True)
+            for v in n.values():
+                walk(v)
+
+    walk(params)
+    return bool(found)
+
+
+def build_model_config(cfg: TrainingConfig) -> LTXModelConfig:
+    """48-layer SPLIT-rope config, AV when with_audio
+    (reference: trainer.py:234-295)."""
+    return LTXModelConfig(
+        model_type=LTXModelType.AudioVideo if cfg.with_audio else LTXModelType.VideoOnly,
+        rope_type=LTXRopeType.SPLIT,
+        double_precision_rope=True,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainingConfig,
+        model_config: Optional[LTXModelConfig] = None,
+        params: Optional[dict] = None,
+        dataset=None,
+        validation_fn: Optional[Callable[[dict, int], None]] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.model_config = model_config or build_model_config(cfg)
+        self.validation_fn = validation_fn
+        self._wandb = None
+
+        self.dataset = dataset if dataset is not None else self._load_dataset()
+        self.params = params if params is not None else self._load_params()
+
+        if _params_has_quant(self.params) and cfg.training_mode != "lora":
+            raise ValueError(
+                "Quantized base weights support LoRA training only "
+                "(reference guard: trainer.py:234-295)."
+            )
+
+        if cfg.training_mode == "lora":
+            self.params = inject_lora(
+                self.params,
+                self.model_config,
+                LoRAConfig(
+                    rank=cfg.lora_rank,
+                    alpha=cfg.lora_alpha,
+                    dropout=cfg.lora_dropout,
+                    target_modules=tuple(cfg.target_modules) if cfg.target_modules else None,
+                ),
+                jax.random.key(cfg.seed),
+            )
+            trainable = lora_mask(self.params)
+        else:
+            trainable = None
+
+        schedule = make_lr_schedule(cfg.scheduler_type, cfg.lr, cfg.steps)
+        self.optimizer = make_optimizer(
+            learning_rate=schedule,
+            weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm,
+            trainable_mask=trainable,
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.start_step = 0
+
+        if cfg.resume:
+            latest = ckpt.latest_checkpoint(Path(cfg.output_dir))
+            if latest is not None:
+                self.params, self.opt_state, self.start_step = ckpt.load_train_checkpoint(
+                    latest, self.params, self.opt_state
+                )
+                print(f"[trainer] Resumed from {latest} at step {self.start_step}")
+
+        self._init_wandb()
+
+    # -- setup ------------------------------------------------------------
+
+    def _load_dataset(self):
+        cfg = self.cfg
+        if cfg.data_root:
+            sources = cfg.data_sources
+            if sources is None:
+                sources = {"latents": "latents", "conditions": "conditions"}
+                if cfg.with_audio:
+                    sources[cfg.audio_latents_dir] = "audio_latents"
+                if cfg.strategy == "video_to_video":
+                    sources[cfg.reference_latents_dir] = "ref_latents"
+            return PrecomputedDataset(cfg.data_root, sources)
+        return DummyDataset(
+            width=cfg.dummy_width,
+            height=cfg.dummy_height,
+            num_frames=cfg.dummy_num_frames,
+            prompt_sequence_length=cfg.dummy_prompt_len,
+            with_audio=cfg.with_audio,
+            with_reference=cfg.strategy == "video_to_video",
+        )
+
+    def _load_params(self) -> dict:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.mixed_precision_mode == "bf16" else jnp.float32
+        path = Path(cfg.model_repo)
+        if path.exists():
+            files = [path] if path.is_file() else sorted(path.glob("*.safetensors"))
+            return load_dit_params(files, self.model_config, dtype=dtype, strict=False)
+        raise FileNotFoundError(
+            f"Model weights not found at {cfg.model_repo}; pass params= for in-memory init."
+        )
+
+    def _init_wandb(self) -> None:
+        if not self.cfg.wandb_enabled:
+            return
+        try:
+            import wandb
+
+            self._wandb = wandb
+            wandb.init(
+                project=self.cfg.wandb_project,
+                entity=self.cfg.wandb_entity,
+                tags=list(self.cfg.wandb_tags) if self.cfg.wandb_tags else None,
+                config={"strategy": self.cfg.strategy, "steps": self.cfg.steps, "lr": self.cfg.lr},
+            )
+        except Exception:
+            print("[trainer] W&B requested but unavailable.")
+
+    # -- loop -------------------------------------------------------------
+
+    def _prepare(self, batch: Batch):
+        if self.cfg.strategy == "video_to_video":
+            return prepare_video_to_video(batch)
+        return prepare_text_to_video(batch, with_audio=self.cfg.with_audio)
+
+    def train(self) -> float:
+        cfg = self.cfg
+        key = jax.random.key(cfg.seed)
+        accum_steps = max(1, cfg.grad_accum_steps)
+        accum = None
+        last_loss = float("nan")
+
+        if (
+            cfg.validation_interval
+            and self.validation_fn is not None
+            and not cfg.validation_skip_initial
+            and self.start_step == 0
+        ):
+            self.validation_fn(self.params, 0)
+
+        step = self.start_step
+        epoch = 0
+        while step < cfg.steps:
+            for batch in iter_batches(
+                self.dataset, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+            ):
+                if step >= cfg.steps:
+                    break
+                t0 = time.time()
+                sb = self._prepare(batch)
+                key, sub = jax.random.split(key)
+                loss, grads = grad_step(
+                    self.params, sb, sub, self.model_config,
+                    first_frame_conditioning_p=cfg.first_frame_conditioning_p,
+                    timestep_sampling_mode=cfg.timestep_sampling_mode,
+                    timestep_sampling_std=cfg.timestep_sampling_std,
+                )
+                accum = grads if accum is None else accumulate_grads(accum, grads)
+
+                if (step + 1) % accum_steps == 0:
+                    self.params, self.opt_state = apply_updates(
+                        self.params, self.opt_state, accum, self.optimizer, accum_steps
+                    )
+                    accum = None
+
+                last_loss = float(loss)
+                if step % cfg.log_every == 0:
+                    msg = f"step {step}: loss={last_loss:.6f}"
+                    if cfg.debug:
+                        msg += f" | step_time={time.time() - t0:.2f}s"
+                    print(msg)
+                    if self._wandb is not None:
+                        self._wandb.log({"loss": last_loss, "step": step}, step=step)
+
+                if cfg.save_every and step > 0 and step % cfg.save_every == 0:
+                    self.save_checkpoint(step)
+                    ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
+                if (
+                    cfg.validation_interval
+                    and self.validation_fn is not None
+                    and step > 0
+                    and step % cfg.validation_interval == 0
+                ):
+                    self.validation_fn(self.params, step)
+                step += 1
+            epoch += 1
+
+        if accum is not None:
+            self.params, self.opt_state = apply_updates(
+                self.params, self.opt_state, accum, self.optimizer, accum_steps
+            )
+        self.save_checkpoint(cfg.steps)
+        ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
+        return last_loss
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, step: int) -> None:
+        """LoRA adapters / full weights + full resume state
+        (reference: trainer.py:650-660 + optimizer-state extension)."""
+        out_dir = Path(self.cfg.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if self.cfg.training_mode == "lora":
+            save_lora(out_dir / f"lora_step_{step}.safetensors", self.params, self.model_config)
+        else:
+            flat = {k: np.asarray(v) for k, v in flatten_params(self.params).items()}
+            save_safetensors(out_dir / f"transformer_step_{step}.safetensors", flat)
+        ckpt.save_train_checkpoint(
+            out_dir / f"state_step_{step}.safetensors", self.params, self.opt_state, step
+        )

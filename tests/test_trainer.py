@@ -1,0 +1,297 @@
+"""Trainer tests: strategies, steps, checkpoints, resume (dummy dataset)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.models.ltx.model import init_ltx_params
+from mlx_video_tpu.trainer import checkpoints as ckpt
+from mlx_video_tpu.trainer.config import TrainingConfig, load_training_config
+from mlx_video_tpu.trainer.datasets import Batch, DummyDataset, collate_batches, iter_batches
+from mlx_video_tpu.trainer.strategies import (
+    compute_loss,
+    make_inputs,
+    prepare_text_to_video,
+    prepare_video_to_video,
+    sample_sigmas,
+)
+from mlx_video_tpu.trainer.trainer import Trainer
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        model_repo="", steps=3, batch_size=1, lr=1e-3, seed=0,
+        dummy_width=64, dummy_height=64, dummy_num_frames=9, dummy_prompt_len=8,
+        save_every=0, log_every=100, progress=False,
+    )
+    defaults.update(kw)
+    return TrainingConfig(**defaults)
+
+
+def tiny_model():
+    cfg = tiny_test_config(LTXModelType.VideoOnly)
+    params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def tiny_dataset(**kw):
+    return DummyDataset(
+        width=64, height=64, num_frames=9, dataset_length=8,
+        latent_dim=16, prompt_embed_dim=48, prompt_sequence_length=8, **kw
+    )
+
+
+class TestDatasets:
+    def test_dummy_shapes(self):
+        ds = tiny_dataset()
+        b = ds[0]
+        assert b.latents["latents"].shape == (16, 2, 2, 2)
+        assert b.conditions["video_prompt_embeds"].shape == (8, 48)
+
+    def test_collate(self):
+        ds = tiny_dataset()
+        batch = collate_batches([ds[0], ds[1]])
+        assert batch.latents["latents"].shape == (2, 16, 2, 2, 2)
+
+    def test_iter_batches_covers_dataset(self):
+        ds = tiny_dataset()
+        seen = 0
+        for b in iter_batches(ds, batch_size=4, shuffle=True, seed=0):
+            seen += b.latents["latents"].shape[0]
+        assert seen == len(ds)
+
+    def test_precomputed_dataset(self, tmp_path, rng):
+        from mlx_video_tpu.io.safetensors import save_safetensors
+        from mlx_video_tpu.trainer.datasets import PrecomputedDataset
+
+        (tmp_path / "latents").mkdir()
+        (tmp_path / "conditions").mkdir()
+        for i in range(3):
+            save_safetensors(
+                tmp_path / "latents" / f"latent_{i:03d}.safetensors",
+                {
+                    "latents": rng.normal(size=(16, 2, 2, 2)).astype(np.float32),
+                    "num_frames": np.array([2], np.int32),
+                    "height": np.array([2], np.int32),
+                    "width": np.array([2], np.int32),
+                },
+            )
+            save_safetensors(
+                tmp_path / "conditions" / f"condition_{i:03d}.safetensors",
+                {"prompt_embeds": rng.normal(size=(8, 48)).astype(np.float32)},
+            )
+        ds = PrecomputedDataset(tmp_path)
+        assert len(ds) == 3
+        b = ds[0]
+        assert b.latents["latents"].shape == (16, 2, 2, 2)
+        assert "prompt_embeds" in b.conditions
+
+    def test_legacy_patchified_normalization(self, rng):
+        from mlx_video_tpu.trainer.datasets import normalize_video_latents
+
+        flat = rng.normal(size=(2 * 2 * 2, 16)).astype(np.float32)
+        data = normalize_video_latents(
+            {"latents": flat, "num_frames": [2], "height": [2], "width": [2]}
+        )
+        assert data["latents"].shape == (16, 2, 2, 2)
+
+
+class TestStrategies:
+    def test_t2v_prepare_shapes(self):
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        assert sb.video_latents.shape == (1, 8, 16)
+        assert sb.positions.shape == (1, 3, 8, 2)
+        assert bool(sb.first_frame_token_mask[0, 0]) and not bool(sb.first_frame_token_mask[0, 4])
+
+    def test_v2v_prepare_prepends_reference(self):
+        ds = tiny_dataset(with_reference=True)
+        sb = prepare_video_to_video(collate_batches([ds[0]]))
+        assert sb.video_latents.shape == (1, 16, 16)  # ref 8 + target 8 tokens
+        assert bool(sb.always_conditioned_mask[0, 0])
+        assert not bool(sb.always_conditioned_mask[0, 8])
+        assert sb.positions.shape == (1, 3, 16, 2)
+
+    def test_conditioned_tokens_clean_and_masked(self):
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        inputs = make_inputs(sb, jax.random.key(0), first_frame_conditioning_p=1.0)
+        # frame-0 tokens: clean latent, zero timestep, excluded from loss
+        np.testing.assert_allclose(
+            np.asarray(inputs.video.latent[0, :4]), np.asarray(sb.video_latents[0, :4])
+        )
+        np.testing.assert_array_equal(np.asarray(inputs.video.timesteps[0, :4]), 0.0)
+        assert not np.any(np.asarray(inputs.video_loss_mask[0, :4]))
+        assert np.all(np.asarray(inputs.video_loss_mask[0, 4:]))
+
+    def test_no_conditioning_when_p_zero(self):
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        inputs = make_inputs(sb, jax.random.key(0), first_frame_conditioning_p=0.0)
+        assert np.all(np.asarray(inputs.video_loss_mask))
+
+    def test_flow_matching_identity(self):
+        """x_t = (1-s)x + s*eps and target = eps - x."""
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        inputs = make_inputs(sb, jax.random.key(7), first_frame_conditioning_p=0.0)
+        x = np.asarray(sb.video_latents, np.float64)
+        xt = np.asarray(inputs.video.latent, np.float64)
+        v = np.asarray(inputs.video_targets, np.float64)
+        sigma = np.asarray(inputs.video.timesteps)[0, 0]
+        eps = v + x
+        np.testing.assert_allclose(xt, (1 - sigma) * x + sigma * eps, atol=1e-4)
+
+    def test_loss_perfect_prediction_zero(self):
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        inputs = make_inputs(sb, jax.random.key(0))
+        loss = compute_loss(inputs.video_targets, None, inputs)
+        assert float(loss) < 1e-10
+
+    def test_sigma_samplers(self):
+        u = sample_sigmas(jax.random.key(0), 1000, 1024, "uniform")
+        assert 0 <= float(jnp.min(u)) and float(jnp.max(u)) <= 1
+        s = sample_sigmas(jax.random.key(0), 1000, 4096, "shifted_logit_normal")
+        # shifted toward high sigma for long sequences
+        assert float(jnp.mean(s)) > 0.7
+
+
+class TestTrainer:
+    def test_lora_training_runs_and_saves(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(training_mode="lora", output_dir=str(tmp_path), steps=3, save_every=2)
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        loss = tr.train()
+        assert np.isfinite(loss)
+        assert (tmp_path / "lora_step_3.safetensors").exists()
+        assert (tmp_path / "state_step_3.safetensors").exists()
+
+    def test_lora_only_updates_lora_leaves(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(training_mode="lora", output_dir=str(tmp_path), steps=2)
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        before = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["weight"]).copy()
+        before_lora = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["lora_A"]).copy()
+        tr.train()
+        after = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["weight"])
+        after_lora = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["lora_A"])
+        np.testing.assert_array_equal(before, after)  # base frozen
+        assert np.max(np.abs(after_lora - before_lora)) > 0  # lora trained
+
+    def test_full_training_updates_weights(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(training_mode="full", output_dir=str(tmp_path), steps=2)
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        before = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["weight"]).copy()
+        tr.train()
+        after = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["weight"])
+        assert np.max(np.abs(after - before)) > 0
+
+    def test_grad_accumulation(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(
+            training_mode="full", output_dir=str(tmp_path), steps=2, grad_accum_steps=2
+        )
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        loss = tr.train()
+        assert np.isfinite(loss)
+
+    def test_v2v_training(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(
+            training_mode="lora", strategy="video_to_video", output_dir=str(tmp_path), steps=2
+        )
+        tr = Trainer(
+            cfg, model_config=mcfg, params=params, dataset=tiny_dataset(with_reference=True)
+        )
+        assert np.isfinite(tr.train())
+
+    def test_resume_restores_step_and_state(self, tmp_path):
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(training_mode="full", output_dir=str(tmp_path), steps=2)
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        tr.train()
+
+        cfg2 = tiny_cfg(training_mode="full", output_dir=str(tmp_path), steps=4, resume=True)
+        tr2 = Trainer(cfg2, model_config=mcfg, params=params, dataset=tiny_dataset())
+        assert tr2.start_step == 2
+        np.testing.assert_array_equal(
+            np.asarray(tr2.params["blocks"]["attn1"]["to_q"]["weight"]),
+            np.asarray(tr.params["blocks"]["attn1"]["to_q"]["weight"]),
+        )
+        assert np.isfinite(tr2.train())
+
+    def test_quantized_base_requires_lora(self, tmp_path):
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        mcfg, params = tiny_model()
+        qparams = quantize_dit_params(params, group_size=32, bits=8)
+        cfg = tiny_cfg(training_mode="full", output_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="LoRA"):
+            Trainer(cfg, model_config=mcfg, params=qparams, dataset=tiny_dataset())
+
+    def test_validation_callback(self, tmp_path):
+        mcfg, params = tiny_model()
+        calls = []
+        cfg = tiny_cfg(
+            training_mode="full", output_dir=str(tmp_path), steps=2,
+            validation_interval=1, validation_prompts=["x"],
+        )
+        tr = Trainer(
+            cfg, model_config=mcfg, params=params, dataset=tiny_dataset(),
+            validation_fn=lambda p, step: calls.append(step),
+        )
+        tr.train()
+        assert 0 in calls and 1 in calls
+
+
+class TestYamlConfig:
+    def test_load_yaml(self, tmp_path):
+        yaml_text = """
+model:
+  model_path: /models/ltx
+  training_mode: lora
+lora:
+  rank: 16
+  alpha: 32
+  target_modules: ["to_q", "to_out.0", "ff.net.0.proj"]
+training_strategy:
+  name: ic_lora
+  first_frame_conditioning_p: 0.2
+optimization:
+  learning_rate: 2e-4
+  steps: 500
+  batch_size: 2
+  gradient_accumulation_steps: 4
+  scheduler_type: cosine
+flow_matching:
+  timestep_sampling_mode: shifted_logit_normal
+  timestep_sampling_params: {std: 0.8}
+checkpoints:
+  interval: 50
+  keep_last_n: 3
+output_dir: /tmp/out
+seed: 7
+"""
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml_text)
+        cfg = load_training_config(p)
+        assert cfg.model_repo == "/models/ltx"
+        assert cfg.training_mode == "lora"
+        assert cfg.lora_rank == 16
+        assert cfg.target_modules == ["to_q", "to_out", "ff.proj_in"]
+        assert cfg.strategy == "video_to_video"  # ic_lora maps to v2v
+        assert cfg.first_frame_conditioning_p == 0.2
+        assert cfg.lr == 2e-4
+        assert cfg.grad_accum_steps == 4
+        assert cfg.scheduler_type == "cosine"
+        assert cfg.timestep_sampling_mode == "shifted_logit_normal"
+        assert cfg.timestep_sampling_std == 0.8
+        assert cfg.save_every == 50
+        assert cfg.checkpoint_keep_last_n == 3
+        assert cfg.seed == 7
