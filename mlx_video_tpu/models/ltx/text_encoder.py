@@ -1,0 +1,405 @@
+"""LTX-2 text encoder: Gemma-3 features -> video/audio contexts.
+
+Behavioral spec: reference mlx_video/models/ltx/text_encoder.py:271-1170:
+
+- Gemma-3-12B forward returns 49 hidden states (models/gemma3.py);
+- per-state normalization + concat: masked mean over (tokens, dim) and
+  masked min/max range per state, normed = 8 * (x - mean) / range, padded
+  positions zeroed (text_encoder.py:591-639);
+- GemmaFeaturesExtractor: single bias-free Linear 49*3840 -> 3840;
+- two independent 2-layer connector transformers (30 heads x 128, GEGLU-free
+  plain-GELU FF, 1D split-RoPE max_pos=[4096], q/k RMSNorm on full inner
+  dim) producing video and audio contexts; left-padded tokens are replaced
+  by 128 tiled learnable registers and the mask is cleared
+  (text_encoder.py:426-587);
+- prompt enhancement via Gemma chat generation with bundled system prompts.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_video_tpu.models.gemma3 import (
+    Gemma3TextConfig,
+    gemma3_hidden_states,
+    generate as gemma_generate,
+)
+from mlx_video_tpu.ops.linear import init_linear, linear
+from mlx_video_tpu.ops.norms import rms_norm
+
+PROMPTS_DIR = Path(__file__).parent / "prompts"
+
+
+def load_system_prompt(name: str) -> str:
+    path = PROMPTS_DIR / name
+    if not path.exists():
+        raise FileNotFoundError(f"System prompt not found: {path}")
+    return path.read_text()
+
+
+# ---------------------------------------------------------------------------
+# Hidden-state aggregation (reference: text_encoder.py:591-649)
+# ---------------------------------------------------------------------------
+
+
+def norm_and_concat_hidden_states(
+    hidden_states: List[jax.Array],
+    attention_mask: jax.Array,
+    padding_side: str = "left",
+) -> jax.Array:
+    """Stack 49 states, per-state masked mean/range normalize (x8), concat
+    along features, zero padded positions. Returns (B, T, 49*D)."""
+    stacked = jnp.stack(hidden_states, axis=-1).astype(jnp.float32)  # (B,T,D,L)
+    b, t, d, num_layers = stacked.shape
+
+    seq_lengths = jnp.sum(attention_mask, axis=-1)  # (B,)
+    token_idx = jnp.arange(t)[None, :]
+    if padding_side == "right":
+        mask = token_idx < seq_lengths[:, None]
+    else:
+        mask = token_idx >= (t - seq_lengths[:, None])
+    mask4 = mask[:, :, None, None]
+
+    eps = 1e-6
+    masked = jnp.where(mask4, stacked, 0.0)
+    denom = (seq_lengths * d).reshape(b, 1, 1, 1).astype(jnp.float32)
+    mean = jnp.sum(masked, axis=(1, 2), keepdims=True) / (denom + eps)
+
+    x_min = jnp.min(jnp.where(mask4, stacked, jnp.inf), axis=(1, 2), keepdims=True)
+    x_max = jnp.max(jnp.where(mask4, stacked, -jnp.inf), axis=(1, 2), keepdims=True)
+    normed = 8.0 * (stacked - mean) / (x_max - x_min + eps)
+
+    normed = normed.reshape(b, t, d * num_layers)
+    return jnp.where(mask[:, :, None], normed, 0.0)
+
+
+def init_feature_extractor(key: jax.Array, input_dim: int, output_dim: int, dtype=jnp.bfloat16):
+    return {"aggregate_embed": init_linear(key, input_dim, output_dim, bias=False, dtype=dtype)}
+
+
+def feature_extractor_apply(params: dict, x: jax.Array) -> jax.Array:
+    return linear(params["aggregate_embed"], x)
+
+
+# ---------------------------------------------------------------------------
+# Connector transformer (reference: text_encoder.py:271-587)
+# ---------------------------------------------------------------------------
+
+
+def _connector_rope(seq_len: int, num_heads: int, head_dim: int, max_pos: int = 4096, theta: float = 10000.0):
+    """Split-RoPE tables (1, H, T, D/2) over absolute positions
+    (reference: text_encoder.py:455-508)."""
+    dim = num_heads * head_dim
+    num_indices = dim // 2
+    lin = np.linspace(0.0, 1.0, num_indices, dtype=np.float64)
+    indices = np.power(theta, lin) * (np.pi / 2)
+    positions = np.arange(seq_len, dtype=np.float64)
+    scaled = (positions / max_pos) * 2 - 1
+    freqs = scaled[:, None] * indices[None, :]  # (T, dim/2)
+    cos = np.cos(freqs).reshape(seq_len, num_heads, head_dim // 2).transpose(1, 0, 2)[None]
+    sin = np.sin(freqs).reshape(seq_len, num_heads, head_dim // 2).transpose(1, 0, 2)[None]
+    return jnp.asarray(cos.astype(np.float32)), jnp.asarray(sin.astype(np.float32))
+
+
+def _apply_split_rope_heads(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """(B, H, T, D) half-dim rotation (reference: text_encoder.py:329-363)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    half = xf.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(dtype)
+
+
+def init_connector_block(key: jax.Array, dim: int, num_heads: int, head_dim: int, dtype=jnp.bfloat16):
+    inner = num_heads * head_dim
+    ks = jax.random.split(key, 6)
+    return {
+        "attn1": {
+            "to_q": init_linear(ks[0], dim, inner, dtype=dtype),
+            "to_k": init_linear(ks[1], dim, inner, dtype=dtype),
+            "to_v": init_linear(ks[2], dim, inner, dtype=dtype),
+            "to_out": init_linear(ks[3], inner, dim, dtype=dtype),
+            "q_norm": {"weight": jnp.ones((inner,), dtype)},
+            "k_norm": {"weight": jnp.ones((inner,), dtype)},
+        },
+        "ff": {
+            "proj_in": init_linear(ks[4], dim, 4 * dim, dtype=dtype),
+            "proj_out": init_linear(ks[5], 4 * dim, dim, dtype=dtype),
+        },
+    }
+
+
+def connector_block_apply(
+    params: dict, x: jax.Array, pe, num_heads: int, head_dim: int
+) -> jax.Array:
+    """Pre-norm attn (full-inner q/k RMSNorm + split RoPE) + pre-norm GELU FF
+    (reference: text_encoder.py:394-423)."""
+    b, t, _ = x.shape
+    h = rms_norm(x)
+    a = params["attn1"]
+    q = rms_norm(linear(a["to_q"], h), a["q_norm"]["weight"])
+    k = rms_norm(linear(a["to_k"], h), a["k_norm"]["weight"])
+    v = linear(a["to_v"], h)
+    q = q.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+    q = _apply_split_rope_heads(q, *pe)
+    k = _apply_split_rope_heads(k, *pe)
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        scale=head_dim**-0.5,
+    )
+    out = out.reshape(b, t, num_heads * head_dim)
+    x = x + linear(a["to_out"], out)
+
+    h = rms_norm(x)
+    ff = params["ff"]
+    x = x + linear(ff["proj_out"], jax.nn.gelu(linear(ff["proj_in"], h), approximate=False))
+    return x
+
+
+def init_connector(
+    key: jax.Array,
+    dim: int = 3840,
+    num_heads: int = 30,
+    head_dim: int = 128,
+    num_layers: int = 2,
+    num_registers: int = 128,
+    dtype=jnp.bfloat16,
+):
+    ks = jax.random.split(key, num_layers + 1)
+    return {
+        "transformer_1d_blocks": {
+            str(i): init_connector_block(ks[i], dim, num_heads, head_dim, dtype)
+            for i in range(num_layers)
+        },
+        "learnable_registers": jnp.zeros((num_registers, dim), dtype=dtype),
+    }
+
+
+def replace_padding_with_registers(
+    hidden_states: jax.Array, attention_mask: jax.Array, registers: jax.Array
+) -> jax.Array:
+    """Shift left-padded valid tokens to the front and fill the tail with
+    tiled learnable registers (reference: text_encoder.py:510-563).
+
+    attention_mask: (B, T) 1/0. Vectorized via gather: output position j takes
+    input token at (pad_len + j) while j < num_valid, else register j.
+    """
+    b, t, d = hidden_states.shape
+    dtype = hidden_states.dtype
+    num_valid = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)  # (B,)
+    pad_len = t - num_valid
+
+    j = jnp.arange(t)[None, :]  # (1, T)
+    src_idx = jnp.clip(pad_len[:, None] + j, 0, t - 1)  # (B, T)
+    shifted = jnp.take_along_axis(hidden_states, src_idx[..., None], axis=1)
+
+    num_tiles = -(-t // registers.shape[0])
+    reg_tiled = jnp.tile(registers, (num_tiles, 1))[:t].astype(dtype)  # (T, D)
+
+    valid = (j < num_valid[:, None])[..., None]
+    return jnp.where(valid, shifted, reg_tiled[None])
+
+
+def connector_apply(
+    params: dict,
+    hidden_states: jax.Array,
+    attention_mask: Optional[jax.Array],
+    num_heads: int = 30,
+    head_dim: int = 128,
+    max_pos: int = 4096,
+) -> jax.Array:
+    """Register replacement -> 2 blocks -> final rms_norm
+    (reference: text_encoder.py:565-587)."""
+    if attention_mask is not None and "learnable_registers" in params:
+        hidden_states = replace_padding_with_registers(
+            hidden_states, attention_mask, params["learnable_registers"]
+        )
+    t = hidden_states.shape[1]
+    pe = _connector_rope(t, num_heads, head_dim, max_pos)
+    for i in sorted(params["transformer_1d_blocks"], key=int):
+        hidden_states = connector_block_apply(
+            params["transformer_1d_blocks"][i], hidden_states, pe, num_heads, head_dim
+        )
+    return rms_norm(hidden_states)
+
+
+# ---------------------------------------------------------------------------
+# Full text encoder
+# ---------------------------------------------------------------------------
+
+
+def init_text_encoder_params(
+    key: jax.Array,
+    gemma_config: Gemma3TextConfig,
+    hidden_dim: int = 3840,
+    num_states: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    init_gemma: bool = True,
+) -> dict:
+    from mlx_video_tpu.models.gemma3 import init_gemma3_params
+
+    if num_states is None:
+        num_states = gemma_config.num_hidden_layers + 1
+    ks = jax.random.split(key, 4)
+    params = {
+        "feature_extractor": init_feature_extractor(ks[0], hidden_dim * num_states, hidden_dim, dtype),
+        "video_embeddings_connector": init_connector(ks[1], hidden_dim, dtype=dtype),
+        "audio_embeddings_connector": init_connector(ks[2], hidden_dim, dtype=dtype),
+    }
+    if init_gemma:
+        params["language_model"] = init_gemma3_params(ks[3], gemma_config, dtype=dtype)
+    return params
+
+
+def encode_tokens(
+    params: dict,
+    gemma_config: Gemma3TextConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    return_audio_embeddings: bool = True,
+    num_heads: int = 30,
+    head_dim: int = 128,
+):
+    """Token IDs -> (video_embeddings, audio_embeddings | attention_mask)
+    (reference: text_encoder.py:908-954)."""
+    states = gemma3_hidden_states(
+        params["language_model"], gemma_config, input_ids, attention_mask
+    )
+    concat = norm_and_concat_hidden_states(states, attention_mask, padding_side="left")
+    features = feature_extractor_apply(params["feature_extractor"], concat.astype(states[0].dtype))
+
+    video = connector_apply(
+        params["video_embeddings_connector"], features, attention_mask, num_heads, head_dim
+    )
+    if not return_audio_embeddings:
+        return video, attention_mask
+    audio = connector_apply(
+        params["audio_embeddings_connector"], features, attention_mask, num_heads, head_dim
+    )
+    return video, audio
+
+
+class LTX2TextEncoder:
+    """Tokenizer + Gemma + connectors orchestration
+    (reference: text_encoder.py:666-1170)."""
+
+    def __init__(
+        self,
+        params: dict,
+        gemma_config: Gemma3TextConfig,
+        tokenizer=None,
+        max_length: int = 1024,
+    ):
+        self.params = params
+        self.gemma_config = gemma_config
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self._encode_jit = jax.jit(
+            lambda p, ids, mask: encode_tokens(p, gemma_config, ids, mask, True)
+        )
+
+    @classmethod
+    def load(cls, model_path, text_encoder_path, max_length: int = 1024, dtype=jnp.bfloat16):
+        """Load Gemma weights + connector weights from local snapshots
+        (layout spec: reference text_encoder.py:709-906)."""
+        import json
+
+        from mlx_video_tpu.io.text_encoder_weights import (
+            load_connector_weights,
+            load_gemma_weights,
+        )
+
+        te_path = Path(text_encoder_path)
+        if (te_path / "text_encoder").is_dir():
+            te_path = te_path / "text_encoder"
+        config_file = te_path / "config.json"
+        gemma_config = Gemma3TextConfig.from_dict(json.loads(config_file.read_text()))
+
+        params = init_text_encoder_params(
+            jax.random.key(0), gemma_config, dtype=dtype, init_gemma=False
+        )
+        params["language_model"] = load_gemma_weights(te_path, gemma_config, dtype=dtype)
+        load_connector_weights(params, Path(model_path), dtype=dtype)
+
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            for cand in (te_path, Path(model_path) / "tokenizer"):
+                if (cand / "tokenizer.json").exists() or (cand / "tokenizer.model").exists():
+                    tokenizer = AutoTokenizer.from_pretrained(str(cand), trust_remote_code=True)
+                    break
+        except Exception:
+            tokenizer = None
+        if tokenizer is not None:
+            tokenizer.padding_side = "left"
+        return cls(params, gemma_config, tokenizer, max_length)
+
+    def tokenize(self, prompt: str):
+        if self.tokenizer is None:
+            raise RuntimeError("Tokenizer not loaded")
+        enc = self.tokenizer(
+            prompt,
+            return_tensors="np",
+            max_length=self.max_length,
+            truncation=True,
+            padding="max_length",
+        )
+        return enc["input_ids"], enc["attention_mask"]
+
+    def encode(self, prompt: str) -> Tuple[jax.Array, jax.Array]:
+        ids, mask = self.tokenize(prompt)
+        return self._encode_jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
+
+    __call__ = encode
+
+    # -- prompt enhancement (reference: text_encoder.py:1023-1170) ---------
+
+    def _chat(self, system_prompt: str, user_text: str, max_new_tokens: int, **kw) -> str:
+        if self.tokenizer is None:
+            raise RuntimeError("Tokenizer not loaded")
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "user", "content": user_text},
+        ]
+        ids = self.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True, return_tensors="np"
+        )
+        eos_ids = tuple(
+            t for t in (self.tokenizer.eos_token_id,
+                        self.tokenizer.convert_tokens_to_ids("<end_of_turn>"))
+            if isinstance(t, int) and t >= 0
+        ) or (1,)
+        tokens = gemma_generate(
+            self.params["language_model"], self.gemma_config, np.asarray(ids),
+            max_new_tokens=max_new_tokens,
+            temperature=kw.get("temperature", 0.7),
+            top_p=kw.get("top_p", 1.0),
+            eos_token_ids=eos_ids,
+        )
+        return self.tokenizer.decode(tokens).strip()
+
+    def enhance_t2v(self, prompt: str, max_new_tokens: int = 512, **kw) -> str:
+        system = kw.pop("system_prompt", None) or load_system_prompt("gemma_t2v_system_prompt.txt")
+        out = self._chat(system, prompt, max_new_tokens, **kw)
+        return out or prompt
+
+    def enhance_i2v(self, prompt: str, max_new_tokens: int = 512, **kw) -> str:
+        system = kw.pop("system_prompt", None) or load_system_prompt("gemma_i2v_system_prompt.txt")
+        out = self._chat(system, prompt, max_new_tokens, **kw)
+        return out or prompt
+
+    def enhance_negative(self, prompt: str, negative: str = "", max_new_tokens: int = 256, **kw) -> str:
+        system = load_system_prompt("gemma_t2v_negative_system_prompt.txt")
+        user = f"Prompt: {prompt}\nExisting negative prompt: {negative}"
+        out = self._chat(system, user, max_new_tokens, **kw)
+        return out or negative

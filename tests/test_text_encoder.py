@@ -1,0 +1,248 @@
+"""Text encoder tests: Gemma-3 vs transformers oracle, connectors, aggregation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.models.gemma3 import (
+    Gemma3TextConfig,
+    gemma3_hidden_states,
+    gemma3_logits,
+    generate,
+    init_gemma3_params,
+)
+from mlx_video_tpu.models.ltx.text_encoder import (
+    connector_apply,
+    encode_tokens,
+    init_connector,
+    init_text_encoder_params,
+    load_system_prompt,
+    norm_and_concat_hidden_states,
+    replace_padding_with_registers,
+)
+
+TINY = Gemma3TextConfig(
+    vocab_size=256,
+    hidden_size=32,
+    num_hidden_layers=4,
+    num_attention_heads=2,
+    num_key_value_heads=1,
+    head_dim=16,
+    intermediate_size=64,
+    sliding_window=4,
+    sliding_window_pattern=2,
+    query_pre_attn_scalar=16.0,
+)
+
+
+def _torch_gemma_and_params():
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3TextConfig as HFConfig
+    from transformers import Gemma3TextModel
+
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        num_attention_heads=TINY.num_attention_heads,
+        num_key_value_heads=TINY.num_key_value_heads,
+        head_dim=TINY.head_dim,
+        intermediate_size=TINY.intermediate_size,
+        rope_theta=TINY.rope_theta,
+        rope_local_base_freq=TINY.rope_local_base_freq,
+        sliding_window=TINY.sliding_window,
+        sliding_window_pattern=TINY.sliding_window_pattern,
+        query_pre_attn_scalar=TINY.query_pre_attn_scalar,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = Gemma3TextModel(hf_cfg).eval()
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    lin = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+
+    def layer_leaf(sub):
+        parts = sub.split(".")
+        mats = []
+        for i in range(TINY.num_hidden_layers):
+            arr = sd[f"layers.{i}.{sub}"]
+            if parts[-1] == "weight" and parts[-2] in lin:
+                arr = arr.T
+            mats.append(arr.astype(np.float32))
+        return jnp.asarray(np.stack(mats, 0))
+
+    params = {
+        "embed_tokens": {"weight": jnp.asarray(sd["embed_tokens.weight"].astype(np.float32))},
+        "norm": {"weight": jnp.asarray(sd["norm.weight"].astype(np.float32))},
+        "layers": {
+            "input_layernorm": {"weight": layer_leaf("input_layernorm.weight")},
+            "post_attention_layernorm": {"weight": layer_leaf("post_attention_layernorm.weight")},
+            "pre_feedforward_layernorm": {"weight": layer_leaf("pre_feedforward_layernorm.weight")},
+            "post_feedforward_layernorm": {"weight": layer_leaf("post_feedforward_layernorm.weight")},
+            "self_attn": {
+                "q_proj": {"weight": layer_leaf("self_attn.q_proj.weight")},
+                "k_proj": {"weight": layer_leaf("self_attn.k_proj.weight")},
+                "v_proj": {"weight": layer_leaf("self_attn.v_proj.weight")},
+                "o_proj": {"weight": layer_leaf("self_attn.o_proj.weight")},
+                "q_norm": {"weight": layer_leaf("self_attn.q_norm.weight")},
+                "k_norm": {"weight": layer_leaf("self_attn.k_norm.weight")},
+            },
+            "mlp": {
+                "gate_proj": {"weight": layer_leaf("mlp.gate_proj.weight")},
+                "up_proj": {"weight": layer_leaf("mlp.up_proj.weight")},
+                "down_proj": {"weight": layer_leaf("mlp.down_proj.weight")},
+            },
+        },
+    }
+    return torch, model, params
+
+
+class TestGemma3Oracle:
+    def test_hidden_states_match_transformers(self):
+        torch, model, params = _torch_gemma_and_params()
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, TINY.vocab_size, size=(2, 10))
+        mask = np.ones((2, 10), dtype=np.int64)
+        mask[1, :3] = 0  # left padding
+
+        with torch.no_grad():
+            out = model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                output_hidden_states=True,
+            )
+        ref_states = [h.numpy() for h in out.hidden_states]
+
+        states = gemma3_hidden_states(params, TINY, jnp.asarray(ids), jnp.asarray(mask))
+        assert len(states) == TINY.num_hidden_layers + 1
+        # valid (unpadded) positions must match the HF reference closely
+        valid = mask.astype(bool)
+        # embeddings
+        np.testing.assert_allclose(
+            np.asarray(states[0])[valid], ref_states[0][valid], atol=2e-4, rtol=1e-3
+        )
+        # intermediate layers (ours excludes the last layer's raw output)
+        for i in range(1, TINY.num_hidden_layers):
+            np.testing.assert_allclose(
+                np.asarray(states[i])[valid], ref_states[i][valid], atol=5e-4, rtol=1e-2,
+                err_msg=f"layer {i}",
+            )
+        # final normed state
+        np.testing.assert_allclose(
+            np.asarray(states[-1])[valid], out.last_hidden_state.numpy()[valid],
+            atol=1e-3, rtol=1e-2,
+        )
+
+    def test_global_vs_local_layers(self):
+        assert not TINY.is_global_layer(0)
+        assert TINY.is_global_layer(1)
+        full = Gemma3TextConfig()
+        assert full.is_global_layer(5) and not full.is_global_layer(4)
+
+    def test_cached_generation_matches_uncached(self):
+        """KV-cached stepwise logits == full forward logits (greedy path)."""
+        params = init_gemma3_params(jax.random.key(0), TINY, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, TINY.vocab_size, size=(1, 6))
+        full_logits, _ = gemma3_logits(params, TINY, jnp.asarray(ids))
+
+        from mlx_video_tpu.models.gemma3 import init_kv_caches
+
+        caches = init_kv_caches(TINY, 1, 6, dtype=jnp.float32)
+        mask = np.zeros((1, 6), np.int32)
+        step_logits = []
+        for t in range(6):
+            mask[:, t] = 1
+            lg, caches = gemma3_logits(
+                params, TINY, jnp.asarray(ids[:, t : t + 1]), jnp.asarray(mask),
+                caches, position_offset=t,
+            )
+            step_logits.append(np.asarray(lg[:, 0]))
+        np.testing.assert_allclose(
+            np.stack(step_logits, 1), np.asarray(full_logits), atol=2e-3, rtol=1e-2
+        )
+
+    def test_generate_greedy_smoke(self):
+        params = init_gemma3_params(jax.random.key(0), TINY, dtype=jnp.float32)
+        tokens = generate(
+            params, TINY, np.asarray([[5, 6, 7]]), max_new_tokens=4,
+            temperature=0.0, eos_token_ids=(255,),
+        )
+        assert 0 < len(tokens) <= 4
+        assert all(0 <= t < TINY.vocab_size for t in tokens)
+
+
+class TestAggregation:
+    def test_norm_and_concat_oracle(self, rng):
+        b, t, d, L = 2, 6, 4, 3
+        states = [jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32)) for _ in range(L)]
+        mask = np.ones((b, t), dtype=np.int64)
+        mask[0, :2] = 0  # left pad
+        out = np.asarray(norm_and_concat_hidden_states(states, jnp.asarray(mask)))
+        assert out.shape == (b, t, d * L)
+        # padded positions zeroed
+        np.testing.assert_array_equal(out[0, :2], 0.0)
+        # oracle for batch 1 (no padding): 8*(x-mean)/range per layer
+        stacked = np.stack([np.asarray(s)[1] for s in states], -1)
+        mean = stacked.mean(axis=(0, 1), keepdims=True)
+        rng_val = stacked.max(axis=(0, 1), keepdims=True) - stacked.min(axis=(0, 1), keepdims=True)
+        expected = (8 * (stacked - mean) / (rng_val + 1e-6)).reshape(t, d * L)
+        np.testing.assert_allclose(out[1], expected, atol=1e-4)
+
+
+class TestConnector:
+    def test_register_replacement(self, rng):
+        b, t, d = 2, 8, 4
+        hs = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        mask = np.ones((b, t), np.int32)
+        mask[0, :3] = 0  # 3 left-pad tokens
+        regs = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+        out = np.asarray(replace_padding_with_registers(hs, jnp.asarray(mask), regs))
+        # valid tokens shifted to front
+        np.testing.assert_allclose(out[0, :5], np.asarray(hs)[0, 3:])
+        # tail filled with tiled registers (positions 5,6,7 -> regs 5%4..)
+        np.testing.assert_allclose(out[0, 5:], np.asarray(regs)[[1, 2, 3]])
+        # unpadded row unchanged
+        np.testing.assert_allclose(out[1], np.asarray(hs)[1])
+
+    def test_connector_shapes(self, rng):
+        params = init_connector(jax.random.key(0), dim=32, num_heads=2, head_dim=16,
+                                num_layers=2, num_registers=4, dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 32)).astype(np.float32))
+        mask = jnp.ones((1, 8), dtype=jnp.int32)
+        out = connector_apply(params, x, mask, num_heads=2, head_dim=16)
+        assert out.shape == (1, 8, 32)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestEncodeTokens:
+    def test_shapes(self):
+        params = init_text_encoder_params(
+            jax.random.key(0), TINY, hidden_dim=TINY.hidden_size, dtype=jnp.float32
+        )
+        # adjust connectors to tiny geometry
+        for i, name in enumerate(("video_embeddings_connector", "audio_embeddings_connector")):
+            params[name] = init_connector(
+                jax.random.key(10 + i), dim=TINY.hidden_size, num_heads=2, head_dim=16,
+                num_layers=2, num_registers=4, dtype=jnp.float32,
+            )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, TINY.vocab_size, size=(1, 8)))
+        mask = jnp.asarray(np.concatenate([np.zeros((1, 2), np.int32), np.ones((1, 6), np.int32)], 1))
+        video, audio = encode_tokens(params, TINY, ids, mask, num_heads=2, head_dim=16)
+        assert video.shape == (1, 8, TINY.hidden_size)
+        assert audio.shape == (1, 8, TINY.hidden_size)
+        assert np.all(np.isfinite(np.asarray(video)))
+        assert not np.allclose(np.asarray(video), np.asarray(audio))
+
+
+class TestPrompts:
+    def test_system_prompts_exist(self):
+        for name in (
+            "gemma_t2v_system_prompt.txt",
+            "gemma_i2v_system_prompt.txt",
+            "gemma_t2v_negative_system_prompt.txt",
+        ):
+            text = load_system_prompt(name)
+            assert len(text) > 100
