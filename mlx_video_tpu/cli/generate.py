@@ -1,0 +1,231 @@
+"""``python -m mlx_video_tpu.cli.generate`` — text/image-to-video CLI.
+
+Flag surface mirrors the reference CLI table (reference: README.md:118-146,
+mlx_video/generate.py:4200-4762), with TPU-specific additions:
+``--embeddings`` (precomputed text embeddings safetensors) and ``--mesh``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _cond_arg(values):
+    """PATH [FRAME_IDX] [STRENGTH] repeatable argument."""
+    path = values[0]
+    frame_idx = int(values[1]) if len(values) > 1 else 0
+    strength = float(values[2]) if len(values) > 2 else 1.0
+    return (path, frame_idx, strength)
+
+
+def slugify(text: str, max_len: int = 80) -> str:
+    """(reference: generate.py:372-379)."""
+    text = re.sub(r"[^a-z0-9]+", "-", text.strip().lower()).strip("-")
+    return (text or "video")[:max_len].strip("-")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LTX-2 video generation (TPU)")
+    p.add_argument("--prompt", "-p", required=True)
+    p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--height", "-H", type=int, default=512)
+    p.add_argument("--width", "-W", type=int, default=512)
+    p.add_argument("--num-frames", "-n", type=int, default=33)
+    p.add_argument("--seed", "-s", type=int, default=42)
+    p.add_argument("--fps", "--frame-rate", type=float, default=24.0)
+    p.add_argument("--output-path", "--output", "-o", default="output.mp4")
+    p.add_argument("--auto-output-name", action="store_true")
+    p.add_argument("--save-frames", action="store_true")
+    p.add_argument("--model-repo", default="Lightricks/LTX-2")
+    p.add_argument("--pipeline", default="distilled",
+                   choices=["distilled", "dev", "keyframe", "ic_lora"])
+    p.add_argument("--steps", "--num-inference-steps", type=int, default=40, dest="steps")
+    p.add_argument("--stage1-steps", type=int, default=8)
+    p.add_argument("--stage2-steps", type=int, default=3)
+    p.add_argument("--sigma-subsample", default="farthest", choices=["uniform", "farthest"])
+    p.add_argument("--cfg-scale", "--cfg-guidance-scale", "--guidance-scale",
+                   type=float, default=4.0, dest="cfg_scale")
+    p.add_argument("--stage2-dev", action="store_true")
+    p.add_argument("--stage2-model-repo", default=None)
+    p.add_argument("--image", action="append", nargs="+", default=[])
+    p.add_argument("--video-conditioning", action="append", nargs="+", default=[])
+    p.add_argument("--conditioning-mode", default="replace", choices=["replace", "guide"])
+    p.add_argument("--lora", "--lora-path", action="append", default=[], dest="lora")
+    p.add_argument("--lora-strength", type=float, default=1.0)
+    p.add_argument("--distilled-lora", action="append", default=[])
+    p.add_argument("--audio", action="store_true")
+    p.add_argument("--audio-mode", default="auto", choices=["auto", "joint", "separate"])
+    p.add_argument("--output-audio", default=None)
+    p.add_argument("--enhance-prompt", action="store_true")
+    p.add_argument("--stream", action="store_true")
+    p.add_argument("--tiling", default="auto",
+                   choices=["auto", "none", "default", "aggressive", "conservative",
+                            "spatial", "temporal"])
+    p.add_argument("--video-encoder", default="ffmpeg", choices=["ffmpeg", "cv2"])
+    p.add_argument("--checkpoint-path", "--checkpoint", default=None, dest="checkpoint_path")
+    p.add_argument("--gemma-root", "--text-encoder-path", default=None, dest="text_encoder_path")
+    p.add_argument("--embeddings", default=None,
+                   help="Precomputed text embeddings safetensors "
+                        "(video[_neg]/audio[_neg] keys); skips the text encoder")
+    p.add_argument("--latents-only", action="store_true")
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--profile-json-path", default=None)
+    p.add_argument("--trace-dir", default=None, help="jax.profiler trace output dir")
+    p.add_argument("--quantize-bits", type=int, default=None, choices=[4, 8],
+                   help="Runtime-quantize the transformer")
+    # PT-parity no-ops (reference: generate.py CLI)
+    p.add_argument("--stg-scale", type=float, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--enable-fp8", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def load_embeddings(path: str):
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.io.safetensors import SafetensorsReader
+    from mlx_video_tpu.pipelines.generate import TextConditioning
+
+    with SafetensorsReader(path) as r:
+        def get(name):
+            if name in r:
+                arr = np.asarray(r.get(name))
+                return jnp.asarray(arr[None] if arr.ndim == 2 else arr)
+            return None
+
+        return TextConditioning(
+            video_embeddings=get("video") if "video" in r else get("video_prompt_embeds"),
+            video_neg_embeddings=get("video_neg"),
+            audio_embeddings=get("audio") or get("audio_prompt_embeds"),
+            audio_neg_embeddings=get("audio_neg"),
+        )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.lora import LoraSpec, merge_lora_into_params
+    from mlx_video_tpu.pipelines.generate import PipelineType, TextConditioning, generate_video
+    from mlx_video_tpu.utils.hub import get_model_path
+    from mlx_video_tpu.utils.profiling import tpu_trace
+
+    pipeline = PipelineType(args.pipeline)
+    model_path = get_model_path(args.checkpoint_path or args.model_repo)
+
+    from mlx_video_tpu.loading import load_model_bundle
+
+    repo_l = str(args.model_repo).lower()
+    bits_hint = None
+    if any(x in repo_l for x in ("8bit", "q8", "int8")):
+        bits_hint = "8bit"
+    elif any(x in repo_l for x in ("4bit", "q4", "int4")):
+        bits_hint = "4bit"
+
+    models = load_model_bundle(
+        model_path,
+        pipeline=pipeline,
+        audio=args.audio,
+        bits_hint=bits_hint,
+        stage2_path=get_model_path(args.stage2_model_repo) if args.stage2_model_repo else None,
+        load_encoder=bool(args.image or args.video_conditioning),
+    )
+
+    if args.lora:
+        specs = [LoraSpec(Path(p), args.lora_strength) for p in args.lora]
+        models.transformer_params = merge_lora_into_params(
+            models.transformer_params, specs, verbose=True
+        )
+    if args.quantize_bits:
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        models.transformer_params = quantize_dit_params(
+            models.transformer_params, bits=args.quantize_bits
+        )
+
+    prompt = args.prompt
+    if args.embeddings:
+        text = load_embeddings(args.embeddings)
+    else:
+        from mlx_video_tpu.models.ltx.text_encoder import LTX2TextEncoder
+        from mlx_video_tpu.pipelines.schedulers import (  # noqa: F401 (negative default)
+            cfg_delta,
+        )
+
+        encoder = LTX2TextEncoder.load(
+            model_path, args.text_encoder_path or model_path, dtype=jnp.bfloat16
+        )
+        if args.enhance_prompt:
+            prompt = encoder.enhance_i2v(prompt) if args.image else encoder.enhance_t2v(prompt)
+            print(f"Enhanced prompt: {prompt}")
+        video_emb, audio_emb = encoder.encode(prompt)
+        neg = args.negative_prompt
+        if neg is None and (pipeline == PipelineType.DEV or args.stage2_dev):
+            from mlx_video_tpu.pipelines.prompts import DEFAULT_NEGATIVE_PROMPT
+
+            neg = DEFAULT_NEGATIVE_PROMPT
+        video_neg = audio_neg = None
+        if neg:
+            video_neg, audio_neg = encoder.encode(neg)
+        text = TextConditioning(
+            video_embeddings=video_emb,
+            video_neg_embeddings=video_neg,
+            audio_embeddings=audio_emb,
+            audio_neg_embeddings=audio_neg,
+        )
+
+    output_path = Path(args.output_path)
+    if args.auto_output_name:
+        output_path = output_path.parent / f"{slugify(prompt)}.mp4"
+
+    with tpu_trace(args.trace_dir):
+        result = generate_video(
+            models,
+            text,
+            prompt=prompt,
+            height=args.height,
+            width=args.width,
+            num_frames=args.num_frames,
+            fps=args.fps,
+            seed=args.seed,
+            pipeline=pipeline,
+            stage1_steps=args.stage1_steps,
+            stage2_steps=args.stage2_steps,
+            sigma_subsample=args.sigma_subsample,
+            stage2_cfg=args.stage2_dev,
+            cfg_scale=args.cfg_scale,
+            num_inference_steps=args.steps,
+            images=[_cond_arg(v) for v in args.image],
+            video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
+            audio=args.audio,
+            audio_mode=args.audio_mode,
+            output_path=None if args.latents_only else output_path,
+            tiling=args.tiling,
+            stream=args.stream,
+            video_encoder=args.video_encoder,
+            decode_latents_only=args.latents_only,
+            profile=args.profile,
+        )
+
+    if args.save_frames and result.video is not None:
+        from mlx_video_tpu.io.media import frames_to_uint8
+        from PIL import Image
+
+        frames_dir = output_path.with_suffix("")
+        frames_dir.mkdir(parents=True, exist_ok=True)
+        for i, frame in enumerate(frames_to_uint8(result.video)):
+            Image.fromarray(frame).save(frames_dir / f"frame_{i:05d}.png")
+
+    if args.profile_json_path and result.phase_timer is not None:
+        result.phase_timer.dump_json(args.profile_json_path)
+    if result.video_path is not None:
+        print(f"Saved video to {result.video_path}")
+
+
+if __name__ == "__main__":
+    main()

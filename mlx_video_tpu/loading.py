@@ -1,0 +1,139 @@
+"""Model-bundle loading: resolve weight files and build all components.
+
+Behavioral spec: reference mlx_video/generate.py:2548-2766 (weight-file
+resolution with bits hints, unified ``model.safetensors`` bundle subsets,
+per-subsystem fallbacks) and the per-subsystem loaders referenced in
+io/vae_weights.py. All weights load once and stay resident (TPU design
+note in pipelines/generate.py).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType, VideoVAEConfig
+from mlx_video_tpu.io import vae_weights
+from mlx_video_tpu.io.safetensors import read_metadata, scan_keys
+from mlx_video_tpu.io.weights import load_dit_params
+from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+    AudioVAEConfig,
+    init_audio_decoder,
+    init_audio_encoder,
+)
+from mlx_video_tpu.models.ltx.audio_vae.vocoder import VocoderConfig, init_vocoder
+from mlx_video_tpu.models.ltx.upsampler import init_latent_upsampler
+from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder
+from mlx_video_tpu.pipelines.generate import ModelBundle, PipelineType
+
+
+def resolve_transformer_file(
+    model_path: Path, kind: str, bits_hint: Optional[str] = None
+) -> Path:
+    """ltx-2-19b-{kind}[-bits][-mlx].safetensors candidates
+    (reference: generate.py:3253-3265)."""
+    candidates: List[Path] = []
+    if bits_hint:
+        candidates.append(model_path / f"ltx-2-19b-{kind}-{bits_hint}-mlx.safetensors")
+    candidates.append(model_path / f"ltx-2-19b-{kind}-mlx.safetensors")
+    candidates.append(model_path / f"ltx-2-19b-{kind}.safetensors")
+    for c in candidates:
+        if c.exists():
+            return c
+    raise FileNotFoundError(
+        f"Transformer weights not found under {model_path} (tried {[c.name for c in candidates]})"
+    )
+
+
+def resolve_vae_file(model_path: Path) -> Path:
+    """(reference: decoder.py:600-615)."""
+    for candidate in (
+        model_path / "vae" / "diffusion_pytorch_model.safetensors",
+        model_path / "ltx-2-19b-dev.safetensors",
+        model_path / "ltx-2-19b-distilled.safetensors",
+    ):
+        if candidate.exists():
+            return candidate
+    raise FileNotFoundError(f"VAE weights not found under {model_path}")
+
+
+def model_config_for(pipeline: PipelineType, audio: bool) -> LTXModelConfig:
+    return LTXModelConfig(
+        model_type=LTXModelType.AudioVideo if audio else LTXModelType.VideoOnly,
+        rope_type=LTXRopeType.SPLIT,
+        double_precision_rope=True,
+    )
+
+
+def load_model_bundle(
+    model_path: Path,
+    pipeline: PipelineType = PipelineType.DISTILLED,
+    audio: bool = False,
+    dtype=jnp.bfloat16,
+    bits_hint: Optional[str] = None,
+    stage2_path: Optional[Path] = None,
+    load_encoder: bool = True,
+) -> ModelBundle:
+    """Load every component present in a reference-layout snapshot."""
+    model_path = Path(model_path)
+    kind = "dev" if pipeline == PipelineType.DEV else "distilled"
+    config = model_config_for(pipeline, audio)
+
+    tf_file = resolve_transformer_file(model_path, kind, bits_hint)
+    transformer = load_dit_params([tf_file], config, dtype=dtype, strict=False)
+
+    vae_file = resolve_vae_file(model_path)
+    dec_cfg = DecoderConfig()
+    dec_params = init_video_decoder(jax.random.key(0), dec_cfg, dtype=dtype)
+    vae_weights.load_video_decoder_weights(vae_file, dec_params, dtype=dtype)
+
+    enc_params = enc_cfg = None
+    if load_encoder:
+        enc_cfg = VideoVAEConfig()
+        enc_params = init_video_encoder(jax.random.key(0), enc_cfg, dtype=dtype)
+        vae_weights.load_video_encoder_weights(vae_file, enc_params, dtype=dtype)
+
+    ups_params = None
+    ups_file = model_path / "ltx-2-spatial-upscaler-x2-1.0.safetensors"
+    if ups_file.exists():
+        ups_params = init_latent_upsampler(jax.random.key(0), dtype=dtype)
+        vae_weights.load_upsampler_weights(ups_file, ups_params, dtype=dtype)
+
+    audio_dec = audio_dec_cfg = voc_params = voc_cfg = None
+    audio_file = model_path / "audio_vae" / "diffusion_pytorch_model.safetensors"
+    if audio and audio_file.exists():
+        audio_dec_cfg = AudioVAEConfig()
+        audio_dec = init_audio_decoder(jax.random.key(0), audio_dec_cfg, dtype=dtype)
+        vae_weights.load_audio_vae_weights(audio_file, None, audio_dec, dtype=dtype)
+    voc_file = model_path / "vocoder" / "diffusion_pytorch_model.safetensors"
+    if audio and voc_file.exists():
+        voc_cfg = VocoderConfig()
+        voc_params = init_vocoder(jax.random.key(0), voc_cfg, dtype=dtype)
+        vae_weights.load_vocoder_weights(voc_file, voc_params, dtype=dtype)
+
+    stage2 = None
+    if stage2_path is not None:
+        stage2 = load_dit_params(
+            [resolve_transformer_file(Path(stage2_path), kind, bits_hint)],
+            config, dtype=dtype, strict=False,
+        )
+
+    return ModelBundle(
+        transformer_params=transformer,
+        transformer_config=config,
+        vae_decoder_params=dec_params,
+        vae_decoder_config=dec_cfg,
+        vae_encoder_params=enc_params,
+        vae_encoder_config=enc_cfg,
+        upsampler_params=ups_params,
+        stage2_transformer_params=stage2,
+        audio_decoder_params=audio_dec,
+        audio_decoder_config=audio_dec_cfg,
+        vocoder_params=voc_params,
+        vocoder_config=voc_cfg,
+    )

@@ -1,0 +1,247 @@
+"""Latent precompute tool: videos -> latents, prompts -> embeddings.
+
+Behavioral spec: reference mlx_video/mlx_trainer/precompute.py:23-391:
+resolution buckets "WxHxF;..." with nearest-bucket selection (relative
+delta score), frame trim / last-frame pad, scale-and-center-crop, VAE
+encode, text-embedding precompute, optional audio mel latents; output
+layout matches the trainer's PrecomputedDataset directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+Bucket = Tuple[int, int, int]  # (W, H, F)
+
+
+def parse_buckets(spec: str) -> List[Bucket]:
+    """'WxHxF;WxHxF' -> [(W, H, F), ...] (reference: precompute.py:232, 280-289)."""
+    buckets = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        w, h, f = (int(x) for x in part.lower().split("x"))
+        buckets.append((w, h, f))
+    if not buckets:
+        raise ValueError(f"No buckets parsed from {spec!r}")
+    return buckets
+
+
+def bucket_score(frames: int, height: int, width: int, bucket: Bucket) -> float:
+    """Relative-delta distance (reference: precompute.py:62-68)."""
+    w, h, f = bucket
+    return (
+        abs(frames - f) / max(f, 1)
+        + abs(height - h) / max(h, 1)
+        + abs(width - w) / max(w, 1)
+    )
+
+
+def select_bucket(frames: np.ndarray, buckets: List[Bucket]) -> Bucket:
+    """Nearest bucket for an (F, H, W, C) clip (reference: precompute.py:71-82)."""
+    f, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    return min(buckets, key=lambda b: bucket_score(f, h, w, b))
+
+
+def match_frame_count(frames: np.ndarray, target_f: int) -> np.ndarray:
+    """Trim, or pad by repeating the last frame (reference: precompute.py:85-92)."""
+    if frames.shape[0] >= target_f:
+        return frames[:target_f]
+    pad = target_f - frames.shape[0]
+    return np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+
+
+def resize_and_center_crop(frames: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Cover-scale then center crop (reference: precompute.py:95-107)."""
+    if frames.shape[1] == target_h and frames.shape[2] == target_w:
+        return frames
+    import cv2
+
+    h, w = frames.shape[1], frames.shape[2]
+    scale = max(target_w / float(w), target_h / float(h))
+    new_w, new_h = int(round(w * scale)), int(round(h * scale))
+    resized = np.stack(
+        [cv2.resize(f, (new_w, new_h), interpolation=cv2.INTER_AREA) for f in frames]
+    )
+    sx = max((new_w - target_w) // 2, 0)
+    sy = max((new_h - target_h) // 2, 0)
+    return resized[:, sy : sy + target_h, sx : sx + target_w]
+
+
+def fit_to_bucket(frames: np.ndarray, bucket: Bucket) -> np.ndarray:
+    w, h, f = bucket
+    frames = match_frame_count(frames, f)
+    return resize_and_center_crop(frames, h, w)
+
+
+def precompute_dataset(
+    videos: List[Path],
+    output_root: Path,
+    encode_fn: Callable[[np.ndarray], np.ndarray],
+    text_encode_fn: Optional[Callable[[str], Dict[str, np.ndarray]]] = None,
+    prompts: Optional[Dict[str, str]] = None,
+    buckets: Optional[List[Bucket]] = None,
+    audio_encode_fn: Optional[Callable[[Path], Optional[np.ndarray]]] = None,
+    reference_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    fps: float = 24.0,
+) -> int:
+    """Encode clips into the trainer's directory layout
+    (reference: precompute.py:218-391). Returns the number of clips written.
+
+    encode_fn: (1, 3, F, H, W) [-1,1] -> (1, C, f, h, w) latents.
+    text_encode_fn: prompt -> {"video_prompt_embeds", ...}.
+    reference_fn: frames [0,1] -> reference frames (e.g. edge maps) for
+    IC-LoRA training.
+    """
+    from mlx_video_tpu.io.media import load_video
+    from mlx_video_tpu.io.safetensors import save_safetensors
+
+    out = Path(output_root)
+    (out / "latents").mkdir(parents=True, exist_ok=True)
+    (out / "conditions").mkdir(exist_ok=True)
+    if audio_encode_fn is not None:
+        (out / "audio_latents").mkdir(exist_ok=True)
+    if reference_fn is not None:
+        (out / "reference_latents").mkdir(exist_ok=True)
+
+    count = 0
+    for video_path in videos:
+        frames = load_video(video_path)  # (F, H, W, 3) in [0, 1]
+        if buckets:
+            frames = fit_to_bucket(frames, select_bucket(frames, buckets))
+        # enforce 1 + 8k frames
+        f = frames.shape[0]
+        valid_f = max(((f - 1) // 8) * 8 + 1, 1)
+        frames = frames[:valid_f]
+
+        tensor = np.transpose(frames * 2.0 - 1.0, (3, 0, 1, 2))[None].astype(np.float32)
+        latents = np.asarray(encode_fn(tensor), dtype=np.float32)[0]
+
+        stem = video_path.stem
+        save_safetensors(
+            out / "latents" / f"latent_{stem}.safetensors",
+            {
+                "latents": latents,
+                "num_frames": np.array([latents.shape[1]], np.int32),
+                "height": np.array([latents.shape[2]], np.int32),
+                "width": np.array([latents.shape[3]], np.int32),
+                "fps": np.array([fps], np.float32),
+            },
+        )
+
+        prompt = (prompts or {}).get(stem, "")
+        if text_encode_fn is not None:
+            cond = {k: np.asarray(v) for k, v in text_encode_fn(prompt).items()}
+        else:
+            cond = {"prompt": np.frombuffer(prompt.encode() or b"\x00", dtype=np.uint8)}
+        save_safetensors(out / "conditions" / f"condition_{stem}.safetensors", cond)
+
+        if audio_encode_fn is not None:
+            audio_lat = audio_encode_fn(video_path)
+            if audio_lat is not None:
+                save_safetensors(
+                    out / "audio_latents" / f"latent_{stem}.safetensors",
+                    {"latents": np.asarray(audio_lat, np.float32)},
+                )
+        if reference_fn is not None:
+            ref_frames = reference_fn(frames)
+            ref_tensor = np.transpose(ref_frames * 2.0 - 1.0, (3, 0, 1, 2))[None].astype(np.float32)
+            ref_lat = np.asarray(encode_fn(ref_tensor), np.float32)[0]
+            save_safetensors(
+                out / "reference_latents" / f"latent_{stem}.safetensors",
+                {
+                    "latents": ref_lat,
+                    "num_frames": np.array([ref_lat.shape[1]], np.int32),
+                    "height": np.array([ref_lat.shape[2]], np.int32),
+                    "width": np.array([ref_lat.shape[3]], np.int32),
+                    "fps": np.array([fps], np.float32),
+                },
+            )
+        count += 1
+    return count
+
+
+def compute_edge_reference(frames: np.ndarray) -> np.ndarray:
+    """Canny edge maps as IC-LoRA reference frames
+    (reference: ltx_trainer/scripts/compute_reference.py intent)."""
+    import cv2
+
+    out = []
+    for f in frames:
+        gray = cv2.cvtColor((f * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        edges = cv2.Canny(gray, 100, 200).astype(np.float32) / 255.0
+        out.append(np.stack([edges] * 3, axis=-1))
+    return np.stack(out, axis=0)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Precompute latents for training")
+    parser.add_argument("--videos", required=True, help="Directory of input videos")
+    parser.add_argument("--output", required=True, help="Output dataset root")
+    parser.add_argument("--model-repo", default="Lightricks/LTX-2")
+    parser.add_argument("--resolution-buckets", default=None, help="WxHxF;WxHxF")
+    parser.add_argument("--prompts-file", default=None,
+                        help="File of '<stem>: <prompt>' lines or a single shared prompt")
+    parser.add_argument("--audio", action="store_true")
+    parser.add_argument("--reference-edges", action="store_true",
+                        help="Write Canny-edge reference latents (IC-LoRA)")
+    parser.add_argument("--fps", type=float, default=24.0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.config import VideoVAEConfig
+    from mlx_video_tpu.io import vae_weights
+    from mlx_video_tpu.loading import resolve_vae_file
+    from mlx_video_tpu.models.ltx.text_encoder import LTX2TextEncoder
+    from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder, video_encoder_apply
+    from mlx_video_tpu.utils.hub import get_model_path
+
+    model_path = get_model_path(args.model_repo)
+    enc_cfg = VideoVAEConfig()
+    enc_params = init_video_encoder(jax.random.key(0), enc_cfg, dtype=jnp.bfloat16)
+    vae_weights.load_video_encoder_weights(resolve_vae_file(model_path), enc_params)
+    encode_jit = jax.jit(lambda v: video_encoder_apply(enc_params, enc_cfg, v))
+
+    text_encoder = LTX2TextEncoder.load(model_path, model_path)
+
+    def text_encode(prompt: str):
+        video, audio = text_encoder.encode(prompt)
+        return {
+            "video_prompt_embeds": np.asarray(video[0], np.float32),
+            "audio_prompt_embeds": np.asarray(audio[0], np.float32),
+            "prompt_attention_mask": np.ones((video.shape[1],), bool),
+        }
+
+    prompts = {}
+    if args.prompts_file:
+        for line in Path(args.prompts_file).read_text().splitlines():
+            if ":" in line:
+                stem, prompt = line.split(":", 1)
+                prompts[stem.strip()] = prompt.strip()
+
+    videos = sorted(
+        p for p in Path(args.videos).iterdir() if p.suffix.lower() in (".mp4", ".mov", ".webm")
+    )
+    buckets = parse_buckets(args.resolution_buckets) if args.resolution_buckets else None
+    n = precompute_dataset(
+        videos,
+        Path(args.output),
+        encode_fn=lambda t: encode_jit(jnp.asarray(t)),
+        text_encode_fn=text_encode,
+        prompts=prompts,
+        buckets=buckets,
+        reference_fn=compute_edge_reference if args.reference_edges else None,
+        fps=args.fps,
+    )
+    print(f"Precomputed {n} clips into {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,335 @@
+"""Tools tests: VAE weight loaders, convert CLI, precompute buckets, hub, CLIs."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.io.safetensors import save_safetensors
+from mlx_video_tpu.io.weights import flatten_params
+
+
+def _pt_conv3d(a):  # (D,H,W,I,O) -> (O,I,D,H,W)
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (4, 3, 0, 1, 2)))
+
+
+def _pt_conv2d(a):  # (H,W,I,O) -> (O,I,H,W)
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (3, 2, 0, 1)))
+
+
+class TestVideoDecoderWeights:
+    def test_round_trip_with_diffusers_remap(self, tmp_path, rng):
+        from mlx_video_tpu.io.vae_weights import load_video_decoder_weights
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+
+        cfg = DecoderConfig(
+            in_channels=8, base_channels=32, num_layers_per_block=1, num_upsamples=3, patch_size=4
+        )
+        ref = init_video_decoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        # randomize so zeros don't hide mapping errors
+        ref = jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), ref
+        )
+
+        # build checkpoint in upstream diffusers layout:
+        # mid_block.resnets.i (group 0), up_blocks.b.{resnets,upsamplers,time_embedder}
+        ckpt = {}
+        for flat_key, leaf in flatten_params(ref).items():
+            arr = np.asarray(leaf)
+            parts = flat_key.split(".")
+            if parts[0] in ("latents_mean", "latents_std"):
+                continue
+            if parts[0] == "up_blocks":
+                idx = int(parts[1])
+                rest = parts[2:]
+                if idx == 0 and rest[0] == "res_blocks":
+                    name = ".".join(["mid_block", "resnets", parts[3]] + parts[4:])
+                elif idx == 0 and rest[0] == "time_embedder":
+                    name = ".".join(["mid_block"] + rest)
+                elif idx % 2 == 1:  # upsampler -> up_blocks.b.upsamplers.0
+                    b = (idx - 1) // 2
+                    name = ".".join(["up_blocks", str(b), "upsamplers", "0"] + rest)
+                elif rest[0] == "res_blocks":  # diffusers "resnets" naming
+                    b = (idx - 2) // 2
+                    name = ".".join(["up_blocks", str(b), "resnets"] + rest[1:])
+                else:  # group time_embedder
+                    b = (idx - 2) // 2
+                    name = ".".join(["up_blocks", str(b)] + rest)
+            else:
+                name = flat_key
+            # conv dicts carry a .conv nesting in checkpoints; linears nest
+            # under timestep_embedder
+            name = name.replace("linear_1", "timestep_embedder.linear_1")
+            name = name.replace("linear_2", "timestep_embedder.linear_2")
+            if arr.ndim == 5:
+                arr = _pt_conv3d(arr)
+                name = name.replace(".weight", ".conv.weight")
+            elif arr.ndim == 2 and name.endswith("weight"):
+                arr = np.ascontiguousarray(arr.T)  # PT linear (O, I)
+            ckpt["decoder." + name] = arr
+        ckpt["per_channel_statistics.std-of-means"] = rng.uniform(0.5, 2, size=(8,)).astype(np.float32)
+        ckpt["per_channel_statistics.mean-of-means"] = rng.normal(size=(8,)).astype(np.float32)
+
+        path = tmp_path / "vae.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = init_video_decoder(jax.random.key(1), cfg, dtype=jnp.float32)
+        n = load_video_decoder_weights(path, loaded, dtype=jnp.float32)
+        assert n > 20
+        for k, v in flatten_params(ref).items():
+            if k.startswith("latents_"):
+                continue
+            got = flatten_params(loaded)[k]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(v), atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(loaded["latents_std"]), ckpt["per_channel_statistics.std-of-means"]
+        )
+
+
+class TestEncoderUpsamplerWeights:
+    def test_encoder_round_trip(self, tmp_path, rng):
+        from mlx_video_tpu.config import VideoVAEConfig
+        from mlx_video_tpu.io.vae_weights import load_video_encoder_weights
+        from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder
+
+        cfg = VideoVAEConfig(
+            in_channels=3, out_channels=8, latent_channels=8, patch_size=4,
+            encoder_blocks=(("res_x", {"num_layers": 1}), ("compress_space_res", {"multiplier": 2})),
+        )
+        ref = init_video_encoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        ref = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), ref)
+
+        ckpt = {}
+        for k, leaf in flatten_params(ref).items():
+            arr = np.asarray(leaf)
+            if k.startswith("per_channel_statistics"):
+                continue
+            name = k
+            if arr.ndim == 5:
+                arr = _pt_conv3d(arr)
+                name = name.replace(".weight", ".conv.weight")
+            ckpt["encoder." + name] = arr
+        ckpt["per_channel_statistics.mean-of-means"] = rng.normal(size=(8,)).astype(np.float32)
+        ckpt["per_channel_statistics.std-of-means"] = rng.uniform(0.5, 2, (8,)).astype(np.float32)
+        path = tmp_path / "vae.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = init_video_encoder(jax.random.key(1), cfg, dtype=jnp.float32)
+        load_video_encoder_weights(path, loaded, dtype=jnp.float32)
+        for k, v in flatten_params(ref).items():
+            if k.startswith("per_channel_statistics"):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(flatten_params(loaded)[k]), np.asarray(v), atol=1e-6, err_msg=k
+            )
+
+    def test_upsampler_round_trip(self, tmp_path, rng):
+        from mlx_video_tpu.io.vae_weights import load_upsampler_weights
+        from mlx_video_tpu.models.ltx.upsampler import init_latent_upsampler
+
+        ref = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1, dtype=jnp.float32)
+        ref = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), ref)
+        ckpt = {}
+        for k, leaf in flatten_params(ref).items():
+            arr = np.asarray(leaf)
+            if arr.ndim == 5:
+                arr = _pt_conv3d(arr)
+            elif arr.ndim == 4:
+                arr = _pt_conv2d(arr)
+            ckpt[k] = arr
+        path = tmp_path / "ups.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = init_latent_upsampler(jax.random.key(1), in_channels=8, mid_channels=32, num_blocks=1, dtype=jnp.float32)
+        load_upsampler_weights(path, loaded, dtype=jnp.float32)
+        for k, v in flatten_params(ref).items():
+            np.testing.assert_allclose(
+                np.asarray(flatten_params(loaded)[k]), np.asarray(v), atol=1e-6, err_msg=k
+            )
+
+
+class TestVocoderWeights:
+    def test_round_trip(self, tmp_path, rng):
+        from mlx_video_tpu.io.vae_weights import load_vocoder_weights
+        from mlx_video_tpu.models.ltx.audio_vae.vocoder import VocoderConfig, init_vocoder
+
+        cfg = VocoderConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            upsample_initial_channel=32, mel_in_channels=32,
+        )
+        ref = init_vocoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        ref = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), ref)
+        ckpt = {}
+        for k, leaf in flatten_params(ref).items():
+            arr = np.asarray(leaf)
+            if arr.ndim == 3:
+                if k.startswith("ups."):
+                    arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))  # (K,I,O)->(I,O,K)
+                else:
+                    arr = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)))  # (K,I,O)->(O,I,K)
+            ckpt["vocoder." + k] = arr
+        path = tmp_path / "voc.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = init_vocoder(jax.random.key(1), cfg, dtype=jnp.float32)
+        load_vocoder_weights(path, loaded, dtype=jnp.float32)
+        for k, v in flatten_params(ref).items():
+            np.testing.assert_allclose(
+                np.asarray(flatten_params(loaded)[k]), np.asarray(v), atol=1e-6, err_msg=k
+            )
+
+
+class TestConvertCLI:
+    def test_convert_and_reload(self, tmp_path, rng):
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.convert import convert_transformer
+        from mlx_video_tpu.io.weights import load_native_params
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from test_weights_io import _to_pt_checkpoint
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        src = tmp_path / "pt.safetensors"
+        save_safetensors(src, _to_pt_checkpoint(ref, cfg))
+
+        out = tmp_path / "native.safetensors"
+        convert_transformer([src], out, config=cfg, dtype=jnp.float32)
+        loaded = load_native_params(out)
+        for k, v in flatten_params(ref).items():
+            np.testing.assert_allclose(
+                np.asarray(flatten_params(loaded)[k]), np.asarray(v), atol=0, err_msg=k
+            )
+
+    def test_convert_quantized(self, tmp_path):
+        import json
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.convert import convert_transformer
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from test_weights_io import _to_pt_checkpoint
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        src = tmp_path / "pt.safetensors"
+        save_safetensors(src, _to_pt_checkpoint(ref, cfg))
+        out = tmp_path / "q" / "native.safetensors"
+        out.parent.mkdir()
+        params = convert_transformer(
+            [src], out, config=cfg, dtype=jnp.float32,
+            quantize_bits=8, quantize_group_size=32,
+        )
+        assert "quant_weight" in params["blocks"]["attn1"]["to_q"]
+        meta = json.loads((out.parent / "quantization.json").read_text())
+        assert meta["bits"] == 8 and meta["group_size"] == 32
+
+
+class TestPrecompute:
+    def test_bucket_selection(self):
+        from mlx_video_tpu.trainer.precompute import parse_buckets, select_bucket
+
+        buckets = parse_buckets("512x512x33;768x512x65")
+        assert buckets == [(512, 512, 33), (768, 512, 65)]
+        frames = np.zeros((30, 500, 520, 3), dtype=np.float32)
+        assert select_bucket(frames, buckets) == (512, 512, 33)
+        frames = np.zeros((70, 512, 760, 3), dtype=np.float32)
+        assert select_bucket(frames, buckets) == (768, 512, 65)
+
+    def test_frame_trim_and_pad(self):
+        from mlx_video_tpu.trainer.precompute import match_frame_count
+
+        frames = np.arange(10)[:, None, None, None] * np.ones((10, 2, 2, 3), np.float32)
+        assert match_frame_count(frames, 6).shape[0] == 6
+        padded = match_frame_count(frames, 14)
+        assert padded.shape[0] == 14
+        np.testing.assert_array_equal(padded[10:], np.repeat(frames[-1:], 4, axis=0))
+
+    def test_resize_center_crop(self):
+        from mlx_video_tpu.trainer.precompute import resize_and_center_crop
+
+        frames = np.random.default_rng(0).uniform(size=(2, 100, 200, 3)).astype(np.float32)
+        out = resize_and_center_crop(frames, 64, 64)
+        assert out.shape == (2, 64, 64, 3)
+
+    def test_precompute_dataset_layout(self, tmp_path, rng):
+        import cv2
+
+        from mlx_video_tpu.trainer.datasets import PrecomputedDataset
+        from mlx_video_tpu.trainer.precompute import precompute_dataset
+
+        # write a tiny video
+        vid_dir = tmp_path / "vids"
+        vid_dir.mkdir()
+        path = vid_dir / "clip.mp4"
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 64))
+        for _ in range(9):
+            w.write((rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+        w.release()
+
+        def fake_encode(t):
+            b, c, f, h, w_ = t.shape
+            return rng.normal(size=(b, 8, 1 + (f - 1) // 8, h // 32, w_ // 32)).astype(np.float32)
+
+        def fake_text(prompt):
+            return {
+                "video_prompt_embeds": rng.normal(size=(8, 16)).astype(np.float32),
+                "prompt_attention_mask": np.ones((8,), bool),
+            }
+
+        out_root = tmp_path / "data"
+        n = precompute_dataset(
+            [path], out_root, encode_fn=fake_encode, text_encode_fn=fake_text,
+            prompts={"clip": "a test"},
+        )
+        assert n == 1
+        ds = PrecomputedDataset(out_root)
+        assert len(ds) == 1
+        batch = ds[0]
+        assert batch.latents["latents"].shape[0] == 8
+        assert "video_prompt_embeds" in batch.conditions
+
+
+class TestHub:
+    def test_alias_and_local(self, tmp_path):
+        from mlx_video_tpu.utils.hub import MODEL_REPO_ALIASES, get_model_path
+
+        assert "ltx2-dev-8bit-mlx" in MODEL_REPO_ALIASES
+        p = get_model_path(str(tmp_path))
+        assert p == tmp_path
+
+    def test_missing_raises(self):
+        from mlx_video_tpu.utils.hub import get_model_path
+
+        with pytest.raises(FileNotFoundError):
+            get_model_path("definitely/nonexistent-repo-xyz", allow_download=False)
+
+
+class TestCLIParsers:
+    def test_generate_parser(self):
+        from mlx_video_tpu.cli.generate import build_parser
+
+        args = build_parser().parse_args(
+            [
+                "--prompt", "a cat", "-H", "480", "-W", "832", "-n", "30",
+                "--pipeline", "distilled", "--image", "img.png", "0", "0.9",
+                "--lora", "a.safetensors", "--audio", "--stream",
+                "--tiling", "temporal", "--embeddings", "emb.safetensors",
+            ]
+        )
+        assert args.height == 480 and args.width == 832
+        assert args.image == [["img.png", "0", "0.9"]]
+        assert args.audio and args.stream
+
+    def test_train_parser(self):
+        from mlx_video_tpu.cli.train import build_parser
+
+        args = build_parser().parse_args(["--training-mode", "lora", "--steps", "5", "--mesh", "1,2,4"])
+        assert args.training_mode == "lora" and args.steps == 5
+
+    def test_slugify(self):
+        from mlx_video_tpu.cli.generate import slugify
+
+        assert slugify("A Cat! Jumping?") == "a-cat-jumping"
+        assert slugify("") == "video"
