@@ -1,0 +1,289 @@
+"""Parity package tests: ltx_core components, ltx_pipelines, ltx_trainer shims."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_core.components import (
+    BetaScheduler,
+    CFGGuider,
+    CFGStarRescalingGuider,
+    EulerDiffusionStep,
+    GaussianNoiser,
+    LinearQuadraticScheduler,
+    LTX2Scheduler,
+    LtxAPGGuider,
+    STGGuider,
+    VideoLatentPatchifier,
+    get_pixel_coords,
+)
+from ltx_core.guidance.perturbations import (
+    BatchedPerturbationConfig,
+    Perturbation,
+    PerturbationConfig,
+    PerturbationType,
+)
+from ltx_core.tools import AudioLatentTools, VideoLatentTools
+from ltx_core.types import (
+    AudioLatentShape,
+    SpatioTemporalScaleFactors,
+    VideoLatentShape,
+    VideoPixelShape,
+)
+from ltx_core.utils import to_denoised, to_velocity
+
+
+class TestGuiders:
+    def test_cfg_matches_engine(self, rng):
+        cond = jnp.asarray(rng.normal(size=(1, 8, 4)).astype(np.float32))
+        uncond = jnp.asarray(rng.normal(size=(1, 8, 4)).astype(np.float32))
+        g = CFGGuider(scale=4.0)
+        np.testing.assert_allclose(
+            np.asarray(g.delta(cond, uncond)), 3.0 * np.asarray(cond - uncond), atol=1e-6
+        )
+        assert g.enabled() and not CFGGuider(1.0).enabled()
+
+    def test_cfg_star_projects(self, rng):
+        cond = jnp.asarray(rng.normal(size=(2, 4, 4)).astype(np.float32))
+        g = CFGStarRescalingGuider(scale=4.0)
+        # uncond == cond => rescaled_neg == cond => delta == 0
+        np.testing.assert_allclose(np.asarray(g.delta(cond, cond)), 0.0, atol=1e-5)
+
+    def test_stg(self, rng):
+        a = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(STGGuider(2.0).delta(a, b)), 2.0 * np.asarray(a - b), atol=1e-6
+        )
+
+    def test_apg_orthogonal_decomposition(self, rng):
+        cond = jnp.asarray(rng.normal(size=(1, 2, 3, 4)).astype(np.float32))
+        uncond = jnp.asarray(rng.normal(size=(1, 2, 3, 4)).astype(np.float32))
+        # eta=1, no threshold => plain CFG delta
+        g = LtxAPGGuider(scale=4.0, eta=1.0, norm_threshold=0.0)
+        np.testing.assert_allclose(
+            np.asarray(g.delta(cond, uncond)), 3.0 * np.asarray(cond - uncond), atol=1e-4
+        )
+        # eta=0 removes the parallel component
+        g0 = LtxAPGGuider(scale=4.0, eta=0.0, norm_threshold=0.0)
+        delta = np.asarray(g0.delta(cond, uncond)).reshape(1, -1)
+        c = np.asarray(cond).reshape(1, -1)
+        assert abs(float((delta @ c.T).item())) / (np.linalg.norm(delta) * np.linalg.norm(c)) < 1e-4
+
+
+class TestSchedulers:
+    def test_ltx2_matches_engine(self):
+        from mlx_video_tpu.pipelines.schedulers import ltx2_scheduler
+
+        latent = jnp.zeros((1, 128, 5, 16, 16))
+        sched = LTX2Scheduler().execute(20, latent=latent)
+        np.testing.assert_allclose(sched, ltx2_scheduler(20, num_tokens=5 * 16 * 16), atol=1e-7)
+
+    def test_linear_quadratic(self):
+        s = LinearQuadraticScheduler().execute(10)
+        assert s.shape == (11,)
+        assert s[0] == 1.0 and s[-1] == 0.0
+        assert np.all(np.diff(s) <= 1e-6)
+
+    def test_beta(self):
+        s = BetaScheduler().execute(10)
+        assert s[-1] == 0.0 and s[0] > 0.9
+        assert np.all(np.diff(s) < 0)
+
+
+class TestDiffusionStep:
+    def test_euler_step(self, rng):
+        sample = jnp.asarray(rng.normal(size=(1, 4, 4)).astype(np.float32))
+        denoised = jnp.asarray(rng.normal(size=(1, 4, 4)).astype(np.float32))
+        sigmas = jnp.asarray([1.0, 0.5])
+        out = EulerDiffusionStep().execute(sample, denoised, sigmas, 0)
+        # euler: x + v*dt with v=(x-x0)/sigma, dt=-0.5 => x0 + 0.5*(x - x0)
+        expected = np.asarray(denoised) + 0.5 * (np.asarray(sample) - np.asarray(denoised))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+    def test_velocity_denoised_inverse(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        x0 = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        v = to_velocity(x, x0, 0.7)
+        np.testing.assert_allclose(np.asarray(to_denoised(x, v, 0.7)), np.asarray(x0), atol=1e-5)
+
+
+class TestPatchifiers:
+    def test_video_round_trip(self, rng):
+        shape = VideoLatentShape(1, 8, 2, 4, 4)
+        p = VideoLatentPatchifier(patch_size=1)
+        lat = jnp.asarray(rng.normal(size=shape.to_shape()).astype(np.float32))
+        tokens = p.patchify(lat)
+        assert tokens.shape == (1, 32, 8)
+        np.testing.assert_allclose(np.asarray(p.unpatchify(tokens, shape)), np.asarray(lat))
+        assert p.get_token_count(shape) == 32
+
+    def test_grid_bounds_match_engine_positions(self):
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        shape = VideoLatentShape(1, 128, 3, 4, 5)
+        p = VideoLatentPatchifier(patch_size=1)
+        coords = p.get_patch_grid_bounds(shape)
+        pixel = get_pixel_coords(coords, SpatioTemporalScaleFactors.default(), causal_fix=True)
+        pixel = pixel.at[:, 0].divide(24.0)
+        ref = create_position_grid(1, 3, 4, 5, fps=24.0)
+        np.testing.assert_allclose(np.asarray(pixel), ref, atol=1e-5)
+
+    def test_latent_shape_math(self):
+        px = VideoPixelShape(batch=1, frames=33, height=512, width=768, fps=24)
+        lat = VideoLatentShape.from_pixel_shape(px)
+        assert lat == VideoLatentShape(1, 128, 5, 16, 24)
+
+
+class TestTools:
+    def test_video_tools_state(self):
+        shape = VideoLatentShape(1, 8, 2, 4, 4)
+        tools = VideoLatentTools(target_shape=shape)
+        state = tools.create_initial_state(key=jax.random.key(0))
+        assert state.latent.shape == shape.to_shape()
+        assert state.positions.shape == (1, 3, 32, 2)
+        patched = tools.patchify(state)
+        assert patched.latent.shape == (1, 32, 8)
+        restored = tools.unpatchify(patched)
+        np.testing.assert_allclose(np.asarray(restored.latent), np.asarray(state.latent))
+
+    def test_audio_tools_state(self):
+        shape = AudioLatentShape(1, 8, 6, 16)
+        tools = AudioLatentTools(target_shape=shape)
+        state = tools.create_initial_state(key=jax.random.key(0))
+        assert state.latent.shape == (1, 8, 6, 16)
+        patched = tools.patchify(state)
+        assert patched.latent.shape == (1, 6, 128)
+
+
+class TestPerturbations:
+    def test_masks(self):
+        cfg = BatchedPerturbationConfig(
+            [
+                PerturbationConfig([Perturbation(PerturbationType.SKIP_VIDEO_SELF_ATTN, [1, 2])]),
+                PerturbationConfig.empty(),
+            ]
+        )
+        mask = np.asarray(cfg.mask(PerturbationType.SKIP_VIDEO_SELF_ATTN, 1))
+        np.testing.assert_array_equal(mask, [0.0, 1.0])
+        assert cfg.any_in_batch(PerturbationType.SKIP_VIDEO_SELF_ATTN, 2)
+        assert not cfg.any_in_batch(PerturbationType.SKIP_VIDEO_SELF_ATTN, 5)
+        assert not cfg.all_in_batch(PerturbationType.SKIP_VIDEO_SELF_ATTN, 1)
+
+
+class TestHelpers:
+    def test_euler_loop_with_fake_denoiser(self, rng):
+        from dataclasses import replace
+
+        from ltx_core.types import LatentState
+        from ltx_pipelines.utils.helpers import euler_denoising_loop
+
+        v_lat = jnp.asarray(rng.normal(size=(1, 8, 4)).astype(np.float32))
+        a_lat = jnp.asarray(rng.normal(size=(1, 4, 4)).astype(np.float32))
+
+        def mk(lat):
+            return LatentState(
+                latent=lat, clean_latent=jnp.zeros_like(lat),
+                denoise_mask=jnp.ones_like(lat[..., :1]),
+            )
+
+        def fake_denoise(vs, as_, sigmas, idx):
+            return vs.latent * 0.5, as_.latent * 0.5
+
+        sigmas = np.array([1.0, 0.5, 0.0], dtype=np.float32)
+        v_out, a_out = euler_denoising_loop(sigmas, mk(v_lat), mk(a_lat), EulerDiffusionStep(), fake_denoise)
+        assert np.all(np.isfinite(np.asarray(v_out.latent)))
+        assert v_out.latent.shape == v_lat.shape
+
+    def test_gradient_estimating_loop(self, rng):
+        from ltx_core.types import LatentState
+        from ltx_pipelines.utils.helpers import gradient_estimating_euler_denoising_loop
+
+        lat = jnp.asarray(rng.normal(size=(1, 8, 4)).astype(np.float32))
+
+        def mk(lat):
+            return LatentState(
+                latent=lat, clean_latent=jnp.zeros_like(lat),
+                denoise_mask=jnp.ones_like(lat[..., :1]),
+            )
+
+        def fake_denoise(vs, as_, sigmas, idx):
+            return vs.latent * 0.9, as_.latent * 0.9
+
+        sigmas = np.array([1.0, 0.6, 0.3, 0.0], dtype=np.float32)
+        v_out, _ = gradient_estimating_euler_denoising_loop(
+            sigmas, mk(lat), mk(lat), EulerDiffusionStep(), fake_denoise
+        )
+        assert np.all(np.isfinite(np.asarray(v_out.latent)))
+
+    def test_assert_resolution(self):
+        from ltx_pipelines.utils.helpers import assert_resolution
+
+        assert_resolution(512, 768, is_two_stage=True)
+        with pytest.raises(ValueError):
+            assert_resolution(500, 768, is_two_stage=False)
+
+
+class TestWrappersAndShims:
+    def test_pipeline_wrappers_construct(self):
+        from ltx_pipelines import (
+            DistilledPipeline,
+            ICLoraPipeline,
+            KeyframeInterpolationPipeline,
+            TI2VidOneStage,
+            TI2VidTwoStages,
+        )
+
+        assert DistilledPipeline(height=64).height == 64
+        assert TI2VidOneStage().steps == 40
+        assert TI2VidTwoStages().stage1_steps == 8
+        assert ICLoraPipeline().tiling == "auto"
+        assert KeyframeInterpolationPipeline().num_frames == 33
+
+    def test_trainer_shims_import(self):
+        import ltx_trainer
+        import ltx_trainer.config
+        import ltx_trainer.datasets
+        import ltx_trainer.progress
+        import ltx_trainer.timestep_samplers
+        import ltx_trainer.training_strategies
+        import ltx_trainer.validation_sampler
+
+        assert ltx_trainer.TrainingConfig is not None
+
+    def test_scripts_importable(self):
+        from ltx_trainer.scripts import (  # noqa: F401
+            caption_videos,
+            compute_reference,
+            decode_latents,
+            process_captions,
+            process_dataset,
+            process_videos,
+            split_scenes,
+        )
+
+    def test_scene_cut_detection(self, tmp_path, rng):
+        import cv2
+
+        from ltx_trainer.scripts.split_scenes import detect_scene_cuts
+
+        path = tmp_path / "scene.mp4"
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 64))
+        # scene 1: black frames; scene 2: white noise frames
+        for _ in range(20):
+            w.write(np.zeros((64, 64, 3), np.uint8))
+        for _ in range(20):
+            w.write((rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+        w.release()
+        cuts = detect_scene_cuts(path, threshold=0.5)
+        assert len(cuts) >= 3  # start, the cut, end
+        assert any(18 <= c <= 22 for c in cuts[1:-1])
+
+    def test_bridge_normalizers(self):
+        from ltx_pipelines.bridge import normalize_images, normalize_loras
+
+        assert normalize_loras(["a.st", ("b.st", 0.5)]) == [("a.st", 1.0), ("b.st", 0.5)]
+        assert normalize_images([("img.png", 3, 0.9), "x.png"]) == [
+            ("img.png", 3, 0.9), ("x.png", 0, 1.0),
+        ]
