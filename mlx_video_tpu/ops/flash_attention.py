@@ -1,0 +1,130 @@
+"""Pallas TPU flash attention for the DiT self-attention hot path.
+
+TPU-native replacement for ``mx.fast.scaled_dot_product_attention``
+(reference: mlx_video/models/ltx/attention.py:47). Standard blocked
+online-softmax attention:
+
+- grid over (batch*heads, query blocks); K/V stream through VMEM in
+  key-block chunks with fp32 running (max, sum, accumulator);
+- bf16 matmuls on the MXU with fp32 ``preferred_element_type``;
+- no masking (the DiT uses full bidirectional attention; text cross-attn
+  with padding masks stays on the XLA path).
+
+Falls back to ``jax.nn.dot_product_attention`` for unsupported shapes via
+ops/attention.py. Enable with ``mlx_video_tpu.ops.attention.use_pallas_flash()``
+or ``MLX_VIDEO_TPU_FLASH=1``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, valid_len: int):
+    """One (head, q-block): online softmax over key blocks.
+
+    q_ref: (block_q, d); k_ref/v_ref: (S_pad, d); o_ref: (block_q, d).
+    Keys at index >= valid_len (sequence padding) are masked to -inf.
+    """
+    block_q, d = q_ref.shape
+    s = k_ref.shape[0]
+    num_kb = s // block_k
+    needs_mask = valid_len < s
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        logits = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        if needs_mask:
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full bidirectional attention over (B, S, H, D) tensors.
+
+    Sequence length is padded to a block multiple internally; padded keys are
+    masked out by giving them -inf logits via key padding below.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, s, h, d = q.shape
+
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    s_pad = _round_up(s, max(block_q, block_k))
+
+    # (B, S, H, D) -> (B*H, S, D)
+    def to_heads(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+
+    grid = (b * h, s_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale, valid_len=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh)
+
+    out = out[:, :s].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,73 @@
+"""Pallas flash attention vs XLA attention (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.ops.attention import sdpa_flat, use_pallas_flash
+from mlx_video_tpu.ops.flash_attention import flash_attention
+
+
+def _ref_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("s", [256, 384, 500])  # divisible, multiple blocks, ragged
+def test_flash_matches_reference(rng, s):
+    b, h, d = 1, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    scale = d**-0.5
+    ref = _ref_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bf16(rng):
+    b, s, h, d = 1, 256, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    ref = _ref_attention(q, k, v, d**-0.5)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )
+
+
+def test_sdpa_flat_flash_toggle(rng):
+    """sdpa_flat routes through the Pallas kernel when enabled and matches."""
+    b, s, heads, d = 1, 256, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, heads * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, heads * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, heads * d)).astype(np.float32))
+    base = sdpa_flat(q, k, v, heads)
+    import mlx_video_tpu.ops.flash_attention as fa
+
+    orig = fa.flash_attention
+    try:
+        # run the pallas path in interpret mode on CPU
+        fa.flash_attention = lambda *a, **kw: orig(*a, **kw, interpret=True)
+        use_pallas_flash(True)
+        flash = sdpa_flat(q, k, v, heads)
+    finally:
+        use_pallas_flash(False)
+        fa.flash_attention = orig
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base), atol=5e-5, rtol=1e-4)
+
+
+def test_cross_attention_stays_on_xla(rng):
+    """Different q/kv lengths must not hit the flash path (shape guard)."""
+    use_pallas_flash(True)
+    try:
+        q = jnp.asarray(rng.normal(size=(1, 64, 256)).astype(np.float32))
+        kv = jnp.asarray(rng.normal(size=(1, 32, 256)).astype(np.float32))
+        out = sdpa_flat(q, kv, kv, 2)  # would raise inside pallas if routed
+        assert out.shape == (1, 64, 256)
+    finally:
+        use_pallas_flash(False)
