@@ -141,6 +141,13 @@ def main(argv=None) -> None:
         models.transformer_params = merge_lora_into_params(
             models.transformer_params, specs, verbose=True
         )
+    if args.distilled_lora:
+        # Stage-2 LoRA: refine with a LoRA-adapted copy of the transformer
+        # (reference: generate.py:3235-3238 _load_transformer_with_loras).
+        specs = [LoraSpec(Path(p), args.lora_strength) for p in args.distilled_lora]
+        models.stage2_transformer_params = merge_lora_into_params(
+            models.stage2_transformer_params or models.transformer_params, specs, verbose=True
+        )
     if args.quantize_bits:
         from mlx_video_tpu.ops.quant import quantize_dit_params
 

@@ -1,0 +1,94 @@
+"""Ring attention: sequence-parallel attention over a mesh axis.
+
+New capability vs. the single-device reference (SURVEY §5 long-context):
+raises the max token count (F*H*W) beyond one chip's HBM by sharding the
+token axis across devices and rotating K/V blocks around the ring with
+``lax.ppermute`` while accumulating an online softmax — the same math as
+flash attention, with the key-block loop distributed over ICI.
+
+Built on ``shard_map`` + XLA collectives (not hand-written RDMA): XLA
+schedules the permute to overlap with the local attention compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _local_attention_stats(q, k, v, scale):
+    """Blockwise attention returning (acc, running max, running sum).
+
+    q: (B, Sq, H, D); k/v: (B, Sk, H, D). fp32 stats.
+    """
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    m = jnp.max(logits, axis=-1)  # (B, H, Sq)
+    p = jnp.exp(logits - m[..., None])
+    l = jnp.sum(p, axis=-1)  # (B, H, Sq)
+    acc = jnp.einsum("bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
+    return acc, m, l
+
+
+def _combine(m_a, l_a, acc_a, m_b, l_b, acc_b):
+    """Merge two online-softmax partials."""
+    m = jnp.maximum(m_a, m_b)
+    alpha_a = jnp.exp(m_a - m)
+    alpha_b = jnp.exp(m_b - m)
+    l = l_a * alpha_a + l_b * alpha_b
+    acc = acc_a * alpha_a[..., None] + acc_b * alpha_b[..., None]
+    return m, l, acc
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "fsdp",
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Full bidirectional attention with the token axis sharded on ``axis``.
+
+    q/k/v: (B, S, H, D) with S divisible by the axis size. Returns the same
+    sharding as the inputs. Numerically equivalent to single-device
+    attention (verified in tests on a virtual 8-device mesh).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis]
+    if q.shape[1] % n != 0:
+        raise ValueError(f"Sequence length {q.shape[1]} not divisible by mesh axis {axis}={n}")
+
+    spec = P(None, axis, None, None)
+
+    def ring(q_loc, k_loc, v_loc):
+        def step(carry, _):
+            k_cur, v_cur, m, l, acc = carry
+            acc_b, m_b, l_b = _local_attention_stats(q_loc, k_cur, v_cur, scale)
+            m, l, acc = _combine(m, l, acc, m_b, l_b, acc_b)
+            # rotate k/v to the next device on the ring
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k_next = jax.lax.ppermute(k_cur, axis, perm)
+            v_next = jax.lax.ppermute(v_cur, axis, perm)
+            return (k_next, v_next, m, l, acc), None
+
+        b, sq, h, d = q_loc.shape
+        m0 = jnp.full((b, h, sq), -jnp.inf, dtype=jnp.float32)
+        l0 = jnp.zeros((b, h, sq), dtype=jnp.float32)
+        acc0 = jnp.zeros((b, h, sq, d), dtype=jnp.float32)
+        (k_f, v_f, m, l, acc), _ = jax.lax.scan(
+            step, (k_loc, v_loc, m0, l0, acc0), None, length=n
+        )
+        out = acc / l[..., None]
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(q_loc.dtype)
+
+    return shard_map(
+        ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_rep=False
+    )(q, k, v)

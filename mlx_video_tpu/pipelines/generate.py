@@ -485,6 +485,30 @@ def generate_video(
     writer_h, writer_w = (height, width) if crop_params is None else (crop_params[2], crop_params[3])
     video_file = output_path.with_suffix(".temp.mp4") if audio else output_path
 
+    # Live JPEG preview during streaming decode (reference: generate.py:3657-3740).
+    import os as _os
+
+    preview_path = _os.environ.get("MLX_VIDEO_PREVIEW_PATH")
+    preview_every = int(_os.environ.get("MLX_VIDEO_PREVIEW_EVERY", "12"))
+    preview_max_dim = int(_os.environ.get("MLX_VIDEO_PREVIEW_MAX_DIM", "512"))
+    last_preview = [-preview_every]
+
+    def _emit_preview(frame_u8: np.ndarray, idx: int) -> None:
+        if preview_path is None or idx - last_preview[0] < preview_every:
+            return
+        try:
+            from PIL import Image
+
+            img = Image.fromarray(frame_u8)
+            if preview_max_dim > 0:
+                img.thumbnail((preview_max_dim, preview_max_dim))
+            tmp = preview_path + ".tmp"
+            img.save(tmp, format="JPEG", quality=85)
+            _os.replace(tmp, preview_path)
+            last_preview[0] = idx
+        except Exception:
+            pass
+
     with timer.phase("vae_decode"):
         writer = media.VideoWriter(video_file, writer_w, writer_h, fps, encoder=video_encoder)
         t0 = time.perf_counter()
@@ -496,6 +520,7 @@ def generate_video(
                 top, left, out_h, out_w = crop_params
                 u8 = u8[:, top : top + out_h, left : left + out_w]
             writer.write(u8)
+            _emit_preview(u8[-1], start_idx + u8.shape[0] - 1)
             frames_done[0] += u8.shape[0]
             ui_event(
                 {

@@ -96,3 +96,40 @@ class TestShardingRules:
         (xs,) = shard_batch((x,), mesh)
         spec = xs.sharding.spec
         assert spec[0] == ("data",) or spec[0] == "data"
+
+
+class TestRingAttention:
+    def test_matches_single_device(self, rng):
+        from mlx_video_tpu.parallel.ring_attention import ring_attention
+
+        mesh = create_mesh((1, 4, 2))
+        b, s, h, d = 2, 32, 4, 16
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        ref = jax.nn.dot_product_attention(q, k, v)
+        with mesh:
+            out = ring_attention(q, k, v, mesh, axis="fsdp")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def test_eight_way_ring(self, rng):
+        from mlx_video_tpu.parallel.ring_attention import ring_attention
+
+        mesh = create_mesh((1, 8, 1))
+        b, s, h, d = 1, 64, 2, 32
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        ref = jax.nn.dot_product_attention(q, k, v)
+        with mesh:
+            out = ring_attention(q, k, v, mesh, axis="fsdp")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def test_indivisible_raises(self, rng):
+        from mlx_video_tpu.parallel.ring_attention import ring_attention
+
+        mesh = create_mesh((1, 8, 1))
+        q = jnp.zeros((1, 30, 2, 16))
+        with pytest.raises(ValueError, match="not divisible"):
+            with mesh:
+                ring_attention(q, q, q, mesh, axis="fsdp")
