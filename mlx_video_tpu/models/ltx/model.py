@@ -154,6 +154,21 @@ def attention_apply(
     q = rms_norm(q, params["q_norm"]["weight"], eps=norm_eps)
     k = rms_norm(k, params["k_norm"]["weight"], eps=norm_eps)
 
+    # Fused path: SPLIT-RoPE self-attention folds the rotation into the
+    # Pallas flash kernel (no roped q/k round trip through HBM).
+    from mlx_video_tpu.ops.attention import fused_split_rope_eligible, sdpa_flat_fused_rope
+
+    if (
+        pe is not None
+        and k_pe is None
+        and context is None
+        and bias is None
+        and rope_type == LTXRopeType.SPLIT
+        and fused_split_rope_eligible(q, heads, pe)
+    ):
+        out = sdpa_flat_fused_rope(q, k, v, heads, pe)
+        return linear(params["to_out"], out)
+
     if pe is not None:
         q = rope_lib.apply_rotary_emb(q, pe, rope_type)
         k = rope_lib.apply_rotary_emb(k, pe if k_pe is None else k_pe, rope_type)

@@ -95,3 +95,55 @@ def sdpa_flat(
     vh = v.reshape(b, skv, heads, d_head)
     out = sdpa(qh, kh, vh, bias=bias)
     return out.reshape(b, sq, dim)
+
+
+# Fused RoPE+attention is opt-in: measured on v5e at DiT geometry
+# (B1 S5184 H32 D128 bf16) the in-kernel rope is ~1.5x SLOWER than
+# materializing rope with XLA and calling the plain flash kernel (9.3ms vs
+# 6.0ms) — each query block re-ropes the full K stream (grid_q-times
+# redundant vector work) and the lane-dim concat relayouts outweigh the
+# saved HBM round-trip. Kept for shapes/backends where fusion wins.
+_USE_FUSED_ROPE: bool = os.environ.get("MLX_VIDEO_TPU_FUSED_ROPE", "") == "1"
+
+
+def use_fused_rope(enable: bool = True) -> None:
+    global _USE_FUSED_ROPE
+    _USE_FUSED_ROPE = enable
+
+
+def fused_split_rope_eligible(q: jax.Array, heads: int, pe) -> bool:
+    """Whether the fused RoPE + flash kernel can take this self-attention:
+    opted in, flash enabled, SPLIT-layout pe tables (B, H, S, D/2),
+    lane-aligned head dim, enough tokens to tile."""
+    if not _USE_FUSED_ROPE:
+        return False
+    use_flash = _USE_PALLAS_FLASH
+    if use_flash is None:
+        use_flash = _tpu_backend()
+    if not use_flash or pe is None:
+        return False
+    d_head = q.shape[-1] // heads
+    return (
+        pe[0].ndim == 4
+        and pe[0].shape[1] == heads
+        and d_head % 128 == 0
+        and q.shape[1] >= 256
+        and pe[0].shape[0] == q.shape[0]
+        and pe[0].shape[2] == q.shape[1]
+    )
+
+
+def sdpa_flat_fused_rope(
+    q: jax.Array, k: jax.Array, v: jax.Array, heads: int, pe
+) -> jax.Array:
+    """Self-attention over flattened (B, S, H*D) with split-RoPE applied
+    inside the Pallas flash kernel (skips q/k RoPE materialization)."""
+    from mlx_video_tpu.ops.flash_attention import flash_attention_split_rope
+
+    b, s, dim = q.shape
+    d_head = dim // heads
+    qh = q.reshape(b, s, heads, d_head)
+    kh = k.reshape(b, s, heads, d_head)
+    vh = v.reshape(b, s, heads, d_head)
+    out = flash_attention_split_rope(qh, kh, vh, pe[0], pe[1], scale=d_head**-0.5)
+    return out.reshape(b, s, dim)

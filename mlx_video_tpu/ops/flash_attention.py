@@ -95,9 +95,7 @@ def flash_attention(
         scale = q.shape[-1] ** -0.5
     b, s, h, d = q.shape
 
-    block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
-    s_pad = _round_up(s, max(block_q, block_k))
+    block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
 
     # (B, S, H, D) -> (B*H, S, D)
     def to_heads(x):
@@ -128,3 +126,149 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_blocks(s: int, block_q: int, block_k: int):
+    """Pick (block_q, block_k, s_pad) such that both block sizes divide the
+    padded sequence length (every query block is written exactly once).
+
+    Blocks stay at 128 * 2^n (halved only when larger than the sequence
+    itself) and the sequence is padded to the larger block, so the smaller
+    block always divides ``s_pad``; padded keys are masked via ``valid_len``.
+    """
+    s128 = _round_up(s, 128)
+    bq = block_q
+    while bq > 128 and bq > s128:
+        bq //= 2
+    bk = block_k
+    while bk > 128 and bk > s128:
+        bk //= 2
+    s_pad = _round_up(s, max(bq, bk))
+    assert s_pad % bq == 0 and s_pad % bk == 0, (s, bq, bk)
+    return bq, bk, s_pad
+
+
+# ---------------------------------------------------------------------------
+# Flash attention with fused split-RoPE
+# ---------------------------------------------------------------------------
+
+
+def _apply_split_rope_f32(x, cos, sin):
+    """Half-dim rotation in fp32; x (n, d), cos/sin (n, d/2)."""
+    d = x.shape[-1]
+    x1, x2 = x[:, : d // 2], x[:, d // 2 :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _flash_rope_kernel(
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, block_k: int, scale: float, valid_len: int
+):
+    """Flash attention applying split-RoPE to q and k inside the kernel.
+
+    q_ref: (block_q, d); k_ref/v_ref: (S_pad, d);
+    cos_ref/sin_ref: (S_pad, d/2) per-(batch, head) RoPE tables. The q-block
+    tables are sliced from the same refs by the program's q offset.
+    """
+    block_q, d = q_ref.shape
+    s = k_ref.shape[0]
+    num_kb = s // block_k
+    needs_mask = valid_len < s
+
+    j = pl.program_id(1)
+    q_cos = cos_ref[pl.ds(j * block_q, block_q), :]
+    q_sin = sin_ref[pl.ds(j * block_q, block_q), :]
+    q = _apply_split_rope_f32(q_ref[:].astype(jnp.float32), q_cos, q_sin) * scale
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_raw = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_cos = cos_ref[pl.ds(kb * block_k, block_k), :]
+        k_sin = sin_ref[pl.ds(kb * block_k, block_k), :]
+        k = _apply_split_rope_f32(k_raw, k_cos, k_sin)
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if needs_mask:
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_split_rope(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Self-attention over (B, S, H, D) with split-RoPE fused into the kernel.
+
+    cos/sin: (B, H, S, D/2) fp32 RoPE tables (the DiT's SPLIT layout,
+    models/ltx/rope.py). Saves the q/k RoPE materialization round trips
+    through HBM (the "fused 3D RoPE" hot-path item).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, s, h, d = q.shape
+
+    block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
+
+    def to_heads(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, x.shape[-1])
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    cos_h = cos.astype(jnp.float32).reshape(b * h, s, d // 2)
+    sin_h = sin.astype(jnp.float32).reshape(b * h, s, d // 2)
+    if s_pad != s:
+        cos_h = jnp.pad(cos_h, ((0, 0), (0, s_pad - s), (0, 0)), constant_values=1.0)
+        sin_h = jnp.pad(sin_h, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    grid = (b * h, s_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_rope_kernel, block_k=block_k, scale=scale, valid_len=s
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d // 2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d // 2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, cos_h, sin_h)
+
+    out = out[:, :s].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -71,3 +71,80 @@ def test_cross_attention_stays_on_xla(rng):
         assert out.shape == (1, 64, 256)
     finally:
         use_pallas_flash(False)
+
+
+def test_fused_split_rope_matches_unfused(rng):
+    from mlx_video_tpu.models.ltx.rope import apply_split_rotary_emb
+    from mlx_video_tpu.ops.flash_attention import flash_attention_split_rope
+
+    b, s, h, d = 1, 384, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    theta = rng.normal(size=(b, h, s, d // 2)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(theta)), jnp.asarray(np.sin(theta))
+
+    # unfused reference: rope on (B, H, S, D) then attention
+    q_bhsd = jnp.transpose(q, (0, 2, 1, 3))
+    k_bhsd = jnp.transpose(k, (0, 2, 1, 3))
+    q_roped = jnp.transpose(apply_split_rotary_emb(q_bhsd, cos, sin), (0, 2, 1, 3))
+    k_roped = jnp.transpose(apply_split_rotary_emb(k_bhsd, cos, sin), (0, 2, 1, 3))
+    ref = _ref_attention(q_roped, k_roped, v, d**-0.5)
+
+    out = flash_attention_split_rope(
+        q, k, v, cos, sin, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_split_rope_ragged(rng):
+    from mlx_video_tpu.models.ltx.rope import apply_split_rotary_emb
+    from mlx_video_tpu.ops.flash_attention import flash_attention_split_rope
+
+    b, s, h, d = 1, 300, 1, 128  # not a block multiple
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    theta = rng.normal(size=(b, h, s, d // 2)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(theta)), jnp.asarray(np.sin(theta))
+    q_roped = jnp.transpose(
+        apply_split_rotary_emb(jnp.transpose(q, (0, 2, 1, 3)), cos, sin), (0, 2, 1, 3)
+    )
+    ref = _ref_attention(q_roped, q_roped, q, d**-0.5)
+    out = flash_attention_split_rope(q, q, q, cos, sin, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_model_fused_path_matches_unfused(rng):
+    """SPLIT-rope DiT forward with the fused kernel equals the XLA path."""
+    import mlx_video_tpu.ops.flash_attention as fa
+    from mlx_video_tpu.ops.attention import use_fused_rope
+    from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType
+    from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+    from mlx_video_tpu.pipelines.positions import create_position_grid
+
+    cfg = LTXModelConfig(
+        model_type=LTXModelType.VideoOnly, num_attention_heads=2, attention_head_dim=128,
+        in_channels=16, out_channels=16, num_layers=2, cross_attention_dim=256,
+        caption_channels=48, rope_type=LTXRopeType.SPLIT,
+    )
+    params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    b, f, h, w = 1, 2, 12, 12  # 288 tokens >= 256 threshold
+    latent = jnp.asarray(rng.normal(size=(b, f * h * w, 16)).astype(np.float32))
+    video = Modality(
+        latent=latent,
+        timesteps=jnp.full((b, f * h * w), 0.5),
+        context=jnp.asarray(rng.normal(size=(b, 8, 48)).astype(np.float32)),
+        positions=jnp.asarray(create_position_grid(b, f, h, w)),
+    )
+    ref, _ = ltx_apply(params, cfg, video=video)
+
+    orig = fa.flash_attention_split_rope
+    try:
+        fa.flash_attention_split_rope = lambda *a, **kw: orig(*a, **kw, interpret=True)
+        use_pallas_flash(True)
+        use_fused_rope(True)
+        fused, _ = ltx_apply(params, cfg, video=video)
+    finally:
+        use_pallas_flash(False)
+        use_fused_rope(False)
+        fa.flash_attention_split_rope = orig
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4, rtol=1e-3)
