@@ -46,6 +46,12 @@ class SafetensorsReader:
 
     def __init__(self, path: Union[str, Path]):
         self.path = Path(path)
+        try:  # native readahead hint for the sequential mmap stream
+            from mlx_video_tpu.io.prefetch import advise_willneed
+
+            advise_willneed(self.path)
+        except Exception:
+            pass
         with open(self.path, "rb") as f:
             header_len = struct.unpack("<Q", f.read(8))[0]
             header = json.loads(f.read(header_len))
@@ -89,6 +95,24 @@ class SafetensorsReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def parse_safetensors_bytes(data: bytes) -> Dict[str, np.ndarray]:
+    """Parse a whole safetensors payload already in memory (e.g. delivered by
+    the native file prefetcher) into name -> array. Arrays are views into
+    ``data`` — copy if the buffer's lifetime is shorter than the arrays'."""
+    header_len = struct.unpack("<Q", data[:8])[0]
+    header = json.loads(data[8 : 8 + header_len])
+    header.pop("__metadata__", None)
+    base = 8 + header_len
+    out: Dict[str, np.ndarray] = {}
+    for key, meta in header.items():
+        dt = _DTYPES[meta["dtype"]]
+        start, end = meta["data_offsets"]
+        arr = np.frombuffer(data, dtype=dt, count=(end - start) // np.dtype(dt).itemsize,
+                            offset=base + start)
+        out[key] = arr.reshape(tuple(meta["shape"]))
+    return out
 
 
 def scan_keys(paths: Sequence[Union[str, Path]]) -> set:

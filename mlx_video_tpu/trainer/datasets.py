@@ -19,11 +19,21 @@ from mlx_video_tpu.io.safetensors import SafetensorsReader
 PRECOMPUTED_DIR_NAME = ".precomputed"
 
 
-def _load_any(path: Path) -> Dict[str, Any]:
+def _load_any(path: Path, raw: Optional[bytes] = None) -> Dict[str, Any]:
     if path.suffix == ".npz":
-        data = np.load(path, allow_pickle=True)
+        if raw is not None:
+            import io
+
+            data = np.load(io.BytesIO(raw), allow_pickle=True)
+        else:
+            data = np.load(path, allow_pickle=True)
         return {k: data[k] for k in data.files}
     if path.suffix == ".safetensors":
+        if raw is not None:
+            from mlx_video_tpu.io.safetensors import parse_safetensors_bytes
+
+            # copy: the arrays must outlive the prefetch buffer
+            return {k: np.array(v) for k, v in parse_safetensors_bytes(raw).items()}
         with SafetensorsReader(path) as r:
             return {k: np.asarray(r.get(k)) for k in r.keys()}
     raise ValueError(f"Unsupported file type: {path}")
@@ -174,11 +184,21 @@ class PrecomputedDataset:
     def __len__(self) -> int:
         return len(next(iter(self.sample_files.values())))
 
+    # background IO (mlx_video_tpu/io/prefetch.py); set by iter_batches
+    _fetcher = None
+
+    def sample_paths(self, index: int) -> List[Path]:
+        return [
+            self.source_paths[dir_name] / self.sample_files[out_key][index]
+            for dir_name, out_key in self.data_sources.items()
+        ]
+
     def __getitem__(self, index: int) -> Batch:
         result: Dict[str, Dict[str, Any]] = {}
         for dir_name, out_key in self.data_sources.items():
             path = self.source_paths[dir_name] / self.sample_files[out_key][index]
-            result[out_key] = _load_any(path)
+            raw = self._fetcher.get(path) if self._fetcher is not None else None
+            result[out_key] = _load_any(path, raw=raw)
         latents = result.get("latents")
         if latents is not None:
             latents = normalize_video_latents(latents)
@@ -224,11 +244,42 @@ def collate_batches(batches: List[Batch]) -> Batch:
     )
 
 
-def iter_batches(dataset, batch_size: int, shuffle: bool = True, seed: int = 0) -> Iterator[Batch]:
-    """Endless-enough epoch iterator (reference: datasets.py:275-283)."""
+def iter_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefetch: int = 2,
+    prefetch_threads: int = 4,
+) -> Iterator[Batch]:
+    """Endless-enough epoch iterator (reference: datasets.py:275-283).
+
+    When the dataset exposes ``sample_paths`` (PrecomputedDataset), the next
+    ``prefetch`` batches' files are read on background threads (native C++
+    pool when available) so disk IO overlaps the on-device train step.
+    """
     idxs = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idxs)
-    for i in range(0, len(dataset), batch_size):
+    starts = list(range(0, len(dataset), batch_size))
+
+    if prefetch > 0 and hasattr(dataset, "sample_paths"):
+        from mlx_video_tpu.io.prefetch import FilePrefetcher
+
+        with FilePrefetcher(prefetch_threads) as fetcher:
+            dataset._fetcher = fetcher
+            try:
+                for bi, i in enumerate(starts):
+                    for j in starts[bi : bi + 1 + prefetch]:
+                        for idx in idxs[j : j + batch_size]:
+                            for p in dataset.sample_paths(int(idx)):
+                                fetcher.submit(p)
+                    chunk = idxs[i : i + batch_size]
+                    yield collate_batches([dataset[int(j)] for j in chunk])
+            finally:
+                dataset._fetcher = None
+        return
+
+    for i in starts:
         chunk = idxs[i : i + batch_size]
         yield collate_batches([dataset[int(j)] for j in chunk])
