@@ -110,11 +110,30 @@ def _double(x):
     return jnp.concatenate([x, x], axis=0)
 
 
-def _denoise_step(params, bundle, config, cfg_scale, use_cfg, enable_audio, carry, sig_pair):
+def _host_step_event(step, sigma, total: int):
+    from mlx_video_tpu.utils.profiling import step_event
+
+    step_event(int(step) + 1, total, sigma=float(sigma))
+
+
+def _denoise_step(
+    params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, carry, xs
+):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
-    arrays (contexts, positions, RoPE tables, masks, conditioning state)."""
+    arrays (contexts, positions, RoPE tables, masks, conditioning state).
+
+    With ``progress`` set, each step emits a host-side progress event via
+    ``jax.debug.callback`` — the TPU-native counterpart of the reference's
+    per-step echo (generate.py:765-775): the sigma loop stays ONE compiled
+    ``lax.scan`` and progress still streams as device steps retire.
+    """
     v_lat, a_lat = carry
+    sig_pair, step_idx = xs
     sigma, sigma_next = sig_pair[0], sig_pair[1]
+    if progress:
+        jax.debug.callback(
+            partial(_host_step_event, total=num_steps), step_idx, sigma, ordered=True
+        )
     dtype = v_lat.dtype if not enable_audio or v_lat.ndim == 5 else a_lat.dtype
 
     video_mod = None
@@ -174,16 +193,28 @@ def _denoise_step(params, bundle, config, cfg_scale, use_cfg, enable_audio, carr
     return (v_out, a_out), None
 
 
-@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio"))
-def _denoise_scan(params, bundle, init, sig_pairs, config, cfg_scale, use_cfg, enable_audio):
-    step = partial(_denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio)
-    (v, a), _ = jax.lax.scan(step, init, sig_pairs)
+@partial(
+    jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress")
+)
+def _denoise_scan(
+    params, bundle, init, sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False
+):
+    num_steps = sig_pairs.shape[0]
+    step = partial(
+        _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
+        progress, num_steps,
+    )
+    xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
+    (v, a), _ = jax.lax.scan(step, init, xs)
     return v, a
 
 
 @partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio"))
 def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio):
-    out, _ = _denoise_step(params, bundle, config, cfg_scale, use_cfg, enable_audio, carry, sig_pair)
+    out, _ = _denoise_step(
+        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1,
+        carry, (sig_pair, jnp.int32(0)),
+    )
     return out
 
 
@@ -278,9 +309,12 @@ def denoise(
     init = (latents, audio_latents if enable_audio else jnp.zeros((0,), dtype=latents.dtype))
 
     if progress_callback is None:
+        from mlx_video_tpu.utils.profiling import progress_echo_enabled
+
         v, a = _denoise_scan(
             params, bundle, init, sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
+            progress=progress_echo_enabled(),
         )
     else:
         carry = init
@@ -319,9 +353,12 @@ def denoise_audio_only(
     init = (jnp.zeros((0,), dtype=audio_latents.dtype), audio_latents)
 
     if progress_callback is None:
+        from mlx_video_tpu.utils.profiling import progress_echo_enabled
+
         _, a = _denoise_scan(
             params, bundle, init, sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=True,
+            progress=progress_echo_enabled(),
         )
         return a
     carry = init

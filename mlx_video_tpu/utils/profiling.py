@@ -23,6 +23,34 @@ def ui_event(payload: dict) -> None:
         print("MLX_VIDEO_UI_EVENT " + json.dumps(payload), flush=True)
 
 
+def progress_echo_enabled() -> bool:
+    """Whether per-step denoise progress should be emitted
+    (reference: generate.py:43-61 UI json + 765-775 plain echo)."""
+    return (
+        os.environ.get("MLX_VIDEO_UI_JSON") == "1"
+        or os.environ.get("MLX_VIDEO_PROGRESS_ECHO") == "1"
+    )
+
+
+def step_event(step: int, total: int, sigma: Optional[float] = None) -> None:
+    """Per-denoise-step progress line (reference: generate.py:765-775 echo,
+    858-876 per-step ETA). Called from a ``jax.debug.callback`` inside the
+    scanned sigma loop, so progress streams while the loop stays one
+    compiled program."""
+    if os.environ.get("MLX_VIDEO_PROGRESS_ECHO") == "1":
+        try:
+            every = int(os.environ.get("MLX_VIDEO_PROGRESS_ECHO_EVERY", "1") or 1)
+        except ValueError:
+            every = 1
+        if step % every == 0 or step == total:
+            extra = f" sigma={sigma:.4f}" if sigma is not None else ""
+            print(f"progress: denoise step {step}/{total}{extra}", flush=True)
+    payload = {"kind": "denoise_step", "step": step, "total": total}
+    if sigma is not None:
+        payload["sigma"] = sigma
+    ui_event(payload)
+
+
 class PhaseTimer:
     """Accumulates wall-clock per named phase (reference: generate.py:64-94)."""
 

@@ -120,6 +120,19 @@ class TestDenoise:
         assert calls == [(1, 2), (2, 2)]
         np.testing.assert_allclose(np.asarray(v_scan), np.asarray(v_loop), atol=2e-5)
 
+    def test_scan_progress_events(self, video_setup, monkeypatch, capsys):
+        """With echo enabled the scanned loop streams per-step progress via
+        jax.debug.callback — same result, no python loop."""
+        cfg, params, latents, positions, context, _ = video_setup
+        sigmas = subsample_sigmas(STAGE_1_SIGMAS, 3)
+        base, _ = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        monkeypatch.setenv("MLX_VIDEO_PROGRESS_ECHO", "1")
+        out, _ = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        jax.effects_barrier()
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("progress:")]
+        assert [l.split()[3] for l in lines] == ["1/3", "2/3", "3/3"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5)
+
     def test_cfg_batched_matches_two_forwards(self, video_setup):
         """One batched 2B CFG forward must equal two separate forwards."""
         cfg, params, latents, positions, context, neg = video_setup
