@@ -47,6 +47,13 @@ def load_gemma_weights(path: Path, config: Gemma3TextConfig, dtype=jnp.bfloat16)
     Accepts keys with or without a "language_model." / "model." prefix;
     linear weights transpose from (out, in) to our (in, out); per-layer
     tensors stack along the scan axis.
+
+    Quantized (MLX-format) repos are detected per-leaf by uint32-packed
+    ``weight`` + sibling ``scales``/``biases`` tensors
+    (reference: text_encoder.py:222-249 quantized-repo support). Quantized
+    linears load as ``quant_weight``/``scales``/``biases`` (dequantized
+    inside the matmul by ops/linear.py); the token embedding is dequantized
+    at load (the lookup table is needed densely anyway).
     """
     np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(dtype)
     files = _gemma_weight_files(Path(path))
@@ -65,8 +72,8 @@ def load_gemma_weights(path: Path, config: Gemma3TextConfig, dtype=jnp.bfloat16)
         if k.startswith("model."):
             k = k[len("model.") :]
         parts = k.split(".")
-        if parts[0] == "embed_tokens" and parts[-1] == "weight":
-            top[("embed_tokens", "weight")] = get()
+        if parts[0] == "embed_tokens" and parts[-1] in ("weight", "scales", "biases"):
+            top[("embed_tokens", parts[-1])] = get()
         elif parts[0] == "norm" and parts[-1] == "weight":
             top[("norm", "weight")] = get()
         elif parts[0] == "layers":
@@ -85,8 +92,21 @@ def load_gemma_weights(path: Path, config: Gemma3TextConfig, dtype=jnp.bfloat16)
             arr = arr.astype(np_dtype)
         return arr
 
+    embed = np.asarray(top[("embed_tokens", "weight")])
+    if embed.dtype == np.uint32:  # quantized embedding -> dense lookup table
+        from mlx_video_tpu.ops.quant import dequantize_affine
+
+        embed = np.asarray(
+            dequantize_affine(
+                jnp.asarray(embed),
+                jnp.asarray(np.asarray(top[("embed_tokens", "scales")])),
+                jnp.asarray(np.asarray(top[("embed_tokens", "biases")])),
+                dtype=dtype,
+                in_dim=config.hidden_size,
+            )
+        )
     params: dict = {
-        "embed_tokens": {"weight": jnp.asarray(cast(top[("embed_tokens", "weight")]))},
+        "embed_tokens": {"weight": jnp.asarray(cast(embed))},
         "norm": {"weight": jnp.asarray(cast(top[("norm", "weight")]))},
         "layers": {},
     }
@@ -95,17 +115,19 @@ def load_gemma_weights(path: Path, config: Gemma3TextConfig, dtype=jnp.bfloat16)
     for sub, by_layer in staged_layers.items():
         if len(by_layer) != L:
             raise ValueError(f"Gemma leaf {'.'.join(sub)} has {len(by_layer)}/{L} layers")
+        quantized = sub[-1] == "weight" and np.asarray(by_layer[0]).dtype == np.uint32
+        transpose = sub[-1] == "weight" and sub[-2] in _GEMMA_LIN and not quantized
         mats = []
-        transpose = sub[-1] == "weight" and sub[-2] in _GEMMA_LIN
         for i in range(L):
             arr = cast(by_layer[i])
             if transpose:
                 arr = arr.T
             mats.append(arr)
+        leaf = "quant_weight" if quantized else sub[-1]
         node = layers_tree
         for part in sub[:-1]:
             node = node.setdefault(part, {})
-        node[sub[-1]] = jnp.asarray(np.stack(mats, axis=0))
+        node[leaf] = jnp.asarray(np.stack(mats, axis=0))
     params["layers"] = layers_tree
     return params
 

@@ -195,3 +195,85 @@ class TestDitLoad:
         assert set(flat_ref) == set(flat_loaded)
         for k in flat_ref:
             np.testing.assert_array_equal(np.asarray(flat_loaded[k]), np.asarray(flat_ref[k]))
+
+
+class TestGemmaWeights:
+    """load_gemma_weights: dense and quantized (MLX-format) repos."""
+
+    def _tiny(self):
+        from mlx_video_tpu.models.gemma3 import Gemma3TextConfig
+
+        return Gemma3TextConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            intermediate_size=64, sliding_window=4, sliding_window_pattern=2,
+            query_pre_attn_scalar=16.0,
+        )
+
+    def _export_hf(self, params, quantize=False, group_size=32, bits=8):
+        """Our pytree -> HF/MLX key layout ((out, in) linears)."""
+        import jax
+
+        from mlx_video_tpu.ops.quant import quantize_affine
+
+        lin = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+        out = {}
+
+        def emit(key, arr, is_linear):
+            arr = np.asarray(arr, np.float32)
+            if is_linear:
+                arr = arr.T  # ours (in, out) -> theirs (out, in)
+            if quantize and (is_linear or key.endswith("embed_tokens.weight")):
+                pw, sc, bi = quantize_affine(jnp.asarray(arr), group_size, bits)
+                out[key] = np.asarray(pw)
+                out[key[: -len("weight")] + "scales"] = np.asarray(sc)
+                out[key[: -len("weight")] + "biases"] = np.asarray(bi)
+            else:
+                out[key] = arr
+
+        emit("model.embed_tokens.weight", params["embed_tokens"]["weight"], False)
+        out["model.norm.weight"] = np.asarray(params["norm"]["weight"], np.float32)
+        flat = jax.tree_util.tree_flatten_with_path(params["layers"])[0]
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            L = leaf.shape[0]
+            for i in range(L):
+                key = f"model.layers.{i}." + ".".join(parts)
+                emit(key, leaf[i], parts[-1] == "weight" and parts[-2] in lin)
+        return out
+
+    def test_dense_round_trip(self, tmp_path):
+        from mlx_video_tpu.io.text_encoder_weights import load_gemma_weights
+        from mlx_video_tpu.models.gemma3 import gemma3_hidden_states, init_gemma3_params
+
+        cfg = self._tiny()
+        ref = init_gemma3_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        save_safetensors(tmp_path / "model.safetensors", self._export_hf(ref))
+        loaded = load_gemma_weights(tmp_path, cfg, dtype=jnp.float32)
+        tokens = jnp.array([[3, 9, 27, 41]])
+        mask = jnp.ones((1, 4), dtype=bool)
+        ref_h = gemma3_hidden_states(ref, cfg, tokens, mask)[-1]
+        got_h = gemma3_hidden_states(loaded, cfg, tokens, mask)[-1]
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h), atol=1e-5, rtol=1e-5)
+
+    def test_quantized_round_trip(self, tmp_path):
+        from mlx_video_tpu.io.text_encoder_weights import load_gemma_weights
+        from mlx_video_tpu.models.gemma3 import gemma3_hidden_states, init_gemma3_params
+
+        cfg = self._tiny()
+        ref = init_gemma3_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        save_safetensors(
+            tmp_path / "model.safetensors", self._export_hf(ref, quantize=True)
+        )
+        loaded = load_gemma_weights(tmp_path, cfg, dtype=jnp.float32)
+        q = loaded["layers"]["self_attn"]["q_proj"]
+        assert "quant_weight" in q and "scales" in q and "biases" in q
+        assert q["quant_weight"].dtype == jnp.uint32
+        tokens = jnp.array([[3, 9, 27, 41]])
+        mask = jnp.ones((1, 4), dtype=bool)
+        ref_h = gemma3_hidden_states(ref, cfg, tokens, mask)[-1]
+        got_h = gemma3_hidden_states(loaded, cfg, tokens, mask)[-1]
+        # 8-bit group-32 quantization error only
+        err = np.max(np.abs(np.asarray(got_h) - np.asarray(ref_h)))
+        scale = np.max(np.abs(np.asarray(ref_h)))
+        assert err < 0.05 * scale, (err, scale)
