@@ -63,6 +63,44 @@ def pixel_shuffle_2d(x: jax.Array, r: int = 2) -> jax.Array:
     return rearrange(x, "n h w (c rh rw) -> n (h rh) (w rw) c", rh=r, rw=r)
 
 
+def blur_down(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Antialiased spatial downsample: 5x5 box blur then stride subsample.
+
+    Reference: upsampler.py:152-154 defines exactly this ``blur_down_kernel``
+    (ones(5,5)/25) on SpatialRationalResampler; the reference forward never
+    applies it (its scale is pinned to 2.0), but it is the documented
+    antialiasing path for rational scales. x: (N, H, W, C).
+    """
+    n, h, w, c = x.shape
+    kernel = jnp.full((5, 5, 1, 1), 1.0 / 25.0, dtype=x.dtype)
+    xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, 1, h, w)
+    blurred = jax.lax.conv_general_dilated(
+        xc, kernel, window_strides=(factor, factor), padding=[(2, 2), (2, 2)],
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+    _, _, h2, w2 = blurred.shape
+    return jnp.transpose(blurred.reshape(n, c, h2, w2), (0, 2, 3, 1))
+
+
+def spatial_rational_resample(params: dict, x: jax.Array, scale: float = 2.0) -> jax.Array:
+    """SpatialRationalResampler: per-frame conv -> pixel-shuffle 2x, then an
+    antialiased blur-downsample for rational scales 2/q
+    (reference: upsampler.py:142-174; scale=2.0 reproduces the reference
+    forward exactly). x: (B, F, H, W, C) channels-last."""
+    b, f, h, w, c = x.shape
+    x2 = x.reshape(b * f, h, w, c)
+    x2 = conv2d(params["conv"], x2, stride=1, padding=1)
+    x2 = pixel_shuffle_2d(x2, 2)
+    if scale != 2.0:
+        q = round(2.0 / scale)
+        if abs(2.0 / q - scale) > 1e-6 or q < 1:
+            raise ValueError(f"Unsupported rational scale {scale} (need 2/q)")
+        if q > 1:
+            x2 = blur_down(x2, factor=q)
+    h2, w2 = x2.shape[1], x2.shape[2]
+    return x2.reshape(b, f, h2, w2, c)
+
+
 def init_latent_upsampler(
     key: jax.Array, in_channels: int = 128, mid_channels: int = 1024, num_blocks: int = 4, dtype=jnp.float32
 ) -> dict:
@@ -91,11 +129,7 @@ def latent_upsampler_apply(params: dict, latent: jax.Array) -> jax.Array:
         x = res_block_3d(params["res_blocks"][i], x)
 
     # Per-frame 2D conv + pixel shuffle 2x (reference: upsampler.py:142-174).
-    b, f, h, w, c = x.shape
-    x2 = x.reshape(b * f, h, w, c)
-    x2 = conv2d(params["upsampler"]["conv"], x2, stride=1, padding=1)
-    x2 = pixel_shuffle_2d(x2, 2)
-    x = x2.reshape(b, f, h * 2, w * 2, c)
+    x = spatial_rational_resample(params["upsampler"], x, scale=2.0)
 
     for i in sorted(params["post_upsample_res_blocks"], key=int):
         x = res_block_3d(params["post_upsample_res_blocks"][i], x)

@@ -225,6 +225,31 @@ class TestUpsampler:
         assert out.shape == (1, 8, 2, 8, 8)
         assert np.all(np.isfinite(np.asarray(out)))
 
+
+
+    def test_blur_down_constant_preserved(self, rng):
+        from mlx_video_tpu.models.ltx.upsampler import blur_down
+
+        x = jnp.full((1, 8, 8, 3), 2.5, dtype=jnp.float32)
+        out = blur_down(x, factor=2)
+        assert out.shape == (1, 4, 4, 3)
+        # interior of a constant field is unchanged by a box blur
+        np.testing.assert_allclose(np.asarray(out[:, 1:-1, 1:-1]), 2.5, atol=1e-6)
+
+    def test_rational_resample_scales(self, rng):
+        from mlx_video_tpu.models.ltx.upsampler import spatial_rational_resample
+
+        params = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1)
+        x = jnp.asarray(rng.normal(size=(1, 2, 4, 4, 32)).astype(np.float32))
+        up2 = spatial_rational_resample(params["upsampler"], x, scale=2.0)
+        assert up2.shape == (1, 2, 8, 8, 32)
+        same = spatial_rational_resample(params["upsampler"], x, scale=1.0)
+        assert same.shape == (1, 2, 4, 4, 32)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            spatial_rational_resample(params["upsampler"], x, scale=1.7)
+
     def test_upsample_latents_identity_stats(self, rng):
         params = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1)
         latent = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
