@@ -52,6 +52,36 @@ def _flash_eligible(q: jax.Array, k: jax.Array, bias) -> bool:
     )
 
 
+# The cross kernel is opt-in: standalone it beats XLA ~1.9x (351us vs
+# 653us at 1280q x 128kv x 16h on v5e), but inside the full 48-layer DiT
+# graph routing it REGRESSES the step ~5% (58.3 -> 61.4ms) — XLA fuses the
+# small-KV attention with the surrounding projections, while the pallas
+# call forces a layout boundary. Measured 2026-08; revisit on new toolchains.
+_USE_CROSS_KERNEL: bool = os.environ.get("MLX_VIDEO_TPU_CROSS_KERNEL", "") == "1"
+
+
+def use_cross_kernel(enable: bool = True) -> None:
+    global _USE_CROSS_KERNEL
+    _USE_CROSS_KERNEL = enable
+
+
+def _cross_eligible(q: jax.Array, k: jax.Array, bias) -> bool:
+    """Short-KV cross-attention shapes for the whole-KV-in-VMEM kernel:
+    caption KV small enough to keep resident, per-key-only bias (the
+    (B,1,1,Skv) caption padding mask), lane-aligned head dim."""
+    return (
+        _USE_CROSS_KERNEL
+        and q.shape[1] != k.shape[1]
+        and k.shape[1] <= 1024
+        and q.shape[-1] % 128 == 0
+        and q.shape[1] >= 256
+        and (
+            bias is None
+            or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1)
+        )
+    )
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -72,6 +102,13 @@ def sdpa(
         from mlx_video_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    if use_flash and _cross_eligible(q, k, bias):
+        from mlx_video_tpu.ops.flash_attention import flash_cross_attention
+
+        bias_rows = None
+        if bias is not None:
+            bias_rows = bias.reshape(bias.shape[0], bias.shape[-1])
+        return flash_cross_attention(q, k, v, bias=bias_rows, scale=scale)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
 
 

@@ -41,14 +41,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, val
     num_kb = s // block_k
     needs_mask = valid_len < s
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # Keep q/k in the input dtype for the MXU dot (bf16 inputs run ~8x
+    # faster than fp32 on the systolic array); accumulation is fp32 via
+    # preferred_element_type, and the scale is applied to the fp32 logits.
+    q = q_ref[:]
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
         k = k_ref[pl.ds(kb * block_k, block_k), :]
         v = v_ref[pl.ds(kb * block_k, block_k), :]
-        logits = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+        logits = scale * jax.lax.dot_general(
+            q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (block_q, block_k)
@@ -177,16 +180,19 @@ def _flash_rope_kernel(
     j = pl.program_id(1)
     q_cos = cos_ref[pl.ds(j * block_q, block_q), :]
     q_sin = sin_ref[pl.ds(j * block_q, block_q), :]
-    q = _apply_split_rope_f32(q_ref[:].astype(jnp.float32), q_cos, q_sin) * scale
+    # RoPE rotates in fp32 (parity with the unfused path) but the MXU dot
+    # takes bf16 operands with fp32 accumulation; scale applies post-dot.
+    in_dtype = q_ref.dtype
+    q = _apply_split_rope_f32(q_ref[:].astype(jnp.float32), q_cos, q_sin).astype(in_dtype)
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
         k_raw = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         k_cos = cos_ref[pl.ds(kb * block_k, block_k), :]
         k_sin = sin_ref[pl.ds(kb * block_k, block_k), :]
-        k = _apply_split_rope_f32(k_raw, k_cos, k_sin)
+        k = _apply_split_rope_f32(k_raw, k_cos, k_sin).astype(in_dtype)
         v = v_ref[pl.ds(kb * block_k, block_k), :]
-        logits = jax.lax.dot_general(
+        logits = scale * jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -271,4 +277,106 @@ def flash_attention_split_rope(
     )(qh, kh, vh, cos_h, sin_h)
 
     out = out[:, :s].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention (short KV) kernel
+# ---------------------------------------------------------------------------
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, valid_len: int):
+    """One (batch*head, q-block) of text cross-attention.
+
+    q_ref: (block_q, d); k_ref/v_ref: (S_kv_pad, d); bias_ref: (1, S_kv_pad)
+    additive per-key bias (the caption padding mask). The whole KV fits in
+    VMEM, so the (block_q, S_kv) logits never round-trip through HBM —
+    unlike the XLA path, which materializes fp32 logits + softmax
+    (bandwidth-bound at DiT geometry: 1280 queries x 128 caption tokens).
+    """
+    s_kv = k_ref.shape[0]
+    q = q_ref[:]
+    k = k_ref[:]
+    logits = scale * jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, s_kv)
+    logits = logits + bias_ref[:]  # (1, s_kv) broadcasts over the q block
+    if valid_len < s_kv:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (out / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cross-attention over (B, Sq, H, D) queries and (B, Skv, H, D) keys.
+
+    ``bias``: optional additive (B, Skv) per-key bias (from the (B,1,1,Skv)
+    caption mask, models/ltx/model.py:_context_bias). Softmax is single-pass
+    in fp32 — KV is short enough to keep entirely in VMEM.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+
+    s128 = _round_up(sq, 128)
+    bq = block_q
+    while bq > 128 and bq > s128:
+        bq //= 2
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, 128)
+
+    def to_heads(x, s, s_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh = to_heads(q, sq, sq_pad)
+    kh = to_heads(k, skv, skv_pad)
+    vh = to_heads(v, skv, skv_pad)
+    if bias is None:
+        bias_rows = jnp.zeros((b, skv_pad), dtype=jnp.float32)
+    else:
+        bias_rows = bias.astype(jnp.float32)
+        if skv_pad != skv:
+            bias_rows = jnp.pad(bias_rows, ((0, 0), (0, skv_pad - skv)))
+
+    grid = (b * h, sq_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, scale=scale, valid_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, skv_pad), lambda i, j, h=h: (i // h, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, bias_rows)
+
+    out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))

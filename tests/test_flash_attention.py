@@ -138,8 +138,10 @@ def test_model_fused_path_matches_unfused(rng):
     ref, _ = ltx_apply(params, cfg, video=video)
 
     orig = fa.flash_attention_split_rope
+    orig_cross = fa.flash_cross_attention
     try:
         fa.flash_attention_split_rope = lambda *a, **kw: orig(*a, **kw, interpret=True)
+        fa.flash_cross_attention = lambda *a, **kw: orig_cross(*a, **kw, interpret=True)
         use_pallas_flash(True)
         use_fused_rope(True)
         fused, _ = ltx_apply(params, cfg, video=video)
@@ -147,4 +149,66 @@ def test_model_fused_path_matches_unfused(rng):
         use_pallas_flash(False)
         use_fused_rope(False)
         fa.flash_attention_split_rope = orig
+        fa.flash_cross_attention = orig_cross
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_cross_kernel_matches_reference(rng):
+    from mlx_video_tpu.ops.flash_attention import flash_cross_attention
+
+    b, sq, skv, h, d = 2, 300, 100, 2, 128  # ragged both ways
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    ref = _ref_attention(q, k, v, d**-0.5)
+    out = flash_cross_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_cross_kernel_bias_mask(rng):
+    from mlx_video_tpu.ops.flash_attention import flash_cross_attention
+
+    b, sq, skv, h, d = 1, 256, 128, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    mask = np.ones((b, skv), np.float32)
+    mask[:, 40:] = 0.0
+    bias_rows = jnp.asarray((mask - 1.0) * 1e9)
+    ref = jax.nn.dot_product_attention(
+        q, k, v, bias=bias_rows.reshape(b, 1, 1, skv), scale=d**-0.5
+    )
+    out = flash_cross_attention(q, k, v, bias=bias_rows, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_sdpa_routes_cross_kernel(rng):
+    """sdpa_flat with short KV + (B,1,1,Skv) bias routes through the cross
+    kernel (when opted in) and matches XLA."""
+    import mlx_video_tpu.ops.flash_attention as fa
+    from mlx_video_tpu.ops.attention import use_cross_kernel
+
+    b, sq, skv, heads, d = 1, 256, 128, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, sq, heads * d)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(b, skv, heads * d)).astype(np.float32))
+    mask = np.ones((b, skv), np.float32)
+    mask[:, 100:] = 0.0
+    bias = jnp.asarray((mask - 1.0) * 1e9).reshape(b, 1, 1, skv)
+    base = sdpa_flat(q, kv, kv, heads, bias=bias)
+    orig = fa.flash_cross_attention
+    calls = []
+    try:
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw, interpret=True)
+
+        fa.flash_cross_attention = spy
+        use_pallas_flash(True)
+        use_cross_kernel(True)
+        out = sdpa_flat(q, kv, kv, heads, bias=bias)
+    finally:
+        use_pallas_flash(False)
+        use_cross_kernel(False)
+        fa.flash_cross_attention = orig
+    assert calls, "cross kernel was not routed"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=5e-5, rtol=1e-4)
