@@ -53,33 +53,80 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage2-dev", action="store_true")
     p.add_argument("--stage2-model-repo", default=None)
     p.add_argument("--image", action="append", nargs="+", default=[])
+    p.add_argument("--condition-image", default=None,
+                   help="Single conditioning image (combine with --image-frame-idx/"
+                        "--image-strength); equivalent to one --image entry")
+    p.add_argument("--image-frame-idx", type=int, default=0)
+    p.add_argument("--image-strength", type=float, default=1.0)
     p.add_argument("--video-conditioning", action="append", nargs="+", default=[])
+    p.add_argument("--reference-video", default=None,
+                   help="Alias for --video-conditioning PATH 0 1.0 (IC-LoRA)")
     p.add_argument("--conditioning-mode", default="replace", choices=["replace", "guide"])
     p.add_argument("--lora", "--lora-path", action="append", default=[], dest="lora")
     p.add_argument("--lora-strength", type=float, default=1.0)
     p.add_argument("--distilled-lora", action="append", default=[])
     p.add_argument("--audio", action="store_true")
+    p.add_argument("--skip-audio", action="store_true",
+                   help="Force audio off even for AV checkpoints")
     p.add_argument("--audio-mode", default="auto", choices=["auto", "joint", "separate"])
+    p.add_argument("--audio-steps", type=int, default=8,
+                   help="Denoise steps for separate audio generation")
+    p.add_argument("--audio-filter", default=None,
+                   help="ffmpeg -af filter chain applied when muxing audio")
+    p.add_argument("--audio-model-repo", default=None,
+                   help="Separate repo for the AudioOnly transformer")
     p.add_argument("--output-audio", default=None)
     p.add_argument("--enhance-prompt", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.7,
+                   help="Prompt-enhancement sampling temperature")
+    p.add_argument("--max-tokens", type=int, default=512,
+                   help="Prompt-enhancement max new tokens")
     p.add_argument("--stream", action="store_true")
     p.add_argument("--tiling", default="auto",
                    choices=["auto", "none", "default", "aggressive", "conservative",
                             "spatial", "temporal"])
     p.add_argument("--video-encoder", default="ffmpeg", choices=["ffmpeg", "cv2"])
     p.add_argument("--checkpoint-path", "--checkpoint", default=None, dest="checkpoint_path")
-    p.add_argument("--gemma-root", "--text-encoder-path", default=None, dest="text_encoder_path")
+    p.add_argument("--gemma-root", "--text-encoder-path", "--text-encoder-repo",
+                   default=None, dest="text_encoder_path")
     p.add_argument("--embeddings", default=None,
                    help="Precomputed text embeddings safetensors "
                         "(video[_neg]/audio[_neg] keys); skips the text encoder")
     p.add_argument("--latents-only", action="store_true")
     p.add_argument("--profile", action="store_true")
-    p.add_argument("--profile-json-path", default=None)
-    p.add_argument("--trace-dir", default=None, help="jax.profiler trace output dir")
-    p.add_argument("--quantize-bits", type=int, default=None, choices=[4, 8],
+    p.add_argument("--profile-json", "--profile-json-path", default=None,
+                   dest="profile_json_path")
+    p.add_argument("--mem-log", action="store_true",
+                   help="Log device memory at pipeline checkpoints")
+    p.add_argument("--debug", action="store_true",
+                   help="Tensor-stat dumps at pipeline seams (sets MLX_VIDEO_DEBUG)")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--trace-dir", "--metal-capture-path", default=None, dest="trace_dir",
+                   help="jax.profiler trace output dir (the TPU equivalent of the "
+                        "reference's Metal GPU capture)")
+    p.add_argument("--metal-capture", action="store_true",
+                   help="(TPU) use --trace-dir; enables a jax.profiler trace to ./trace")
+    p.add_argument("--metal-capture-phase", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--quantization", "--quantize-bits", type=int, default=None,
+                   choices=[4, 8], dest="quantize_bits",
                    help="Runtime-quantize the transformer")
-    # PT-parity no-ops (reference: generate.py CLI)
+    # Reference-CLI flags that are no-ops under the TPU execution model:
+    # the whole sigma loop is one compiled lax.scan (always "compiled",
+    # always batched CFG, always fp32 Euler, no lazy-eval cache to tune).
+    for flag, action in [
+        ("--cfg-batch", "store_true"), ("--no-cfg-batch", "store_true"),
+        ("--compile", "store_true"), ("--no-compile", "store_true"),
+        ("--compile-shapeless", "store_true"), ("--fp32-euler", "store_true"),
+        ("--clear-cache", "store_true"),
+    ]:
+        p.add_argument(flag, action=action, help=argparse.SUPPRESS)
+    p.add_argument("--eval-interval", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--cache-limit-gb", type=float, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--memory-limit-gb", type=float, default=None, help=argparse.SUPPRESS)
+    # PT-parity no-ops (reference: generate.py:4521-4524)
     p.add_argument("--stg-scale", type=float, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--stg-blocks", type=int, nargs="*", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--stg-mode", default=None, help=argparse.SUPPRESS)
     p.add_argument("--enable-fp8", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -107,6 +154,32 @@ def load_embeddings(path: str):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    import os
+
+    if args.debug or args.verbose:
+        os.environ["MLX_VIDEO_DEBUG"] = "1"
+    if args.skip_audio:
+        args.audio = False
+    if args.condition_image:
+        args.image.append(
+            [args.condition_image, str(args.image_frame_idx), str(args.image_strength)]
+        )
+    if args.reference_video:
+        args.video_conditioning.append([args.reference_video, "0", "1.0"])
+    if args.metal_capture and not args.trace_dir:
+        args.trace_dir = "trace"
+    for flag, val in [
+        ("--enable-fp8", args.enable_fp8),
+        ("--stg-scale/--stg-blocks/--stg-mode",
+         args.stg_scale is not None or args.stg_blocks is not None or args.stg_mode),
+        ("--no-cfg-batch", args.no_cfg_batch),
+        ("--eval-interval", args.eval_interval is not None),
+        ("--cache-limit-gb/--memory-limit-gb",
+         args.cache_limit_gb is not None or args.memory_limit_gb is not None),
+    ]:
+        if val:
+            print(f"note: {flag} has no effect on TPU (ignored)")
 
     import jax.numpy as jnp
 
@@ -168,7 +241,12 @@ def main(argv=None) -> None:
             model_path, args.text_encoder_path or model_path, dtype=jnp.bfloat16
         )
         if args.enhance_prompt:
-            prompt = encoder.enhance_i2v(prompt) if args.image else encoder.enhance_t2v(prompt)
+            enhance_kwargs = dict(temperature=args.temperature, max_new_tokens=args.max_tokens)
+            prompt = (
+                encoder.enhance_i2v(prompt, **enhance_kwargs)
+                if args.image
+                else encoder.enhance_t2v(prompt, **enhance_kwargs)
+            )
             print(f"Enhanced prompt: {prompt}")
         video_emb, audio_emb = encoder.encode(prompt)
         neg = args.negative_prompt
@@ -211,6 +289,9 @@ def main(argv=None) -> None:
             video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
             audio=args.audio,
             audio_mode=args.audio_mode,
+            audio_steps=args.audio_steps,
+            audio_filter=args.audio_filter,
+            mem_log=args.mem_log,
             output_path=None if args.latents_only else output_path,
             tiling=args.tiling,
             stream=args.stream,

@@ -285,6 +285,8 @@ def generate_video(
     # audio
     audio: bool = False,
     audio_mode: str = "auto",
+    audio_steps: int = 8,
+    audio_filter: Optional[str] = None,
     # output
     output_path: Optional[Union[str, Path]] = None,
     tiling: str = "auto",
@@ -294,6 +296,7 @@ def generate_video(
     dtype=jnp.bfloat16,
     progress_callback=None,
     profile: bool = False,
+    mem_log: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping."""
@@ -381,7 +384,7 @@ def generate_video(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
                 state=state1, progress_callback=progress_callback, **audio_kwargs,
             )
-        log_memory("stage1 complete", profile)
+        log_memory("stage1 complete", profile or mem_log)
 
         with timer.phase("upsample"):
             if models.upsampler_params is None:
@@ -426,7 +429,7 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     state=state2, progress_callback=progress_callback, **audio_kwargs,
                 )
-        log_memory("stage2 complete", profile)
+        log_memory("stage2 complete", profile or mem_log)
     else:
         # Dev single-stage CFG (reference: generate.py:3374-3495).
         dev_conds = []
@@ -448,7 +451,7 @@ def generate_video(
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                 state=state, progress_callback=progress_callback, **audio_kwargs,
             )
-        log_memory("denoise complete", profile)
+        log_memory("denoise complete", profile or mem_log)
 
     # Separate audio generation (reference: generate.py:3928-4047).
     if separate_audio:
@@ -465,7 +468,7 @@ def generate_video(
                 models.audio_transformer_params,
                 models.audio_transformer_config or config,
                 a_init, a_positions, text.audio_embeddings,
-                subsample_sigmas(STAGE_1_SIGMAS, 8, "farthest"),
+                subsample_sigmas(STAGE_1_SIGMAS, audio_steps, "farthest"),
                 audio_neg_context=text.audio_neg_embeddings,
                 cfg_scale=cfg_scale if text.audio_neg_embeddings is not None else 1.0,
             )
@@ -556,7 +559,7 @@ def generate_video(
             wav_path = output_path.with_suffix(".wav")
             save_wav(str(wav_path), np.asarray(wav), models.vocoder_config.output_sample_rate)
         with timer.phase("audio_mux"):
-            if media.mux_audio(video_file, wav_path, output_path):
+            if media.mux_audio(video_file, wav_path, output_path, audio_filter=audio_filter):
                 video_file.unlink(missing_ok=True)
             else:
                 video_file.rename(output_path)
