@@ -37,7 +37,43 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["constant", "linear", "cosine"])
     p.add_argument("--timestep-sampling-mode", default="uniform",
                    choices=["uniform", "shifted_logit_normal"])
+    p.add_argument("--timestep-sampling-std", type=float, default=1.0)
     p.add_argument("--first-frame-conditioning-p", type=float, default=0.1)
+    p.add_argument("--lora-dropout", type=float, default=0.0)
+    p.add_argument("--target-modules", nargs="*", default=None)
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--load-checkpoint", default=None,
+                   help="LoRA/full checkpoint to initialize from")
+    p.add_argument("--data-sources", nargs="*", default=None,
+                   help="Data source dir names (default: latents conditions)")
+    p.add_argument("--audio-latents-dir", default="audio_latents")
+    p.add_argument("--reference-latents-dir", default="reference_latents")
+    # dummy-dataset geometry (reference: trainer.py DummyDataset flags)
+    p.add_argument("--dummy-width", type=int, default=256)
+    p.add_argument("--dummy-height", type=int, default=256)
+    p.add_argument("--dummy-num-frames", type=int, default=9)
+    p.add_argument("--dummy-prompt-len", type=int, default=256)
+    # validation sampling
+    p.add_argument("--validation-prompts", nargs="*", default=None)
+    p.add_argument("--validation-interval", type=int, default=0)
+    p.add_argument("--validation-negative-prompt", default=None)
+    p.add_argument("--validation-skip-initial", action="store_true")
+    p.add_argument("--validation-seed", type=int, default=None)
+    p.add_argument("--validation-width", type=int, default=None)
+    p.add_argument("--validation-height", type=int, default=None)
+    p.add_argument("--validation-num-frames", type=int, default=None)
+    p.add_argument("--validation-steps", type=int, default=None)
+    p.add_argument("--validation-cfg-scale", type=float, default=None)
+    p.add_argument("--validation-fps", type=float, default=None)
+    # wandb / hub
+    p.add_argument("--wandb-enabled", action="store_true")
+    p.add_argument("--wandb-project", default="ltx-2-trainer")
+    p.add_argument("--wandb-entity", default=None)
+    p.add_argument("--wandb-tags", nargs="*", default=None)
+    p.add_argument("--wandb-log-validation", action="store_true")
+    p.add_argument("--hub-push", action="store_true")
+    p.add_argument("--hub-model-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--mesh", default=None, help="data,fsdp,tensor mesh shape, e.g. 1,1,8")
@@ -73,7 +109,43 @@ def main(argv=None) -> None:
             max_grad_norm=args.max_grad_norm,
             scheduler_type=args.scheduler_type,
             timestep_sampling_mode=args.timestep_sampling_mode,
+            timestep_sampling_std=args.timestep_sampling_std,
             first_frame_conditioning_p=args.first_frame_conditioning_p,
+            lora_dropout=args.lora_dropout,
+            target_modules=args.target_modules,
+            log_every=args.log_every,
+            progress=not args.no_progress,
+            load_checkpoint=args.load_checkpoint,
+            data_sources={name: name for name in args.data_sources}
+            if args.data_sources
+            else None,
+            audio_latents_dir=args.audio_latents_dir,
+            reference_latents_dir=args.reference_latents_dir,
+            dummy_width=args.dummy_width,
+            dummy_height=args.dummy_height,
+            dummy_num_frames=args.dummy_num_frames,
+            dummy_prompt_len=args.dummy_prompt_len,
+            validation_prompts=args.validation_prompts,
+            validation_interval=args.validation_interval,
+            **(
+                {"validation_negative_prompt": args.validation_negative_prompt}
+                if args.validation_negative_prompt is not None
+                else {}
+            ),
+            validation_skip_initial=args.validation_skip_initial,
+            validation_seed=args.validation_seed,
+            validation_width=args.validation_width,
+            validation_height=args.validation_height,
+            validation_num_frames=args.validation_num_frames,
+            validation_steps=args.validation_steps,
+            validation_cfg_scale=args.validation_cfg_scale,
+            validation_fps=args.validation_fps,
+            wandb_enabled=args.wandb_enabled,
+            wandb_project=args.wandb_project,
+            wandb_entity=args.wandb_entity,
+            wandb_tags=args.wandb_tags,
+            hub_push=args.hub_push,
+            hub_model_id=args.hub_model_id,
             resume=args.resume,
             debug=args.debug,
             mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,

@@ -89,6 +89,9 @@ def precompute_dataset(
     audio_encode_fn: Optional[Callable[[Path], Optional[np.ndarray]]] = None,
     reference_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     fps: float = 24.0,
+    frame_cap: Optional[int] = None,
+    caption_fn: Optional[Callable[[Path], str]] = None,
+    reference_dir: Optional[Path] = None,
 ) -> int:
     """Encode clips into the trainer's directory layout
     (reference: precompute.py:218-391). Returns the number of clips written.
@@ -109,9 +112,12 @@ def precompute_dataset(
     if reference_fn is not None:
         (out / "reference_latents").mkdir(exist_ok=True)
 
+    if reference_dir is not None:
+        (out / "reference_latents").mkdir(exist_ok=True)
+
     count = 0
     for video_path in videos:
-        frames = load_video(video_path)  # (F, H, W, 3) in [0, 1]
+        frames = load_video(video_path, frame_cap=frame_cap)  # (F, H, W, 3) in [0, 1]
         if buckets:
             frames = fit_to_bucket(frames, select_bucket(frames, buckets))
         # enforce 1 + 8k frames
@@ -135,6 +141,8 @@ def precompute_dataset(
         )
 
         prompt = (prompts or {}).get(stem, "")
+        if not prompt and caption_fn is not None:
+            prompt = caption_fn(video_path)
         if text_encode_fn is not None:
             cond = {k: np.asarray(v) for k, v in text_encode_fn(prompt).items()}
         else:
@@ -148,8 +156,14 @@ def precompute_dataset(
                     out / "audio_latents" / f"latent_{stem}.safetensors",
                     {"latents": np.asarray(audio_lat, np.float32)},
                 )
-        if reference_fn is not None:
+        ref_frames = None
+        if reference_dir is not None:
+            ref_path = Path(reference_dir) / video_path.name
+            if ref_path.exists():
+                ref_frames = load_video(ref_path, frame_cap=frame_cap)[:valid_f]
+        elif reference_fn is not None:
             ref_frames = reference_fn(frames)
+        if ref_frames is not None:
             ref_tensor = np.transpose(ref_frames * 2.0 - 1.0, (3, 0, 1, 2))[None].astype(np.float32)
             ref_lat = np.asarray(encode_fn(ref_tensor), np.float32)[0]
             save_safetensors(
@@ -181,17 +195,34 @@ def compute_edge_reference(frames: np.ndarray) -> np.ndarray:
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Precompute latents for training")
-    parser.add_argument("--videos", required=True, help="Directory of input videos")
-    parser.add_argument("--output", required=True, help="Output dataset root")
+    parser.add_argument("--videos", "--input-dir", required=True, dest="videos",
+                        help="Directory of input videos")
+    parser.add_argument("--output", "--output-dir", required=True, dest="output",
+                        help="Output dataset root")
     parser.add_argument("--model-repo", default="Lightricks/LTX-2")
+    parser.add_argument("--text-encoder-repo", default=None)
     parser.add_argument("--resolution-buckets", default=None, help="WxHxF;WxHxF")
     parser.add_argument("--prompts-file", default=None,
                         help="File of '<stem>: <prompt>' lines or a single shared prompt")
-    parser.add_argument("--audio", action="store_true")
+    parser.add_argument("--caption", action="store_true",
+                        help="Auto-caption clips missing a prompt")
+    parser.add_argument("--caption-model", default="Salesforce/blip-image-captioning-base")
+    parser.add_argument("--caption-backend", default="transformers",
+                        choices=["transformers", "mlx_vlm"],
+                        help="mlx_vlm is the reference backend; transformers here")
+    parser.add_argument("--audio", "--with-audio", action="store_true", dest="audio")
     parser.add_argument("--reference-edges", action="store_true",
                         help="Write Canny-edge reference latents (IC-LoRA)")
+    parser.add_argument("--reference-dir", default=None,
+                        help="Reference videos for video_to_video precompute")
+    parser.add_argument("--frame-cap", type=int, default=None)
     parser.add_argument("--fps", type=float, default=24.0)
+    parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
+    if args.debug:
+        import os
+
+        os.environ["MLX_VIDEO_DEBUG"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -209,7 +240,8 @@ def main(argv=None) -> None:
     vae_weights.load_video_encoder_weights(resolve_vae_file(model_path), enc_params)
     encode_jit = jax.jit(lambda v: video_encoder_apply(enc_params, enc_cfg, v))
 
-    text_encoder = LTX2TextEncoder.load(model_path, model_path)
+    te_path = get_model_path(args.text_encoder_repo) if args.text_encoder_repo else model_path
+    text_encoder = LTX2TextEncoder.load(model_path, te_path)
 
     def text_encode(prompt: str):
         video, audio = text_encoder.encode(prompt)
@@ -230,6 +262,11 @@ def main(argv=None) -> None:
         p for p in Path(args.videos).iterdir() if p.suffix.lower() in (".mp4", ".mov", ".webm")
     )
     buckets = parse_buckets(args.resolution_buckets) if args.resolution_buckets else None
+    caption_fn = None
+    if args.caption:
+        from mlx_video_tpu.trainer.aux import caption_video
+
+        caption_fn = lambda p: caption_video(p, model_name=args.caption_model)  # noqa: E731
     n = precompute_dataset(
         videos,
         Path(args.output),
@@ -238,6 +275,9 @@ def main(argv=None) -> None:
         prompts=prompts,
         buckets=buckets,
         reference_fn=compute_edge_reference if args.reference_edges else None,
+        reference_dir=Path(args.reference_dir) if args.reference_dir else None,
+        frame_cap=args.frame_cap,
+        caption_fn=caption_fn,
         fps=args.fps,
     )
     print(f"Precomputed {n} clips into {args.output}")

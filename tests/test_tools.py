@@ -290,6 +290,53 @@ class TestPrecompute:
         assert batch.latents["latents"].shape[0] == 8
         assert "video_prompt_embeds" in batch.conditions
 
+    def test_precompute_reference_dir_caption_framecap(self, tmp_path, rng):
+        import cv2
+
+        from mlx_video_tpu.trainer.precompute import precompute_dataset
+
+        def write_vid(path, frames=17):
+            w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 64))
+            for _ in range(frames):
+                w.write((rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+            w.release()
+
+        vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+        ref_dir = tmp_path / "refs"; ref_dir.mkdir()
+        write_vid(vid_dir / "clip.mp4")
+        write_vid(ref_dir / "clip.mp4")
+
+        shapes = []
+
+        def fake_encode(t):
+            shapes.append(t.shape)
+            b, c, f, h, w_ = t.shape
+            return rng.normal(size=(b, 8, 1 + (f - 1) // 8, h // 32, w_ // 32)).astype(np.float32)
+
+        captions = []
+
+        def fake_caption(path):
+            captions.append(path.name)
+            return "auto caption"
+
+        prompts_seen = []
+
+        def fake_text(prompt):
+            prompts_seen.append(prompt)
+            return {"video_prompt_embeds": rng.normal(size=(8, 16)).astype(np.float32)}
+
+        out_root = tmp_path / "data"
+        n = precompute_dataset(
+            [vid_dir / "clip.mp4"], out_root, encode_fn=fake_encode,
+            text_encode_fn=fake_text, frame_cap=9, caption_fn=fake_caption,
+            reference_dir=ref_dir,
+        )
+        assert n == 1
+        assert captions == ["clip.mp4"] and prompts_seen == ["auto caption"]
+        # frame_cap=9 -> both main and reference encodes saw 9 frames
+        assert all(s[2] == 9 for s in shapes)
+        assert (out_root / "reference_latents" / "latent_clip.safetensors").exists()
+
 
 class TestHub:
     def test_alias_and_local(self, tmp_path):
