@@ -277,3 +277,39 @@ class TestGemmaWeights:
         err = np.max(np.abs(np.asarray(got_h) - np.asarray(ref_h)))
         scale = np.max(np.abs(np.asarray(ref_h)))
         assert err < 0.05 * scale, (err, scale)
+
+
+class TestModelLoader:
+    """mlx_video_tpu.trainer.model_loader per-component API."""
+
+    def test_load_transformer_tiny(self, tmp_path):
+        from mlx_video_tpu.io.weights import save_dit_params  # native format
+        from mlx_video_tpu.trainer.model_loader import load_transformer
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        ckpt = _to_pt_checkpoint(ref, cfg)
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+        params, out_cfg = load_transformer(path, cfg, dtype=jnp.float32)
+        assert out_cfg is cfg
+        flat_a, flat_b = flatten_params(ref), flatten_params(params)
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(flat_b[k], np.float32), np.asarray(flat_a[k], np.float32), atol=1e-6
+            )
+
+    def test_default_19b_config(self):
+        from mlx_video_tpu.trainer.model_loader import default_19b_config
+
+        cfg = default_19b_config()
+        assert cfg.num_layers == 48 and cfg.inner_dim == 4096
+        assert cfg.double_precision_rope
+
+    def test_components_aggregate_alias(self):
+        from mlx_video_tpu.trainer.model_loader import MLXModelComponents, ModelComponents
+
+        assert MLXModelComponents is ModelComponents
+        c = ModelComponents()
+        assert c.transformer_params is None and c.vocoder is None
