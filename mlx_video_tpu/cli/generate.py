@@ -204,6 +204,10 @@ def main(argv=None) -> None:
         model_path,
         pipeline=pipeline,
         audio=args.audio,
+        audio_mode=args.audio_mode,
+        audio_model_path=get_model_path(args.audio_model_repo)
+        if args.audio_model_repo
+        else None,
         bits_hint=bits_hint,
         stage2_path=get_model_path(args.stage2_model_repo) if args.stage2_model_repo else None,
         load_encoder=bool(args.image or args.video_conditioning),

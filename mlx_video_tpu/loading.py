@@ -70,10 +70,32 @@ def model_config_for(pipeline: PipelineType, audio: bool) -> LTXModelConfig:
     )
 
 
+def resolve_audio_transformer_file(
+    model_path: Path, audio_model_path: Optional[Path] = None
+) -> Optional[Path]:
+    """Weights for the separate-audio AudioOnly transformer — dev weights
+    preferred, falling back to the main snapshot
+    (reference: generate.py:3970-3982 audio_weight_candidates)."""
+    roots = [Path(p) for p in (audio_model_path, model_path) if p is not None]
+    names = [
+        "ltx-2-19b-dev-mlx.safetensors",
+        "ltx-2-19b-dev.safetensors",
+        "ltx-2-19b-distilled-mlx.safetensors",
+        "ltx-2-19b-distilled.safetensors",
+    ]
+    for root in roots:
+        for name in names:
+            if (root / name).exists():
+                return root / name
+    return None
+
+
 def load_model_bundle(
     model_path: Path,
     pipeline: PipelineType = PipelineType.DISTILLED,
     audio: bool = False,
+    audio_mode: str = "auto",
+    audio_model_path: Optional[Path] = None,
     dtype=jnp.bfloat16,
     bits_hint: Optional[str] = None,
     stage2_path: Optional[Path] = None,
@@ -82,7 +104,12 @@ def load_model_bundle(
     """Load every component present in a reference-layout snapshot."""
     model_path = Path(model_path)
     kind = "dev" if pipeline == PipelineType.DEV else "distilled"
-    config = model_config_for(pipeline, audio)
+    # Separate audio keeps the main transformer VideoOnly and loads a second
+    # AudioOnly transformer (reference: generate.py:3932-4014).
+    separate_audio = audio and (
+        audio_mode == "separate" or (audio_mode == "auto" and pipeline != PipelineType.DEV)
+    )
+    config = model_config_for(pipeline, audio and not separate_audio)
 
     tf_file = resolve_transformer_file(model_path, kind, bits_hint)
     transformer = load_dit_params([tf_file], config, dtype=dtype, strict=False)
@@ -123,6 +150,17 @@ def load_model_bundle(
             config, dtype=dtype, strict=False,
         )
 
+    audio_tf = audio_tf_cfg = None
+    if separate_audio:
+        audio_file_tf = resolve_audio_transformer_file(model_path, audio_model_path)
+        if audio_file_tf is not None:
+            audio_tf_cfg = LTXModelConfig(
+                model_type=LTXModelType.AudioOnly,
+                rope_type=LTXRopeType.SPLIT,
+                double_precision_rope=True,
+            )
+            audio_tf = load_dit_params([audio_file_tf], audio_tf_cfg, dtype=dtype, strict=False)
+
     return ModelBundle(
         transformer_params=transformer,
         transformer_config=config,
@@ -136,4 +174,6 @@ def load_model_bundle(
         audio_decoder_config=audio_dec_cfg,
         vocoder_params=voc_params,
         vocoder_config=voc_cfg,
+        audio_transformer_params=audio_tf,
+        audio_transformer_config=audio_tf_cfg,
     )

@@ -380,3 +380,21 @@ class TestCLIParsers:
 
         assert slugify("A Cat! Jumping?") == "a-cat-jumping"
         assert slugify("") == "video"
+
+
+class TestAudioTransformerResolution:
+    def test_candidates_priority(self, tmp_path):
+        from mlx_video_tpu.loading import resolve_audio_transformer_file
+
+        main = tmp_path / "main"; main.mkdir()
+        audio = tmp_path / "audio"; audio.mkdir()
+        assert resolve_audio_transformer_file(main) is None
+        (main / "ltx-2-19b-distilled-mlx.safetensors").touch()
+        assert resolve_audio_transformer_file(main).name == "ltx-2-19b-distilled-mlx.safetensors"
+        # dev weights preferred over distilled
+        (main / "ltx-2-19b-dev-mlx.safetensors").touch()
+        assert resolve_audio_transformer_file(main).name == "ltx-2-19b-dev-mlx.safetensors"
+        # explicit audio repo wins over the main snapshot
+        (audio / "ltx-2-19b-dev.safetensors").touch()
+        got = resolve_audio_transformer_file(main, audio)
+        assert got.parent == audio and got.name == "ltx-2-19b-dev.safetensors"
