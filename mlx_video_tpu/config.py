@@ -136,6 +136,13 @@ class LTXModelConfig:
 
     norm_eps: float = 1e-6
 
+    # Rematerialize each transformer block on the backward pass
+    # (jax.checkpoint around the scanned block body) — trades ~1/3 more
+    # FLOPs for O(1) activation memory per block, the standard recipe for
+    # finetuning the 19B model on limited HBM. New TPU capability; the
+    # reference trains without remat on unified memory.
+    gradient_checkpointing: bool = False
+
     vae_config: Optional[VideoVAEConfig] = None
 
     @classmethod

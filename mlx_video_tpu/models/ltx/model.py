@@ -605,7 +605,8 @@ def ltx_apply(
 
     init_vx = video_args.x if video_args is not None else jnp.zeros((1, 1, 1))
     init_ax = audio_args.x if audio_args is not None else jnp.zeros((1, 1, 1))
-    (vx, ax), _ = jax.lax.scan(scan_body, (init_vx, init_ax), params["blocks"])
+    body = jax.checkpoint(scan_body) if config.gradient_checkpointing else scan_body
+    (vx, ax), _ = jax.lax.scan(body, (init_vx, init_ax), params["blocks"])
 
     v_out = None
     if video_args is not None:

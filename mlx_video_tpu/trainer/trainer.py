@@ -81,6 +81,12 @@ class Trainer:
     ) -> None:
         self.cfg = cfg
         self.model_config = model_config or build_model_config(cfg)
+        if cfg.enable_gradient_checkpointing and not self.model_config.gradient_checkpointing:
+            import dataclasses
+
+            self.model_config = dataclasses.replace(
+                self.model_config, gradient_checkpointing=True
+            )
         self.validation_fn = validation_fn
         self._wandb = None
 

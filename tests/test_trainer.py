@@ -295,3 +295,34 @@ seed: 7
         assert cfg.save_every == 50
         assert cfg.checkpoint_keep_last_n == 3
         assert cfg.seed == 7
+
+
+class TestGradientCheckpointing:
+    def test_remat_matches_plain(self):
+        """Remat'd training step produces identical loss/grads."""
+        import dataclasses
+
+        from mlx_video_tpu.trainer.datasets import collate_batches
+        from mlx_video_tpu.trainer.train_step import grad_step
+
+        mcfg, params = tiny_model()
+        ds = tiny_dataset()
+        sb = prepare_text_to_video(collate_batches([ds[0]]))
+        loss_a, grads_a = grad_step(params, sb, jax.random.key(2), mcfg,
+                                    first_frame_conditioning_p=0.0)
+        mcfg_remat = dataclasses.replace(mcfg, gradient_checkpointing=True)
+        loss_b, grads_b = grad_step(params, sb, jax.random.key(2), mcfg_remat,
+                                    first_frame_conditioning_p=0.0)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grads_a), jax.tree_util.tree_leaves(grads_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    def test_trainer_flag_applies(self, tmp_path):
+        import dataclasses
+
+        mcfg, params = tiny_model()
+        cfg = tiny_cfg(steps=1, training_mode="lora", lora_rank=2,
+                       output_dir=str(tmp_path), enable_gradient_checkpointing=True)
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        assert tr.model_config.gradient_checkpointing
+        tr.train()
