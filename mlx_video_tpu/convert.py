@@ -15,12 +15,13 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from mlx_video_tpu.config import LTXModelConfig, LTXModelType
+from mlx_video_tpu.io.safetensors import save_safetensors
 from mlx_video_tpu.io.weights import flatten_params, load_dit_params, save_dit_params
 from mlx_video_tpu.lora import LoraSpec, merge_lora_into_params
 from mlx_video_tpu.ops.quant import quantize_dit_params
@@ -88,22 +89,99 @@ def convert_transformer(
     return params
 
 
+def build_unified_bundle(
+    output_path: Path,
+    transformer_params: dict,
+    model_path: Optional[Path] = None,
+    include_audio: bool = True,
+) -> int:
+    """Emit a single ``model.safetensors`` bundle with prefixed subsystem
+    subsets (reference: convert.py:766-830 unified export):
+    ``transformer.*`` (native layout), ``vae_decoder.*`` / ``vae_encoder.*``
+    / ``audio_vae.*`` / ``vocoder.*`` (source-layout passthrough, readable
+    by the per-component loaders' prefix detection). Returns tensor count.
+    """
+    from mlx_video_tpu.io.safetensors import SafetensorsReader
+    from mlx_video_tpu.io.weights import flatten_params
+
+    tensors: Dict[str, np.ndarray] = {
+        f"transformer.{k}": np.asarray(v)
+        for k, v in flatten_params(transformer_params).items()
+    }
+
+    def copy_subset(src: Path, out_prefix: str, strip_prefixes: Tuple[str, ...]):
+        with SafetensorsReader(src) as r:
+            for key in r.keys():
+                k = key
+                for sp in strip_prefixes:
+                    if k.startswith(sp):
+                        k = k[len(sp) :]
+                        break
+                tensors[out_prefix + k] = np.asarray(r.get(key))
+
+    if model_path is not None:
+        model_path = Path(model_path)
+        from mlx_video_tpu.loading import resolve_vae_file
+
+        vae_file = resolve_vae_file(model_path)
+        with SafetensorsReader(vae_file) as r:
+            for key in r.keys():
+                k = key[len("vae.") :] if key.startswith("vae.") else key
+                if k.startswith("decoder."):
+                    tensors["vae_decoder." + k[len("decoder.") :]] = np.asarray(r.get(key))
+                elif k.startswith("encoder."):
+                    tensors["vae_encoder." + k[len("encoder.") :]] = np.asarray(r.get(key))
+                elif k.startswith("per_channel_statistics."):
+                    # stats feed both encoder and decoder loaders
+                    tensors["vae_decoder." + k] = np.asarray(r.get(key))
+                    tensors["vae_encoder." + k] = np.asarray(r.get(key))
+
+        if include_audio:
+            audio_file = model_path / "audio_vae" / "diffusion_pytorch_model.safetensors"
+            if audio_file.exists():
+                copy_subset(audio_file, "audio_vae.", ("audio_vae.",))
+            voc_file = model_path / "vocoder" / "diffusion_pytorch_model.safetensors"
+            if voc_file.exists():
+                copy_subset(voc_file, "vocoder.", ("vocoder.",))
+
+    save_safetensors(output_path, tensors, metadata={"format": "mlx_video_tpu_unified"})
+    print(f"Saved unified bundle ({len(tensors)} tensors) to {output_path}")
+    return len(tensors)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Convert LTX-2 checkpoints to TPU-native format")
-    parser.add_argument("--input", "-i", required=True, nargs="+", help="Input safetensors file(s)")
-    parser.add_argument("--output", "-o", required=True, help="Output safetensors path")
+    parser.add_argument("--input", "-i", "--hf-path", required=True, nargs="+",
+                        dest="input", help="Input safetensors file(s)")
+    parser.add_argument("--output", "-o", "--mlx-path", required=True, dest="output",
+                        help="Output safetensors path")
     parser.add_argument("--model-type", default="av", choices=["av", "video", "audio"])
+    parser.add_argument("--pipeline", default=None, choices=["dev", "distilled"],
+                        help="Informational; recorded in metadata")
     parser.add_argument("--config", default=None,
                         help="JSON file with LTXModelConfig fields (default: 19B geometry)")
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    parser.add_argument("--quantize-bits", "-q", type=int, default=None,
-                        choices=[2, 4, 8], help="Quantize to N bits")
-    parser.add_argument("--quantize-group-size", type=int, default=64)
-    parser.add_argument("--quantize-scope", default="core", choices=["attn1", "core", "all"])
+    parser.add_argument("--quantize", action="store_true",
+                        help="Quantize with the default 4 bits (or --q-bits)")
+    parser.add_argument("--quantize-bits", "-q", "--q-bits", type=int, default=None,
+                        choices=[2, 4, 8], dest="quantize_bits", help="Quantize to N bits")
+    parser.add_argument("--quantize-group-size", "--q-group-size", type=int, default=64,
+                        dest="quantize_group_size")
+    parser.add_argument("--quantize-scope", "--q-mode", default="core",
+                        choices=["attn1", "core", "all"], dest="quantize_scope")
     parser.add_argument("--lora", action="append", default=[], help="LoRA file(s) to pre-merge")
     parser.add_argument("--lora-strength", type=float, default=1.0)
-    parser.add_argument("--report", action="store_true", help="Print per-layer report")
+    parser.add_argument("--report", "--report-layers", action="store_true", dest="report",
+                        help="Print per-layer report")
+    parser.add_argument("--unified", action="store_true",
+                        help="Also emit a unified model.safetensors bundle")
+    parser.add_argument("--model-path", default=None,
+                        help="Snapshot dir with VAE/audio/vocoder files for --unified")
+    parser.add_argument("--no-audio", action="store_true",
+                        help="Exclude audio components from the unified bundle")
     args = parser.parse_args(argv)
+    if args.quantize and args.quantize_bits is None:
+        args.quantize_bits = 4
 
     model_type = {
         "av": LTXModelType.AudioVideo,
@@ -118,7 +196,7 @@ def main(argv=None) -> None:
         config = LTXModelConfig(model_type=model_type)
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
-    convert_transformer(
+    params = convert_transformer(
         [Path(p) for p in args.input],
         out,
         config=config,
@@ -130,6 +208,13 @@ def main(argv=None) -> None:
         lora_strength=args.lora_strength,
         report=args.report,
     )
+    if args.unified:
+        build_unified_bundle(
+            out.parent / "model.safetensors",
+            params,
+            model_path=Path(args.model_path) if args.model_path else None,
+            include_audio=not args.no_audio,
+        )
 
 
 if __name__ == "__main__":

@@ -141,7 +141,8 @@ def load_video_decoder_weights(
     # stats live next to the decoder under their own prefix
     stats = _read_all(
         path,
-        ("vae.per_channel_statistics.", "per_channel_statistics.", ""),
+        ("vae.per_channel_statistics.", "vae_decoder.per_channel_statistics.",
+         "per_channel_statistics.", ""),
     )
     loaded = 0
     for mean_key in ("mean-of-means", "mean", "latents_mean"):
@@ -179,7 +180,11 @@ def load_video_encoder_weights(
     npd = _np_dtype(dtype)
     prefixes = _detect_prefixes(path, [("vae.encoder.",), ("encoder.",), ("vae_encoder.",)])
     weights = _read_all(path, prefixes)
-    stats = _read_all(path, ("vae.per_channel_statistics.", "per_channel_statistics.", ""))
+    stats = _read_all(
+        path,
+        ("vae.per_channel_statistics.", "vae_encoder.per_channel_statistics.",
+         "per_channel_statistics.", ""),
+    )
     loaded = 0
     for mean_key in ("mean-of-means", "mean"):
         if mean_key in stats:
@@ -209,7 +214,8 @@ def load_video_encoder_weights(
 
 def load_upsampler_weights(path: Union[str, Path], params: dict, dtype=jnp.bfloat16) -> int:
     npd = _np_dtype(dtype)
-    weights = _read_all(path, ("",))
+    prefixes = _detect_prefixes(path, [("vocoder.",), ("",)])
+    weights = _read_all(path, prefixes)
     loaded = 0
     for key, value in weights.items():
         parts = key.split(".")

@@ -233,8 +233,14 @@ def save_dit_params(path: Union[str, Path], params: dict, metadata: Optional[dic
     save_safetensors(path, tensors, metadata={"format": "mlx_video_tpu", **(metadata or {})})
 
 
-def load_native_params(path: Union[str, Path]) -> dict:
-    """Load a pytree saved by :func:`save_dit_params`."""
+def load_native_params(path: Union[str, Path], prefix: str = "") -> dict:
+    """Load a pytree saved by :func:`save_dit_params`. With ``prefix``,
+    read only that subset (e.g. ``"transformer."`` from a unified
+    model.safetensors bundle)."""
     with SafetensorsReader(path) as reader:
-        flat = {tuple(k.split(".")): jnp.asarray(reader.get(k)) for k in reader.keys()}
+        flat = {
+            tuple(k[len(prefix) :].split(".")): jnp.asarray(reader.get(k))
+            for k in reader.keys()
+            if k.startswith(prefix)
+        }
     return _unflatten(flat)

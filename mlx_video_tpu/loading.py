@@ -59,7 +59,27 @@ def resolve_vae_file(model_path: Path) -> Path:
     ):
         if candidate.exists():
             return candidate
+    unified = unified_bundle_file(model_path)
+    if unified is not None:
+        return unified
     raise FileNotFoundError(f"VAE weights not found under {model_path}")
+
+
+def unified_bundle_file(model_path: Path) -> Optional[Path]:
+    """model.safetensors with prefixed subsystem subsets, if present
+    (reference: generate.py:2553-2766 unified bundle resolution)."""
+    bundle = Path(model_path) / "model.safetensors"
+    if not bundle.exists():
+        return None
+    from mlx_video_tpu.io.safetensors import read_metadata
+
+    try:
+        meta = read_metadata(bundle)
+    except Exception:
+        return None
+    if meta.get("format") == "mlx_video_tpu_unified":
+        return bundle
+    return None
 
 
 def model_config_for(pipeline: PipelineType, audio: bool) -> LTXModelConfig:
@@ -111,8 +131,14 @@ def load_model_bundle(
     )
     config = model_config_for(pipeline, audio and not separate_audio)
 
-    tf_file = resolve_transformer_file(model_path, kind, bits_hint)
-    transformer = load_dit_params([tf_file], config, dtype=dtype, strict=False)
+    unified = unified_bundle_file(model_path)
+    if unified is not None:
+        from mlx_video_tpu.io.weights import load_native_params
+
+        transformer = load_native_params(unified, prefix="transformer.")
+    else:
+        tf_file = resolve_transformer_file(model_path, kind, bits_hint)
+        transformer = load_dit_params([tf_file], config, dtype=dtype, strict=False)
 
     vae_file = resolve_vae_file(model_path)
     dec_cfg = DecoderConfig()
@@ -133,11 +159,15 @@ def load_model_bundle(
 
     audio_dec = audio_dec_cfg = voc_params = voc_cfg = None
     audio_file = model_path / "audio_vae" / "diffusion_pytorch_model.safetensors"
+    if unified is not None and not audio_file.exists():
+        audio_file = unified
     if audio and audio_file.exists():
         audio_dec_cfg = AudioVAEConfig()
         audio_dec = init_audio_decoder(jax.random.key(0), audio_dec_cfg, dtype=dtype)
         vae_weights.load_audio_vae_weights(audio_file, None, audio_dec, dtype=dtype)
     voc_file = model_path / "vocoder" / "diffusion_pytorch_model.safetensors"
+    if unified is not None and not voc_file.exists():
+        voc_file = unified
     if audio and voc_file.exists():
         voc_cfg = VocoderConfig()
         voc_params = init_vocoder(jax.random.key(0), voc_cfg, dtype=dtype)

@@ -398,3 +398,61 @@ class TestAudioTransformerResolution:
         (audio / "ltx-2-19b-dev.safetensors").touch()
         got = resolve_audio_transformer_file(main, audio)
         assert got.parent == audio and got.name == "ltx-2-19b-dev.safetensors"
+
+
+class TestUnifiedBundle:
+    def test_build_and_load(self, tmp_path, rng):
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.convert import build_unified_bundle
+        from mlx_video_tpu.io.safetensors import SafetensorsReader, read_metadata
+        from mlx_video_tpu.io.weights import load_native_params
+        from mlx_video_tpu.loading import unified_bundle_file
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(3), cfg, dtype=jnp.float32)
+
+        # snapshot with a monolithic vae-bearing file
+        snap = tmp_path / "snap"; snap.mkdir()
+        vae_src = {
+            "vae.decoder.conv_in.conv.weight": rng.normal(size=(4, 4, 3, 3, 3)).astype(np.float32),
+            "vae.encoder.conv_in.conv.weight": rng.normal(size=(4, 4, 3, 3, 3)).astype(np.float32),
+            "vae.per_channel_statistics.std-of-means": rng.uniform(0.5, 2, size=(8,)).astype(np.float32),
+            "vae.per_channel_statistics.mean-of-means": rng.normal(size=(8,)).astype(np.float32),
+        }
+        save_safetensors(snap / "ltx-2-19b-dev.safetensors", vae_src)
+
+        bundle = tmp_path / "model.safetensors"
+        n = build_unified_bundle(bundle, ref, model_path=snap)
+        assert n > 10
+        assert read_metadata(bundle)["format"] == "mlx_video_tpu_unified"
+        assert unified_bundle_file(tmp_path) == bundle
+        with SafetensorsReader(bundle) as r:
+            keys = set(r.keys())
+        assert "vae_decoder.conv_in.conv.weight" in keys
+        assert "vae_encoder.conv_in.conv.weight" in keys
+        assert "vae_decoder.per_channel_statistics.std-of-means" in keys
+
+        loaded = load_native_params(bundle, prefix="transformer.")
+        for k, v in flatten_params(ref).items():
+            np.testing.assert_array_equal(
+                np.asarray(flatten_params(loaded)[k]), np.asarray(v), err_msg=k
+            )
+
+    def test_decoder_stats_from_bundle(self, tmp_path, rng):
+        """The decoder loader reads per-channel stats from bundle-prefixed keys."""
+        from mlx_video_tpu.io.vae_weights import load_video_decoder_weights
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+
+        std = rng.uniform(0.5, 2, size=(8,)).astype(np.float32)
+        mean = rng.normal(size=(8,)).astype(np.float32)
+        save_safetensors(tmp_path / "model.safetensors", {
+            "vae_decoder.per_channel_statistics.std-of-means": std,
+            "vae_decoder.per_channel_statistics.mean-of-means": mean,
+        })
+        cfg = DecoderConfig(in_channels=8, base_channels=32, num_layers_per_block=1,
+                            num_upsamples=3, patch_size=4)
+        params = init_video_decoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        load_video_decoder_weights(tmp_path / "model.safetensors", params, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(params["latents_std"]), std)
+        np.testing.assert_allclose(np.asarray(params["latents_mean"]), mean)
