@@ -295,6 +295,7 @@ def main(argv=None) -> None:
             audio_mode=args.audio_mode,
             audio_steps=args.audio_steps,
             audio_filter=args.audio_filter,
+            output_audio_path=args.output_audio,
             mem_log=args.mem_log,
             output_path=None if args.latents_only else output_path,
             tiling=args.tiling,

@@ -287,6 +287,7 @@ def generate_video(
     audio_mode: str = "auto",
     audio_steps: int = 8,
     audio_filter: Optional[str] = None,
+    output_audio_path: Optional[Union[str, Path]] = None,
     # output
     output_path: Optional[Union[str, Path]] = None,
     tiling: str = "auto",
@@ -556,7 +557,9 @@ def generate_video(
                 models.vocoder_params,
                 models.vocoder_config,
             )
-            wav_path = output_path.with_suffix(".wav")
+            wav_path = (
+                Path(output_audio_path) if output_audio_path else output_path.with_suffix(".wav")
+            )
             save_wav(str(wav_path), np.asarray(wav), models.vocoder_config.output_sample_rate)
         with timer.phase("audio_mux"):
             if media.mux_audio(video_file, wav_path, output_path, audio_filter=audio_filter):
