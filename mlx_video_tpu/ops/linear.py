@@ -9,10 +9,41 @@ transpose once at load time.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Pallas dequant-matmul policy — OPT-IN (default off). Measured on v5e:
+# XLA's dequant path costs ~40% over dense in-model (q4 81ms vs dense 58ms
+# per proxy-19B forward, full weight materialization each call), but the
+# Pallas kernel is slower still (357us vs 191us dense standalone at
+# 1280x2048x8192) — the strided activation split / in-kernel VPU dequant
+# outweigh the HBM savings on this toolchain. Enable with
+# MLX_VIDEO_TPU_QUANT_KERNEL=1 or use_quant_kernel(); revisit on newer
+# Mosaic versions.
+_USE_QUANT_KERNEL: Optional[bool] = (
+    {"1": True, "0": False}.get(os.environ.get("MLX_VIDEO_TPU_QUANT_KERNEL", ""), None)
+)
+
+
+def use_quant_kernel(enable: Optional[bool] = True) -> None:
+    global _USE_QUANT_KERNEL
+    _USE_QUANT_KERNEL = enable
+
+
+def _apply_lora(params: dict, x: jax.Array, y: jax.Array) -> jax.Array:
+    if "lora_A" not in params:
+        return y
+    a = params["lora_A"].astype(jnp.float32)
+    bm = params["lora_B"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    delta = jnp.dot(jnp.dot(xf, a.T), bm.T)
+    scale = params.get("lora_scale")
+    if scale is not None:
+        delta = delta * scale
+    return y + delta.astype(y.dtype)
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
@@ -34,10 +65,20 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     if "quant_weight" in params:
         from mlx_video_tpu.ops.quant import dequantize_affine
 
-        w = dequantize_affine(
-            params["quant_weight"], params["scales"], params["biases"],
-            dtype=x.dtype, in_dim=x.shape[-1],
-        ).T
+        qw, sc, bi = params["quant_weight"], params["scales"], params["biases"]
+        in_dim = x.shape[-1]
+        use_kernel = bool(_USE_QUANT_KERNEL)
+        if use_kernel and in_dim % 128 == 0 and qw.ndim == 2:
+            from mlx_video_tpu.ops.quant_matmul import quant_matmul
+
+            bits = qw.shape[-1] * 32 // in_dim
+            group_size = in_dim // sc.shape[-1]
+            y = quant_matmul(x, qw, sc, bi, bits, group_size)
+            b = params.get("bias")
+            if b is not None:
+                y = y + b
+            return _apply_lora(params, x, y)
+        w = dequantize_affine(qw, sc, bi, dtype=x.dtype, in_dim=in_dim).T
     else:
         w = params["weight"]
     precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
@@ -45,16 +86,7 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     b = params.get("bias")
     if b is not None:
         y = y + b
-    if "lora_A" in params:
-        a = params["lora_A"].astype(jnp.float32)
-        bm = params["lora_B"].astype(jnp.float32)
-        xf = x.astype(jnp.float32)
-        delta = jnp.dot(jnp.dot(xf, a.T), bm.T)
-        scale = params.get("lora_scale")
-        if scale is not None:
-            delta = delta * scale
-        y = y + delta.astype(y.dtype)
-    return y
+    return _apply_lora(params, x, y)
 
 
 def init_linear(

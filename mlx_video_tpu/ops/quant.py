@@ -107,9 +107,12 @@ def quantize_linear_params(params: dict, group_size: int = 64, bits: int = 4) ->
     w = params["weight"]
     stacked = w.ndim == 3  # (L, in, out) scan-stacked
     if stacked:
-        packed, scales, biases = jax.vmap(
-            lambda m: quantize_affine(m.T, group_size, bits)
-        )(w)
+        # Sequential over the layer axis: vmap would materialize fp32
+        # temporaries for the WHOLE stack at once (~10 GB for the 48-layer
+        # FFN leaf), OOMing on-device quantization of large models.
+        packed, scales, biases = jax.lax.map(
+            lambda m: quantize_affine(m.T, group_size, bits), w
+        )
     else:
         packed, scales, biases = quantize_affine(w.T, group_size, bits)
     out = {"quant_weight": packed, "scales": scales, "biases": biases}

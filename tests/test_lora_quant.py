@@ -210,3 +210,51 @@ class TestLoRA:
         base = linear(quantize_linear_params(params, group_size=32, bits=8), x)
         expected_delta = np.asarray(x) @ np.asarray(q["lora_A"]).T @ np.asarray(q["lora_B"]).T
         np.testing.assert_allclose(np.asarray(out - base), expected_delta, atol=1e-4)
+
+
+class TestQuantMatmulKernel:
+    """Pallas dequant-matmul (opt-in; ops/quant_matmul.py)."""
+
+    @pytest.mark.parametrize("bits,group_size,k,n,m", [
+        (4, 64, 256, 384, 100),
+        (8, 32, 128, 128, 8),
+        (4, 128, 512, 256, 300),
+        (8, 64, 3840, 200, 17),
+    ])
+    def test_matches_dequant_path(self, rng, bits, group_size, k, n, m):
+        from mlx_video_tpu.ops.quant import dequantize_affine, quantize_affine
+        from mlx_video_tpu.ops.quant_matmul import quant_matmul
+
+        w = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+        packed, scales, biases = quantize_affine(w, group_size, bits)
+        x = jnp.asarray(rng.normal(size=(2, m, k)).astype(np.float32))
+        ref = x @ dequantize_affine(packed, scales, biases, dtype=jnp.float32, bits=bits).T
+        out = quant_matmul(x, packed, scales, biases, bits, group_size, interpret=True)
+        rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 2e-2  # bf16 word-column scales vs fp32 dequant path
+
+    def test_linear_routes_when_enabled(self, rng):
+        import mlx_video_tpu.ops.quant_matmul as qm
+        from mlx_video_tpu.ops.linear import linear, use_quant_kernel
+        from mlx_video_tpu.ops.quant import quantize_linear_params
+
+        params = {"weight": jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))}
+        qparams = quantize_linear_params(params, group_size=64, bits=4)
+        x = jnp.asarray(rng.normal(size=(1, 16, 256)).astype(np.float32))
+        base = linear(qparams, x)  # XLA dequant path (default off)
+        orig = qm.quant_matmul
+        calls = []
+        try:
+            def spy(*a, **kw):
+                calls.append(1)
+                return orig(*a, **kw, interpret=True)
+
+            qm.quant_matmul = spy
+            use_quant_kernel(True)
+            out = linear(qparams, x)
+        finally:
+            use_quant_kernel(False)
+            qm.quant_matmul = orig
+        assert calls, "quant kernel was not routed"
+        rel = float(jnp.max(jnp.abs(out - base))) / float(jnp.max(jnp.abs(base)))
+        assert rel < 2e-2
