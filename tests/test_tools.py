@@ -456,3 +456,45 @@ class TestUnifiedBundle:
         load_video_decoder_weights(tmp_path / "model.safetensors", params, dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(params["latents_std"]), std)
         np.testing.assert_allclose(np.asarray(params["latents_mean"]), mean)
+
+
+class TestPostprocess:
+    def test_reduce_grid_methods(self, rng):
+        from mlx_video_tpu.postprocess import reduce_grid_artifacts
+
+        video = (rng.uniform(size=(2, 64, 64, 3)) * 255).astype(np.uint8)
+        for method in ("bilateral", "gaussian", "frequency"):
+            out = reduce_grid_artifacts(video, method=method, strength=0.5)
+            assert out.shape == video.shape and out.dtype == np.uint8
+        with pytest.raises(ValueError):
+            reduce_grid_artifacts(video, method="nope")
+
+    def test_frequency_notch_removes_grid(self, rng):
+        from mlx_video_tpu.postprocess import remove_grid_frequency
+
+        h = w = 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        grid = (np.sin(2 * np.pi * xx / 8) * 40 + 128).astype(np.uint8)
+        frame = np.stack([grid] * 3, axis=-1)
+        out = remove_grid_frequency(frame, grid_size=8)
+        # the pure 8-px periodic pattern is strongly attenuated
+        assert np.std(out[8:-8, 8:-8, 0].astype(np.float32)) < 0.7 * np.std(
+            frame[8:-8, 8:-8, 0].astype(np.float32)
+        )
+
+    def test_unsharp_sharpens_edge(self, rng):
+        from mlx_video_tpu.postprocess import unsharp_mask
+
+        frame = np.zeros((32, 32, 3), np.uint8)
+        frame[:, 16:] = 200
+        out = unsharp_mask(frame, amount=1.0)
+        assert out.shape == frame.shape
+        # overshoot at the edge indicates sharpening
+        assert out[:, 17:20].max() >= 200
+
+    def test_enhance_cli_parser(self):
+        from mlx_video_tpu.cli.enhance import build_parser
+
+        a = build_parser().parse_args(["-p", "a cat", "--mode", "i2v", "--json",
+                                       "--max-new-tokens", "64"])
+        assert a.mode == "i2v" and a.json and a.max_tokens == 64
