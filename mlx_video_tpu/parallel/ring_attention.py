@@ -24,15 +24,20 @@ from jax.experimental.shard_map import shard_map
 def _local_attention_stats(q, k, v, scale):
     """Blockwise attention returning (acc, running max, running sum).
 
-    q: (B, Sq, H, D); k/v: (B, Sk, H, D). fp32 stats.
+    q: (B, Sq, H, D); k/v: (B, Sk, H, D). Dots keep the input dtype as MXU
+    operands (bf16 runs ~8x faster than fp32 on the systolic array) with
+    fp32 accumulation/stats — the flash-kernel numerics policy
+    (ops/flash_attention.py).
     """
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale
+    logits = scale * jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
     m = jnp.max(logits, axis=-1)  # (B, H, Sq)
     p = jnp.exp(logits - m[..., None])
     l = jnp.sum(p, axis=-1)  # (B, H, Sq)
-    acc = jnp.einsum("bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
+    acc = jnp.einsum(
+        "bhqk,bkhd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     return acc, m, l
 
 
