@@ -156,6 +156,9 @@ def load_video_decoder_weights(
             loaded += 1
             break
 
+    # Res blocks are scan-stacked in the param tree (decoder.py): stage the
+    # per-index checkpoint tensors, then stack along the layer axis.
+    staged: Dict[tuple, Dict[int, np.ndarray]] = {}
     for key, value in weights.items():
         k = _remap_decoder_key(key.replace(".conv.conv.", ".conv."))
         parts = [p for p in k.split(".") if p != "timestep_embedder"]
@@ -164,8 +167,19 @@ def load_video_decoder_weights(
         elif parts[-1] == "weight" and value.ndim == 2 and parts[-2].startswith("linear"):
             value = value.T
         value = _cast(value, npd)
+        if "res_blocks" in parts:
+            i = parts.index("res_blocks")
+            if i + 1 < len(parts) and parts[i + 1].isdigit():
+                j = int(parts[i + 1])
+                path = tuple(parts[: i + 1] + parts[i + 2 :])
+                staged.setdefault(path, {})[j] = value
+                continue
         if _assign_any(params, parts, value):
             loaded += 1
+    for path, by_j in staged.items():
+        stacked = np.stack([by_j[j] for j in sorted(by_j)], axis=0)
+        if _assign_any(params, list(path), stacked):
+            loaded += len(by_j)
     return loaded
 
 
@@ -214,9 +228,18 @@ def load_video_encoder_weights(
 
 def load_upsampler_weights(path: Union[str, Path], params: dict, dtype=jnp.bfloat16) -> int:
     npd = _np_dtype(dtype)
-    prefixes = _detect_prefixes(path, [("vocoder.",), ("",)])
-    weights = _read_all(path, prefixes)
+    # A plain upsampler file has a legit top-level "upsampler." node
+    # (upsampler.conv.weight), so only treat "upsampler." as a bundle
+    # prefix when the bundle-nested keys are present.
+    with SafetensorsReader(path) as r:
+        keys = r.keys()
+    bundled = any(
+        k.startswith(("upsampler.initial_conv", "upsampler.res_blocks", "upsampler.upsampler."))
+        for k in keys
+    )
+    weights = _read_all(path, ("upsampler.",) if bundled else ("",))
     loaded = 0
+    staged: Dict[tuple, Dict[int, np.ndarray]] = {}
     for key, value in weights.items():
         parts = key.split(".")
         if parts[-1] == "weight" and value.ndim == 5:
@@ -224,8 +247,16 @@ def load_upsampler_weights(path: Union[str, Path], params: dict, dtype=jnp.bfloa
         elif parts[-1] == "weight" and value.ndim == 4:
             value = _conv2d_t(value)
         value = _cast(value, npd)
+        # res blocks are scan-stacked (upsampler.py): stage per index
+        if parts[0].endswith("res_blocks") and len(parts) > 1 and parts[1].isdigit():
+            staged.setdefault((parts[0], tuple(parts[2:])), {})[int(parts[1])] = value
+            continue
         if _assign(params, tuple(parts), value):
             loaded += 1
+    for (group, suffix), by_j in staged.items():
+        stacked = np.stack([by_j[j] for j in sorted(by_j)], axis=0)
+        if _assign(params, (group,) + suffix, stacked):
+            loaded += len(by_j)
     return loaded
 
 

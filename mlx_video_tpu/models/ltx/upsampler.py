@@ -105,17 +105,21 @@ def init_latent_upsampler(
     key: jax.Array, in_channels: int = 128, mid_channels: int = 1024, num_blocks: int = 4, dtype=jnp.float32
 ) -> dict:
     keys = jax.random.split(key, 4 + 2 * num_blocks)
+
+    def stacked_blocks(key_offset: int) -> dict:
+        # scan-stacked along a leading layer axis (compile time; see decoder)
+        blocks = [
+            init_res_block_3d(keys[key_offset + i], mid_channels, dtype=dtype)
+            for i in range(num_blocks)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
     return {
         "initial_conv": init_conv3d(keys[0], in_channels, mid_channels, 3, dtype=dtype),
         "initial_norm": _init_norm(mid_channels, dtype),
-        "res_blocks": {
-            str(i): init_res_block_3d(keys[2 + i], mid_channels, dtype=dtype) for i in range(num_blocks)
-        },
+        "res_blocks": stacked_blocks(2),
         "upsampler": {"conv": init_conv2d(keys[1], mid_channels, 4 * mid_channels, 3, dtype=dtype)},
-        "post_upsample_res_blocks": {
-            str(i): init_res_block_3d(keys[2 + num_blocks + i], mid_channels, dtype=dtype)
-            for i in range(num_blocks)
-        },
+        "post_upsample_res_blocks": stacked_blocks(2 + num_blocks),
         "final_conv": init_conv3d(keys[-1], mid_channels, in_channels, 3, dtype=dtype),
     }
 
@@ -125,14 +129,15 @@ def latent_upsampler_apply(params: dict, latent: jax.Array) -> jax.Array:
     x = ops.to_channels_last(latent)
     x = jax.nn.silu(group_norm(params["initial_norm"], _conv3d_same(params["initial_conv"], x), 32, eps=1e-5))
 
-    for i in sorted(params["res_blocks"], key=int):
-        x = res_block_3d(params["res_blocks"][i], x)
+    def res_body(h, bparams):
+        return res_block_3d(bparams, h), None
+
+    x, _ = jax.lax.scan(res_body, x, params["res_blocks"])
 
     # Per-frame 2D conv + pixel shuffle 2x (reference: upsampler.py:142-174).
     x = spatial_rational_resample(params["upsampler"], x, scale=2.0)
 
-    for i in sorted(params["post_upsample_res_blocks"], key=int):
-        x = res_block_3d(params["post_upsample_res_blocks"][i], x)
+    x, _ = jax.lax.scan(res_body, x, params["post_upsample_res_blocks"])
 
     x = _conv3d_same(params["final_conv"], x)
     return ops.to_channels_first(x)

@@ -132,13 +132,18 @@ def init_video_decoder(key: jax.Array, config: DecoderConfig = DecoderConfig(), 
     }
     ki = 1
     for g, ch in enumerate(chans):
+        # Res blocks are scan-stacked along a leading layer axis: one
+        # compiled block body per group instead of num_layers_per_block
+        # unrolled conv graphs — the full-geometry decoder's XLA compile
+        # drops from >30 min (unrolled) to minutes (see DiT layer scan).
+        blocks = [
+            _init_res_block(
+                jax.random.fold_in(keys[ki], j), ch, config.timestep_conditioning, dtype
+            )
+            for j in range(config.num_layers_per_block)
+        ]
         group: dict = {
-            "res_blocks": {
-                str(j): _init_res_block(
-                    jax.random.fold_in(keys[ki], j), ch, config.timestep_conditioning, dtype
-                )
-                for j in range(config.num_layers_per_block)
-            }
+            "res_blocks": jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
         }
         if config.timestep_conditioning:
             group["time_embedder"] = init_time_embedder(keys[ki + 1], ch * 4, dtype=dtype)
@@ -197,8 +202,11 @@ def video_decoder_apply(
         ts_embed = None
         if scaled_timestep is not None:
             ts_embed = time_embedder_apply(group["time_embedder"], scaled_timestep, dtype)
-        for j in range(config.num_layers_per_block):
-            x = _res_block(group["res_blocks"][str(j)], x, causal, pm, ts_embed)
+
+        def res_body(h, bparams, ts_embed=ts_embed):
+            return _res_block(bparams, h, causal, pm, ts_embed), None
+
+        x, _ = jax.lax.scan(res_body, x, group["res_blocks"])
         if g < config.num_upsamples:
             x = depth_to_space_upsample(
                 params["up_blocks"][str(2 * g + 1)], x, (2, 2, 2),

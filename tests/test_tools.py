@@ -35,8 +35,19 @@ class TestVideoDecoderWeights:
 
         # build checkpoint in upstream diffusers layout:
         # mid_block.resnets.i (group 0), up_blocks.b.{resnets,upsamplers,time_embedder}
-        ckpt = {}
+        # (our res_blocks leaves are scan-stacked -> unstack to per-index keys)
+        flat = {}
         for flat_key, leaf in flatten_params(ref).items():
+            parts = flat_key.split(".")
+            if "res_blocks" in parts:
+                i = parts.index("res_blocks")
+                for j in range(np.asarray(leaf).shape[0]):
+                    key_j = ".".join(parts[: i + 1] + [str(j)] + parts[i + 1 :])
+                    flat[key_j] = np.asarray(leaf)[j]
+            else:
+                flat[flat_key] = leaf
+        ckpt = {}
+        for flat_key, leaf in flat.items():
             arr = np.asarray(leaf)
             parts = flat_key.split(".")
             if parts[0] in ("latents_mean", "latents_std"):
@@ -131,8 +142,17 @@ class TestEncoderUpsamplerWeights:
 
         ref = init_latent_upsampler(jax.random.key(0), in_channels=8, mid_channels=32, num_blocks=1, dtype=jnp.float32)
         ref = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), ref)
-        ckpt = {}
+        # upstream layout has per-index res-block keys; ours are scan-stacked
+        flat = {}
         for k, leaf in flatten_params(ref).items():
+            parts = k.split(".")
+            if parts[0].endswith("res_blocks"):
+                for j in range(np.asarray(leaf).shape[0]):
+                    flat[".".join([parts[0], str(j)] + parts[1:])] = np.asarray(leaf)[j]
+            else:
+                flat[k] = leaf
+        ckpt = {}
+        for k, leaf in flat.items():
             arr = np.asarray(leaf)
             if arr.ndim == 5:
                 arr = _pt_conv3d(arr)
