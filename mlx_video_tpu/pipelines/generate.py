@@ -30,7 +30,11 @@ import numpy as np
 from mlx_video_tpu.config import LTXModelConfig
 from mlx_video_tpu.io import media
 from mlx_video_tpu.models.ltx.upsampler import upsample_latents
-from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, video_decoder_apply
+from mlx_video_tpu.models.ltx.video_vae.decoder import (
+    DecoderConfig,
+    video_decoder_apply,  # noqa: F401 (re-exported for callers composing in-graph)
+    video_decoder_apply_chunked,
+)
 from mlx_video_tpu.models.ltx.video_vae.encoder import video_encoder_apply
 from mlx_video_tpu.models.ltx.video_vae.tiling import TilingConfig, decode_with_tiling
 from mlx_video_tpu.pipelines import denoise as dn
@@ -241,11 +245,12 @@ def decode_latents(
     if decode_timestep is not None:
         timestep = jnp.full((latents.shape[0],), decode_timestep, dtype=jnp.float32)
 
-    decode_jit = jax.jit(
-        lambda x: video_decoder_apply(
+    # Host-driven decode: per-stage jits (bounded compile times per stage,
+    # independent caching across tile shapes) instead of one monolith.
+    def decode_jit(x):
+        return video_decoder_apply_chunked(
             models.vae_decoder_params, dec_cfg, x, timestep=timestep, noise_key=noise_key
         )
-    )
     if tiling_config is None:
         out = np.asarray(decode_jit(latents), dtype=np.float32)
         if on_frames_ready is not None:

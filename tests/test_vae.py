@@ -303,3 +303,40 @@ class TestVideoVAE:
         out = video_decoder_apply(dec, dec_cfg, latents)
         assert out.shape[0:2] == (1, 3)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestChunkedDecode:
+    def test_chunked_matches_monolithic(self, rng):
+        from mlx_video_tpu.models.ltx.video_vae.decoder import (
+            DecoderConfig,
+            init_video_decoder,
+            video_decoder_apply,
+            video_decoder_apply_chunked,
+        )
+
+        cfg = DecoderConfig(in_channels=8, base_channels=32, num_layers_per_block=2,
+                            num_upsamples=3, patch_size=4)
+        params = init_video_decoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        lat = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
+        a = video_decoder_apply(params, cfg, lat, timestep=jnp.array([0.05]),
+                                noise_key=jax.random.key(2))
+        b = video_decoder_apply_chunked(params, cfg, lat, timestep=jnp.array([0.05]),
+                                        noise_key=jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_chunked_no_conditioning(self, rng):
+        from mlx_video_tpu.models.ltx.video_vae.decoder import (
+            DecoderConfig,
+            init_video_decoder,
+            video_decoder_apply,
+            video_decoder_apply_chunked,
+        )
+
+        cfg = DecoderConfig(in_channels=8, base_channels=32, num_layers_per_block=1,
+                            num_upsamples=2, patch_size=4, timestep_conditioning=False)
+        params = init_video_decoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        lat = jnp.asarray(rng.normal(size=(1, 8, 2, 4, 4)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(video_decoder_apply(params, cfg, lat)),
+            np.asarray(video_decoder_apply_chunked(params, cfg, lat)),
+        )
