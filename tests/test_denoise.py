@@ -108,6 +108,22 @@ class TestDenoise:
         assert v.shape == latents.shape
         assert np.all(np.isfinite(np.asarray(v)))
 
+    def test_uniform_mask_fast_path_matches_per_token(self, video_setup):
+        """With no conditioning state the (B, 1) timestep mask must produce
+        the same denoised output as explicit per-token (B, S) timesteps
+        (broadcast equivalence of the adaLN modulation)."""
+        cfg, params, latents, positions, context, _ = video_setup
+        assert dn.video_timesteps_mask(None, latents.shape, latents.dtype).shape == (
+            latents.shape[0], 1,
+        )
+        sigma = 0.8
+        tokens = dn.flatten_video_latents(latents)
+        ts_one = jnp.full((tokens.shape[0], 1), sigma, dtype=latents.dtype)
+        ts_full = jnp.full(tokens.shape[:2], sigma, dtype=latents.dtype)
+        v_one, _ = ltx_apply(params, cfg, video=Modality(tokens, ts_one, context, positions))
+        v_full, _ = ltx_apply(params, cfg, video=Modality(tokens, ts_full, context, positions))
+        np.testing.assert_allclose(np.asarray(v_one), np.asarray(v_full), atol=2e-5)
+
     def test_progress_callback_matches_scan(self, video_setup):
         cfg, params, latents, positions, context, _ = video_setup
         sigmas = subsample_sigmas(STAGE_1_SIGMAS, 2)
