@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantization", "--quantize-bits", type=int, default=None,
                    choices=[4, 8], dest="quantize_bits",
                    help="Runtime-quantize the transformer")
+    p.add_argument("--mesh", default=None,
+                   help="data,fsdp,tensor mesh shape for sharded (GSPMD) inference, "
+                        "e.g. 1,1,8 for 8-way tensor parallelism; 'auto' uses all "
+                        "local devices. The denoise scan compiles as one SPMD "
+                        "program with XLA collectives over the mesh.")
     # Reference-CLI flags that are no-ops under the TPU execution model:
     # the whole sigma loop is one compiled lax.scan (always "compiled",
     # always batched CFG, always fp32 Euler, no lazy-eval cache to tune).
@@ -232,6 +237,30 @@ def main(argv=None) -> None:
             models.transformer_params, bits=args.quantize_bits
         )
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
+        from mlx_video_tpu.parallel.sharding import shard_params
+
+        shape = (
+            factor_devices(len(jax.devices()))
+            if args.mesh == "auto"
+            else tuple(int(x) for x in args.mesh.split(","))
+        )
+        mesh = create_mesh(shape)
+        models.transformer_params = shard_params(models.transformer_params, mesh)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = shard_params(
+                models.stage2_transformer_params, mesh
+            )
+        if models.audio_transformer_params is not None:
+            models.audio_transformer_params = shard_params(
+                models.audio_transformer_params, mesh
+            )
+        print(f"Sharded transformer over mesh {dict(zip(('data','fsdp','tensor'), shape))}")
+
     prompt = args.prompt
     if args.embeddings:
         text = load_embeddings(args.embeddings)
@@ -303,6 +332,7 @@ def main(argv=None) -> None:
             video_encoder=args.video_encoder,
             decode_latents_only=args.latents_only,
             profile=args.profile,
+            mesh=mesh,
         )
 
     if args.save_frames and result.video is not None:

@@ -303,10 +303,26 @@ def generate_video(
     progress_callback=None,
     profile: bool = False,
     mem_log: bool = False,
+    mesh=None,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
-    orchestration spec mapping."""
+    orchestration spec mapping.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with axes (data, fsdp, tensor).
+    Pass transformer params pre-placed via ``parallel.sharding.shard_params``
+    (the CLI does this for ``--mesh``); the denoise scan then compiles as one
+    GSPMD program with XLA-inserted collectives over the mesh. Latents are
+    gathered to the default device at stage boundaries so the (lighter)
+    upsampler/VAE stages run single-device.
+    """
     timer = PhaseTimer()
+
+    def _gather(x):
+        """Collapse a mesh-sharded array onto the default device between
+        pipeline stages (no-op without a mesh)."""
+        if mesh is None or x is None:
+            return x
+        return jnp.asarray(np.asarray(x), dtype=x.dtype)
     is_distilled = pipeline in (PipelineType.DISTILLED, PipelineType.KEYFRAME, PipelineType.IC_LORA)
     conditioning_mode = "guide" if pipeline == PipelineType.KEYFRAME else "replace"
     if pipeline == PipelineType.IC_LORA and not video_conditionings:
@@ -390,6 +406,9 @@ def generate_video(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
                 state=state1, progress_callback=progress_callback, **audio_kwargs,
             )
+            latents, audio_latents = _gather(latents), _gather(audio_latents)
+            if joint_audio:
+                audio_kwargs["audio_latents"] = audio_latents
         log_memory("stage1 complete", profile or mem_log)
 
         with timer.phase("upsample"):
@@ -435,6 +454,7 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     state=state2, progress_callback=progress_callback, **audio_kwargs,
                 )
+            latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("stage2 complete", profile or mem_log)
     else:
         # Dev single-stage CFG (reference: generate.py:3374-3495).
@@ -457,6 +477,7 @@ def generate_video(
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                 state=state, progress_callback=progress_callback, **audio_kwargs,
             )
+            latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("denoise complete", profile or mem_log)
 
     # Separate audio generation (reference: generate.py:3928-4047).
@@ -478,6 +499,7 @@ def generate_video(
                 audio_neg_context=text.audio_neg_embeddings,
                 cfg_scale=cfg_scale if text.audio_neg_embeddings is not None else 1.0,
             )
+            audio_latents = _gather(audio_latents)
 
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None

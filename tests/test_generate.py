@@ -135,6 +135,28 @@ class TestDistilledPipeline:
         np.testing.assert_array_equal(a.latents, b.latents)
         assert np.max(np.abs(a.latents - c.latents)) > 1e-3
 
+    def test_mesh_sharded_matches_single_device(self, models):
+        """generate_video(mesh=...) with TP/FSDP-sharded transformer params
+        must reproduce single-device latents (GSPMD inference path)."""
+        from dataclasses import replace
+
+        from mlx_video_tpu.parallel.mesh import create_mesh
+        from mlx_video_tpu.parallel.sharding import shard_params
+
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, decode_latents_only=True, dtype=jnp.float32,
+            seed=3,
+        )
+        ref = generate_video(models, _text(models.transformer_config), **kw)
+
+        mesh = create_mesh((1, 2, 4))
+        sharded = replace(
+            models, transformer_params=shard_params(models.transformer_params, mesh)
+        )
+        out = generate_video(sharded, _text(models.transformer_config), mesh=mesh, **kw)
+        np.testing.assert_allclose(out.latents, ref.latents, atol=5e-4)
+
     def test_invalid_steps_raise(self, models):
         with pytest.raises(ValueError, match="stage2_steps"):
             generate_video(
