@@ -109,9 +109,13 @@ def flash_attention(
 
     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
 
+    if s_pad <= SINGLE_PASS_MAX_S:
+        kernel = functools.partial(_single_pass_kernel, scale=scale, valid_len=s)
+    else:
+        kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale, valid_len=s)
     grid = (b * h, s_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale, valid_len=s),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -125,6 +129,38 @@ def flash_attention(
 
     out = out[:, :s].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    """One (head, q-block) with the WHOLE key range in one dot: single-pass
+    softmax, no online rescaling. Profitable when the fp32 logits tile
+    (block_q, S_pad) fits VMEM comfortably — short/medium sequences where
+    the online variant's per-block max/rescale VPU work dominates.
+    """
+    s = k_ref.shape[0]
+    q = q_ref[:]
+    logits = scale * jax.lax.dot_general(
+        q, k_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, S_pad)
+    if valid_len < s:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+# Above this padded sequence length the single-pass fp32 logits tile gets too
+# large for comfortable VMEM double-buffering; use the online-softmax kernel.
+SINGLE_PASS_MAX_S = 2048
 
 
 def _round_up(x: int, m: int) -> int:

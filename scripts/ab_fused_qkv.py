@@ -1,4 +1,8 @@
-"""A/B: three separate QKV gemms vs one fused (K, 3N) gemm, DiT geometries."""
+"""A/B: three separate QKV gemms vs one fused (K, 3N) gemm, DiT geometries.
+
+Timing: warm up (incl. the fetch-sum kernels), then N async dispatches +
+one scalar fetch, best of 3.
+"""
 
 from __future__ import annotations
 
@@ -9,31 +13,23 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, args, iters=100, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jnp.sum(out).block_until_ready() if hasattr(jnp.sum(out), "block_until_ready") else None
-    float(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
+def fetch(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def rpc_baseline():
-    x = jnp.zeros((8, 8))
-    f = jax.jit(lambda a: a + 1)
-    f(x)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(jnp.sum(f(x)))
-    return (time.perf_counter() - t0) / 20
+def timed(fn, args, iters=50):
+    fetch(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def main():
-    base = rpc_baseline()
-    print(f"rpc baseline {base*1e3:.2f} ms", file=sys.stderr)
     for (s, kdim) in [(1280, 2048), (5184, 4096), (2560, 2048)]:
         x = jax.random.normal(jax.random.key(0), (s, kdim), dtype=jnp.bfloat16)
         wq = jax.random.normal(jax.random.key(1), (kdim, kdim), dtype=jnp.bfloat16)
@@ -51,8 +47,8 @@ def main():
             q, k, v = jnp.split(o, 3, axis=1)
             return q + k * 0.5 + v * 0.25
 
-        t_sep = timed(sep, (x, wq, wk, wv)) - base
-        t_fused = timed(fused, (x, wf)) - base
+        t_sep = timed(sep, (x, wq, wk, wv))
+        t_fused = timed(fused, (x, wf))
         flops = 2 * s * kdim * kdim * 3
         print(
             f"S{s} K{kdim}: sep={t_sep*1e3:.3f}ms({flops/max(t_sep,1e-9)/1e12:.0f}TF/s) "

@@ -27,6 +27,28 @@ def test_flash_matches_reference(rng, s):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_online_and_single_pass_kernels_match(rng, monkeypatch):
+    """The single-pass (short-S) and online-softmax (long-S) kernels must
+    both match the reference; the routing threshold is internal only."""
+    import mlx_video_tpu.ops.flash_attention as fa
+
+    b, s, h, d = 1, 384, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    scale = d**-0.5
+    ref = _ref_attention(q, k, v, scale)
+    raw = fa.flash_attention.__wrapped__
+
+    monkeypatch.setattr(fa, "SINGLE_PASS_MAX_S", 2048)  # -> single pass
+    single = raw(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
+    monkeypatch.setattr(fa, "SINGLE_PASS_MAX_S", 0)  # -> online softmax
+    online = raw(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(single), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(online), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_flash_bf16(rng):
     b, s, h, d = 1, 256, 2, 128
     q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
