@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "e.g. 1,1,8 for 8-way tensor parallelism; 'auto' uses all "
                         "local devices. The denoise scan compiles as one SPMD "
                         "program with XLA collectives over the mesh.")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="With --mesh: also shard the token axis over the fsdp "
+                        "mesh axis and run self-attention as ring attention "
+                        "(long-video sequence parallelism)")
     # Reference-CLI flags that are no-ops under the TPU execution model:
     # the whole sigma loop is one compiled lax.scan (always "compiled",
     # always batched CFG, always fp32 Euler, no lazy-eval cache to tune).
@@ -333,6 +337,7 @@ def main(argv=None) -> None:
             decode_latents_only=args.latents_only,
             profile=args.profile,
             mesh=mesh,
+            sequence_parallel=args.sequence_parallel,
         )
 
     if args.save_frames and result.video is not None:

@@ -144,8 +144,15 @@ def attention_apply(
     bias: Optional[jax.Array] = None,
     pe: Optional[Tuple[jax.Array, jax.Array]] = None,
     k_pe: Optional[Tuple[jax.Array, jax.Array]] = None,
+    sp=None,
 ) -> jax.Array:
-    """QKV -> q/k RMSNorm -> RoPE -> SDPA -> out proj (reference: attention.py:102-142)."""
+    """QKV -> q/k RMSNorm -> RoPE -> SDPA -> out proj (reference: attention.py:102-142).
+
+    ``sp``: optional ``(Mesh, axis_name)`` sequence-parallel setting. Self-
+    attention (the quadratic term) then runs as ring attention with the token
+    axis sharded over the mesh axis (parallel/ring_attention.py); text and
+    cross-modal attention keep the GSPMD path (short or replicated KV).
+    """
     q = linear(params["to_q"], x)
     ctx = x if context is None else context
     k = linear(params["to_k"], ctx)
@@ -154,15 +161,16 @@ def attention_apply(
     q = rms_norm(q, params["q_norm"]["weight"], eps=norm_eps)
     k = rms_norm(k, params["k_norm"]["weight"], eps=norm_eps)
 
+    is_self = context is None and k_pe is None and bias is None
+
     # Fused path: SPLIT-RoPE self-attention folds the rotation into the
     # Pallas flash kernel (no roped q/k round trip through HBM).
     from mlx_video_tpu.ops.attention import fused_split_rope_eligible, sdpa_flat_fused_rope
 
     if (
-        pe is not None
-        and k_pe is None
-        and context is None
-        and bias is None
+        sp is None
+        and is_self
+        and pe is not None
         and rope_type == LTXRopeType.SPLIT
         and fused_split_rope_eligible(q, heads, pe)
     ):
@@ -172,6 +180,23 @@ def attention_apply(
     if pe is not None:
         q = rope_lib.apply_rotary_emb(q, pe, rope_type)
         k = rope_lib.apply_rotary_emb(k, pe if k_pe is None else k_pe, rope_type)
+
+    if sp is not None and is_self:
+        mesh, axis = sp
+        n = mesh.shape[axis]
+        b, s, dim = q.shape
+        if s % n == 0 and n > 1:
+            from mlx_video_tpu.parallel.ring_attention import ring_attention
+
+            d_head = dim // heads
+            out = ring_attention(
+                q.reshape(b, s, heads, d_head),
+                k.reshape(b, s, heads, d_head),
+                v.reshape(b, s, heads, d_head),
+                mesh,
+                axis=axis,
+            ).reshape(b, s, dim)
+            return linear(params["to_out"], out)
 
     out = sdpa_flat(q, k, v, heads, bias=bias)
     return linear(params["to_out"], out)
@@ -286,6 +311,7 @@ def block_apply(
     audio_cfg: Optional[TransformerConfig],
     rope_type: LTXRopeType,
     norm_eps: float,
+    sp=None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
     """One AV transformer block (reference: transformer.py:221-361)."""
     vx = video.x if video is not None else None
@@ -296,7 +322,7 @@ def block_apply(
         vshift, vscale, vgate = _ada_values(bparams["scale_shift_table"], video.timesteps, 0, 3, 6)
         norm_vx = rms_norm(vx, eps=norm_eps) * (1 + vscale) + vshift
         vx = vx + attention_apply(
-            bparams["attn1"], norm_vx, video_cfg.heads, rope_type, norm_eps, pe=video.pe
+            bparams["attn1"], norm_vx, video_cfg.heads, rope_type, norm_eps, pe=video.pe, sp=sp
         ) * vgate
         vx = vx + attention_apply(
             bparams["attn2"],
@@ -312,7 +338,7 @@ def block_apply(
         ashift, ascale, agate = _ada_values(bparams["audio_scale_shift_table"], audio.timesteps, 0, 3, 6)
         norm_ax = rms_norm(ax, eps=norm_eps) * (1 + ascale) + ashift
         ax = ax + attention_apply(
-            bparams["audio_attn1"], norm_ax, audio_cfg.heads, rope_type, norm_eps, pe=audio.pe
+            bparams["audio_attn1"], norm_ax, audio_cfg.heads, rope_type, norm_eps, pe=audio.pe, sp=sp
         ) * agate
         ax = ax + attention_apply(
             bparams["audio_attn2"],
@@ -543,9 +569,14 @@ def ltx_apply(
     config: LTXModelConfig,
     video: Optional[Modality] = None,
     audio: Optional[Modality] = None,
+    sp=None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
     """Full DiT forward; returns per-modality velocity predictions
-    (reference: ltx.py:459-506)."""
+    (reference: ltx.py:459-506).
+
+    ``sp``: optional ``(Mesh, axis_name)`` — run self-attention as ring
+    attention with the token axis sequence-sharded over that mesh axis
+    (new capability vs the single-device reference, SURVEY §2.12)."""
     video_cfg = config.get_video_config()
     audio_cfg = config.get_audio_config()
     if video is not None and video_cfg is None:
@@ -595,7 +626,7 @@ def ltx_apply(
         v_in = video_args._replace(x=vx) if video_args is not None else None
         a_in = audio_args._replace(x=ax) if audio_args is not None else None
         vx_out, ax_out = block_apply(
-            bparams, v_in, a_in, video_cfg, audio_cfg, config.rope_type, config.norm_eps
+            bparams, v_in, a_in, video_cfg, audio_cfg, config.rope_type, config.norm_eps, sp=sp
         )
         if vx_out is None:
             vx_out = vx

@@ -124,7 +124,7 @@ def _host_step_event(step, sigma, total: int):
 
 
 def _denoise_step(
-    params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, carry, xs
+    params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -175,7 +175,7 @@ def _denoise_step(
             pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
         )
 
-    v_vel, a_vel = ltx_apply(params, config, video=video_mod, audio=audio_mod)
+    v_vel, a_vel = ltx_apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
 
     v_out = v_lat
     if video_mod is not None:
@@ -201,30 +201,52 @@ def _denoise_step(
 
 
 @partial(
-    jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress")
+    jax.jit,
+    static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp"),
 )
 def _denoise_scan(
-    params, bundle, init, sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False
+    params, latents, positions, context, neg_context, state,
+    audio_latents, audio_positions, audio_context, audio_neg_context,
+    sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
 ):
+    """The WHOLE denoise call is one compiled program: bundle construction
+    (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
+    eagerly costs a long chain of per-op dispatches (~100 ms of fixed
+    overhead per call through the axon tunnel, measured); inside the jit it
+    is one dispatch and XLA hoists the loop-invariant prep out of the scan.
+    """
+    bundle = _make_bundle(
+        config, latents, positions, context, state, use_cfg, neg_context,
+        audio_latents, audio_positions, audio_context, audio_neg_context,
+    )
+    if latents is not None:
+        init_v = latents
+        filler_dtype = latents.dtype
+    else:
+        init_v = jnp.zeros((0,), dtype=audio_latents.dtype)
+        filler_dtype = audio_latents.dtype
+    init_a = audio_latents if enable_audio else jnp.zeros((0,), dtype=filler_dtype)
+
     num_steps = sig_pairs.shape[0]
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
-        progress, num_steps,
+        progress, num_steps, sp,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
-    (v, a), _ = jax.lax.scan(step, init, xs)
+    (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
     return v, a
 
 
-@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio"))
-def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio):
+@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp"))
+def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None):
     out, _ = _denoise_step(
-        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1,
+        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp,
         carry, (sig_pair, jnp.int32(0)),
     )
     return out
 
 
+@partial(jax.jit, static_argnames=("config", "use_cfg"))
 def _make_bundle(
     config,
     latents,
@@ -287,6 +309,7 @@ def denoise(
     audio_context: Optional[jax.Array] = None,
     audio_neg_context: Optional[jax.Array] = None,
     progress_callback: Optional[Callable[[int, int], None]] = None,
+    sequence_parallel=None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -296,6 +319,10 @@ def denoise(
       reference generate.py:1060-1327.
     - ``audio_latents`` enables joint AV denoising over a shared sigma
       schedule (reference: generate.py:642-710, 1330+).
+    - ``sequence_parallel``: optional ``(Mesh, axis_name)`` — ring-attention
+      sequence sharding of the token axis inside every self-attention
+      (long-video capability, SURVEY §2.12); requires the token count to be
+      divisible by the axis size.
 
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
@@ -307,30 +334,34 @@ def denoise(
     if state is not None:
         latents = state.latent
 
-    bundle = _make_bundle(
-        config, latents, positions, context, state, use_cfg, neg_context,
-        audio_latents, audio_positions, audio_context, audio_neg_context,
-    )
-
-    sigmas_arr = jnp.asarray(np.asarray(sigmas, dtype=np.float32))
-    sig_pairs = jnp.stack([sigmas_arr[:-1], sigmas_arr[1:]], axis=1)
+    sig_np = np.asarray(sigmas, dtype=np.float32)
+    sig_pairs = jnp.asarray(np.stack([sig_np[:-1], sig_np[1:]], axis=1))
     num_steps = sig_pairs.shape[0]
-    init = (latents, audio_latents if enable_audio else jnp.zeros((0,), dtype=latents.dtype))
 
     if progress_callback is None:
         from mlx_video_tpu.utils.profiling import progress_echo_enabled
 
         v, a = _denoise_scan(
-            params, bundle, init, sig_pairs,
+            params, latents, positions, context, neg_context, state,
+            audio_latents, audio_positions, audio_context, audio_neg_context,
+            sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
-            progress=progress_echo_enabled(),
+            progress=progress_echo_enabled(), sp=sequence_parallel,
         )
     else:
-        carry = init
+        bundle = _make_bundle(
+            config, latents, positions, context, state, use_cfg, neg_context,
+            audio_latents, audio_positions, audio_context, audio_neg_context,
+        )
+        carry = (
+            latents,
+            audio_latents if enable_audio else jnp.zeros((0,), dtype=latents.dtype),
+        )
         for i in range(num_steps):
             carry = _denoise_one(
                 params, bundle, carry, sig_pairs[i],
                 config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
+                sp=sequence_parallel,
             )
             progress_callback(i + 1, num_steps)
         v, a = carry
@@ -348,33 +379,36 @@ def denoise_audio_only(
     audio_neg_context: Optional[jax.Array] = None,
     cfg_scale: float = 1.0,
     progress_callback: Optional[Callable[[int, int], None]] = None,
+    sequence_parallel=None,
 ) -> jax.Array:
     """Audio-only denoise loop (reference: generate.py:888-1057)."""
     use_cfg = cfg_scale != 1.0 and audio_neg_context is not None
-    bundle = _make_bundle(
-        config, None, None, None, None, use_cfg, None,
-        audio_latents, audio_positions, audio_context, audio_neg_context,
-    )
-    sigmas_arr = jnp.asarray(np.asarray(sigmas, dtype=np.float32))
-    sig_pairs = jnp.stack([sigmas_arr[:-1], sigmas_arr[1:]], axis=1)
+    sig_np = np.asarray(sigmas, dtype=np.float32)
+    sig_pairs = jnp.asarray(np.stack([sig_np[:-1], sig_np[1:]], axis=1))
     num_steps = sig_pairs.shape[0]
-    # Video carry is a 0-d placeholder (ndim != 5 disables the video path).
-    init = (jnp.zeros((0,), dtype=audio_latents.dtype), audio_latents)
 
     if progress_callback is None:
         from mlx_video_tpu.utils.profiling import progress_echo_enabled
 
         _, a = _denoise_scan(
-            params, bundle, init, sig_pairs,
+            params, None, None, None, None, None,
+            audio_latents, audio_positions, audio_context, audio_neg_context,
+            sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=True,
-            progress=progress_echo_enabled(),
+            progress=progress_echo_enabled(), sp=sequence_parallel,
         )
         return a
-    carry = init
+    bundle = _make_bundle(
+        config, None, None, None, None, use_cfg, None,
+        audio_latents, audio_positions, audio_context, audio_neg_context,
+    )
+    # Video carry is a 0-d placeholder (ndim != 5 disables the video path).
+    carry = (jnp.zeros((0,), dtype=audio_latents.dtype), audio_latents)
     for i in range(num_steps):
         carry = _denoise_one(
             params, bundle, carry, sig_pairs[i],
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=True,
+            sp=sequence_parallel,
         )
         progress_callback(i + 1, num_steps)
     return carry[1]

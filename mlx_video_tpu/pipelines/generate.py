@@ -304,6 +304,7 @@ def generate_video(
     profile: bool = False,
     mem_log: bool = False,
     mesh=None,
+    sequence_parallel: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -314,8 +315,15 @@ def generate_video(
     GSPMD program with XLA-inserted collectives over the mesh. Latents are
     gathered to the default device at stage boundaries so the (lighter)
     upsampler/VAE stages run single-device.
+
+    ``sequence_parallel``: with ``mesh``, additionally run every DiT
+    self-attention as ring attention with the token axis sharded over the
+    ``fsdp`` mesh axis — raises the max F*H*W beyond one chip's HBM for
+    long/large videos (token count must divide the axis size; falls back
+    to local attention otherwise).
     """
     timer = PhaseTimer()
+    sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
 
     def _gather(x):
         """Collapse a mesh-sharded array onto the default device between
@@ -404,7 +412,7 @@ def generate_video(
         with timer.phase("stage1_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
-                state=state1, progress_callback=progress_callback, **audio_kwargs,
+                state=state1, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
             if joint_audio:
@@ -448,11 +456,12 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                     state=state2, progress_callback=progress_callback,
+                    sequence_parallel=sp,
                 )[0]
             else:
                 latents, audio_latents = dn.denoise(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
-                    state=state2, progress_callback=progress_callback, **audio_kwargs,
+                    state=state2, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("stage2 complete", profile or mem_log)
@@ -475,7 +484,7 @@ def generate_video(
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions, text.video_embeddings, sigmas,
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
-                state=state, progress_callback=progress_callback, **audio_kwargs,
+                state=state, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("denoise complete", profile or mem_log)

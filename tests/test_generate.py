@@ -157,6 +157,13 @@ class TestDistilledPipeline:
         out = generate_video(sharded, _text(models.transformer_config), mesh=mesh, **kw)
         np.testing.assert_allclose(out.latents, ref.latents, atol=5e-4)
 
+        # And with ring-attention sequence parallelism on top.
+        out_sp = generate_video(
+            sharded, _text(models.transformer_config), mesh=mesh,
+            sequence_parallel=True, **kw,
+        )
+        np.testing.assert_allclose(out_sp.latents, ref.latents, atol=5e-4)
+
     def test_invalid_steps_raise(self, models):
         with pytest.raises(ValueError, match="stage2_steps"):
             generate_video(

@@ -90,6 +90,69 @@ class TestShardingRules:
             out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
+    def test_sequence_parallel_forward_matches_plain(self):
+        """ltx_apply(sp=...) — ring self-attention with the token axis
+        sequence-sharded — must equal the plain forward."""
+        cfg = tp_config()
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w = 1, 2, 4, 4  # 32 tokens, divisible by the fsdp axis (2)
+        latents = jnp.asarray(
+            rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)
+        )
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full((b, 1), 0.7)
+        mod = Modality(latent=latents, timesteps=ts, context=context, positions=positions)
+
+        ref, _ = ltx_apply(params, cfg, video=mod)
+        mesh = create_mesh((1, 2, 4))
+        out, _ = jax.jit(
+            lambda p: ltx_apply(p, cfg, video=mod, sp=(mesh, "fsdp"))
+        )(params)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_sequence_parallel_denoise_matches_plain(self):
+        """Full denoise loop with sequence_parallel equals the plain loop."""
+        from mlx_video_tpu.pipelines import denoise as dn
+
+        cfg = tp_config()
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        b, f, h, w = 1, 2, 4, 4
+        latents = jnp.asarray(
+            rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32)
+        )
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        sigmas = [1.0, 0.5, 0.0]
+        ref, _ = dn.denoise(params, cfg, latents, positions, context, sigmas)
+        mesh = create_mesh((1, 2, 4))
+        out, _ = dn.denoise(
+            params, cfg, latents, positions, context, sigmas,
+            sequence_parallel=(mesh, "fsdp"),
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+    def test_sequence_parallel_indivisible_falls_back(self):
+        """Token counts that don't divide the axis fall back to local
+        attention (same numerics, no ring)."""
+        cfg = tp_config()
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        b, s = 1, 9  # not divisible by 2
+        latents = jnp.asarray(rng.normal(size=(b, s, cfg.in_channels)).astype(np.float32))
+        positions = jnp.asarray(
+            np.stack([np.zeros((b, 3, s)), np.ones((b, 3, s))], axis=-1).astype(np.float32)
+        )
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full((b, 1), 0.7)
+        mod = Modality(latent=latents, timesteps=ts, context=context, positions=positions)
+        ref, _ = ltx_apply(params, cfg, video=mod)
+        mesh = create_mesh((1, 2, 4))
+        out, _ = ltx_apply(params, cfg, video=mod, sp=(mesh, "fsdp"))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
     def test_shard_batch_places_on_data_axis(self):
         mesh = create_mesh((2, 2, 2))
         x = jnp.zeros((4, 6, 8))
