@@ -11,7 +11,13 @@ from functools import lru_cache
 
 import numpy as np
 
-from mlx_video_tpu.pipelines.schedulers import MAX_SHIFT_ANCHOR, ltx2_scheduler
+from mlx_video_tpu.pipelines.schedulers import (
+    BASE_SHIFT_ANCHOR,
+    MAX_SHIFT_ANCHOR,
+    ltx2_scheduler,
+)
+
+from ltx_core.components.protocols import SchedulerProtocol  # noqa: F401 (parity export)
 
 
 class LTX2Scheduler:

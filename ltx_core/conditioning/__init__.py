@@ -12,3 +12,13 @@ from mlx_video_tpu.pipelines.conditioning import (
 
 class ConditioningError(ValueError):
     """(reference: ltx_core/conditioning/exceptions.py)."""
+
+
+def __getattr__(name):
+    # ConditioningItem lives in ltx_core.conditioning.item (import lazily to
+    # avoid a circular import with ltx_core.types at package init).
+    if name == "ConditioningItem":
+        from ltx_core.conditioning.item import ConditioningItem
+
+        return ConditioningItem
+    raise AttributeError(name)

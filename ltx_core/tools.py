@@ -17,6 +17,7 @@ from ltx_core.components.patchifiers import (
     VideoLatentPatchifier,
     get_pixel_coords,
 )
+from ltx_core.components.protocols import Patchifier  # noqa: F401 (parity export)
 from ltx_core.types import (
     AudioLatentShape,
     LatentState,
@@ -65,6 +66,11 @@ class _LatentToolsBase:
             denoise_mask=jnp.ones_like(state.denoise_mask)[:, :n],
             positions=state.positions[:, :, :n] if state.positions is not None else None,
         )
+
+
+# Reference protocol name for the shared tools interface
+# (reference: ltx_core/tools.py:21-30).
+LatentTools = _LatentToolsBase
 
 
 @dataclass

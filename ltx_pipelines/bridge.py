@@ -126,3 +126,15 @@ def run_generate(
 
     generate_main(argv)
     return str(output_path)
+
+
+def run_cli(default_pipeline: str) -> None:
+    """Dispatch to the generate CLI with a default pipeline
+    (reference: ltx_pipelines/mlx_bridge.py:115-121)."""
+    import sys
+
+    if "--pipeline" not in sys.argv:
+        sys.argv.extend(["--pipeline", default_pipeline])
+    from mlx_video_tpu.cli.generate import main as _main
+
+    _main()

@@ -45,3 +45,14 @@ class DistilledPipeline:
             output_path=output_path, images=images,
             distilled_loras=distilled_lora, negative_prompt=negative_prompt,
         )
+
+
+def main() -> None:
+    """CLI entry (reference: per-pipeline main -> run_cli)."""
+    from ltx_pipelines.bridge import run_cli
+
+    run_cli("distilled")
+
+
+if __name__ == "__main__":
+    main()

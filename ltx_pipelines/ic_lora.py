@@ -41,3 +41,14 @@ class ICLoraPipeline:
             output_path=output_path, video_conditionings=video_conditionings,
             loras=loras, negative_prompt=negative_prompt,
         )
+
+
+def main() -> None:
+    """CLI entry (reference: per-pipeline main -> run_cli)."""
+    from ltx_pipelines.bridge import run_cli
+
+    run_cli("ic_lora")
+
+
+if __name__ == "__main__":
+    main()

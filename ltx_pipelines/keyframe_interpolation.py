@@ -40,3 +40,14 @@ class KeyframeInterpolationPipeline:
             prompt=prompt, pipeline=PipelineType.KEYFRAME, cfg=cfg,
             output_path=output_path, images=keyframes, negative_prompt=negative_prompt,
         )
+
+
+def main() -> None:
+    """CLI entry (reference: per-pipeline main -> run_cli)."""
+    from ltx_pipelines.bridge import run_cli
+
+    run_cli("keyframe")
+
+
+if __name__ == "__main__":
+    main()

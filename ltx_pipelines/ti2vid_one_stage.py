@@ -42,3 +42,18 @@ class TI2VidOneStage:
             prompt=prompt, pipeline=PipelineType.DEV, cfg=cfg, output_path=output_path,
             images=images, loras=loras, negative_prompt=negative_prompt,
         )
+
+
+# Reference class name (reference: ltx_pipelines/ti2vid_one_stage.py)
+TI2VidOneStagePipeline = TI2VidOneStage
+
+
+def main() -> None:
+    """CLI entry (reference: per-pipeline main -> run_cli)."""
+    from ltx_pipelines.bridge import run_cli
+
+    run_cli("dev")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,18 @@ class TI2VidTwoStages:
             output_path=output_path, images=images, distilled_loras=distilled_lora,
             negative_prompt=negative_prompt,
         )
+
+
+# Reference class name (reference: ltx_pipelines/ti2vid_two_stages.py)
+TI2VidTwoStagesPipeline = TI2VidTwoStages
+
+
+def main() -> None:
+    """CLI entry (reference: per-pipeline main -> run_cli)."""
+    from ltx_pipelines.bridge import run_cli
+
+    run_cli("distilled")
+
+
+if __name__ == "__main__":
+    main()

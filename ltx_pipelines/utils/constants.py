@@ -18,3 +18,11 @@ DEFAULT_CFG_GUIDANCE_SCALE = 4.0
 AUDIO_SAMPLE_RATE = 24000
 VIDEO_LATENT_CHANNELS = 128
 VIDEO_SCALE_FACTORS = SpatioTemporalScaleFactors.default()
+
+DEFAULT_LORA_STRENGTH = 1.0
+
+# CRF for the H.264 round trip applied to conditioning images — mimics video
+# compression artifacts (reference: ltx_pipelines/utils/constants.py).
+DEFAULT_IMAGE_CRF = 33
+
+from mlx_video_tpu.pipelines.prompts import DEFAULT_NEGATIVE_PROMPT  # noqa: E402,F401
