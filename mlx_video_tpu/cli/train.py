@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--mesh", default=None, help="data,fsdp,tensor mesh shape, e.g. 1,1,8")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="With --mesh: ring-attention sequence parallelism over "
+                        "the fsdp axis (long-video training)")
     return p
 
 
@@ -149,6 +152,7 @@ def main(argv=None) -> None:
             resume=args.resume,
             debug=args.debug,
             mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,
+            sequence_parallel=args.sequence_parallel,
         )
 
     trainer = Trainer(cfg)

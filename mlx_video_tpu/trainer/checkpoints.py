@@ -62,6 +62,15 @@ def load_train_checkpoint(
         step = int(meta.get("step", "0"))
         p_leaves, p_def = _flatten_with_treedef(params_template)
         o_leaves, o_def = _flatten_with_treedef(opt_state_template)
+        def _place(arr, tmpl):
+            # Preserve the template's placement (e.g. TP/FSDP NamedSharding
+            # for mesh-sharded training) instead of the default device.
+            out = jnp.asarray(arr)
+            sharding = getattr(tmpl, "sharding", None)
+            if sharding is not None:
+                out = jax.device_put(out, sharding)
+            return out
+
         new_p = []
         for i, tmpl in enumerate(p_leaves):
             arr = r.get(f"params.{i}")
@@ -69,11 +78,11 @@ def load_train_checkpoint(
                 raise ValueError(
                     f"Checkpoint param leaf {i} shape {arr.shape} != template {np.shape(tmpl)}"
                 )
-            new_p.append(jnp.asarray(arr))
+            new_p.append(_place(arr, tmpl))
         new_o = []
         for i, tmpl in enumerate(o_leaves):
             arr = r.get(f"opt.{i}")
-            new_o.append(jnp.asarray(arr))
+            new_o.append(_place(arr, tmpl))
     return (
         jax.tree_util.tree_unflatten(p_def, new_p),
         jax.tree_util.tree_unflatten(o_def, new_o),

@@ -76,6 +76,9 @@ class TrainingConfig:
     mixed_precision_mode: str = "bf16"
     # TPU-specific (new capability): mesh shape for sharded training.
     mesh_shape: Optional[Sequence[int]] = None
+    # With a mesh: ring-attention sequence parallelism over the fsdp axis
+    # (long-video training).
+    sequence_parallel: bool = False
 
 
 def _normalize_target_modules(targets):
@@ -165,6 +168,7 @@ def load_training_config(path: Path) -> TrainingConfig:
         hub_push=hub_cfg.get("push_to_hub", False),
         hub_model_id=hub_cfg.get("hub_model_id"),
         mesh_shape=raw.get("mesh_shape"),
+        sequence_parallel=bool(raw.get("sequence_parallel", False)),
     )
 
     if cfg.strategy not in {"text_to_video", "video_to_video", "ic_lora"}:

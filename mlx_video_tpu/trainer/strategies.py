@@ -279,10 +279,15 @@ def strategy_loss_fn(
     first_frame_conditioning_p: float = 0.1,
     timestep_sampling_mode: str = "uniform",
     timestep_sampling_std: float = 1.0,
+    sp=None,
 ) -> jax.Array:
-    """Full jittable loss: inputs -> model forward -> masked MSE."""
+    """Full jittable loss: inputs -> model forward -> masked MSE.
+
+    ``sp``: optional (Mesh, axis) — sequence-parallel ring attention inside
+    the forward (long-video training; see models/ltx/model.py).
+    """
     inputs = make_inputs(
         sb, key, first_frame_conditioning_p, timestep_sampling_mode, timestep_sampling_std
     )
-    v_pred, a_pred = ltx_apply(params, config, video=inputs.video, audio=inputs.audio)
+    v_pred, a_pred = ltx_apply(params, config, video=inputs.video, audio=inputs.audio, sp=sp)
     return compute_loss(v_pred, a_pred, inputs)

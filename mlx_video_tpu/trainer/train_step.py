@@ -62,7 +62,7 @@ def make_optimizer(
 @partial(
     jax.jit,
     static_argnames=("config", "first_frame_conditioning_p", "timestep_sampling_mode",
-                     "timestep_sampling_std"),
+                     "timestep_sampling_std", "sp"),
 )
 def grad_step(
     params: dict,
@@ -72,13 +72,16 @@ def grad_step(
     first_frame_conditioning_p: float = 0.1,
     timestep_sampling_mode: str = "uniform",
     timestep_sampling_std: float = 1.0,
+    sp=None,
 ) -> Tuple[jax.Array, dict]:
-    """One microbatch: loss + grads (no update)."""
+    """One microbatch: loss + grads (no update). ``sp``: optional
+    (Mesh, axis) sequence-parallel setting for long-video training."""
     return jax.value_and_grad(strategy_loss_fn)(
         params, config, sb, key,
         first_frame_conditioning_p=first_frame_conditioning_p,
         timestep_sampling_mode=timestep_sampling_mode,
         timestep_sampling_std=timestep_sampling_std,
+        sp=sp,
     )
 
 

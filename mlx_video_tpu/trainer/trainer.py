@@ -115,6 +115,27 @@ class Trainer:
         else:
             trainable = None
 
+        # Mesh-sharded training (new capability vs the single-device
+        # reference, SURVEY §2.12): TP/FSDP-shard params over a
+        # (data, fsdp, tensor) mesh BEFORE optimizer init so the optimizer
+        # state inherits the same shardings; batches shard on the data axis
+        # per step, and checkpoint resume re-places leaves onto the
+        # templates' shardings (checkpoints.load_train_checkpoint).
+        self.mesh = None
+        self.sp = None
+        if cfg.mesh_shape:
+            from mlx_video_tpu.parallel.mesh import create_mesh
+            from mlx_video_tpu.parallel.sharding import shard_params
+
+            self.mesh = create_mesh(tuple(cfg.mesh_shape))
+            self.params = shard_params(self.params, self.mesh)
+            if cfg.sequence_parallel:
+                self.sp = (self.mesh, "fsdp")
+            print(
+                f"[trainer] mesh={dict(zip(('data', 'fsdp', 'tensor'), cfg.mesh_shape))}"
+                f" sequence_parallel={bool(self.sp)}"
+            )
+
         schedule = make_lr_schedule(cfg.scheduler_type, cfg.lr, cfg.steps)
         self.optimizer = make_optimizer(
             learning_rate=schedule,
@@ -216,12 +237,17 @@ class Trainer:
                     break
                 t0 = time.time()
                 sb = self._prepare(batch)
+                if self.mesh is not None and cfg.batch_size % self.mesh.shape["data"] == 0:
+                    from mlx_video_tpu.parallel.sharding import shard_batch
+
+                    sb = shard_batch(sb, self.mesh)
                 key, sub = jax.random.split(key)
                 loss, grads = grad_step(
                     self.params, sb, sub, self.model_config,
                     first_frame_conditioning_p=cfg.first_frame_conditioning_p,
                     timestep_sampling_mode=cfg.timestep_sampling_mode,
                     timestep_sampling_std=cfg.timestep_sampling_std,
+                    sp=self.sp,
                 )
                 accum = grads if accum is None else accumulate_grads(accum, grads)
 

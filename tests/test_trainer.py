@@ -171,6 +171,38 @@ class TestTrainer:
         assert (tmp_path / "lora_step_3.safetensors").exists()
         assert (tmp_path / "state_step_3.safetensors").exists()
 
+    def test_mesh_sharded_training_matches_single_device(self, tmp_path):
+        """TP/FSDP-sharded training (mesh_shape config) must match the
+        single-device loss trajectory; sequence_parallel stacks on top."""
+        mcfg, params = tiny_model()
+        kw = dict(training_mode="full", steps=2, seed=5)
+
+        def fresh():  # apply_updates donates param buffers; copy per trainer
+            return jax.tree.map(jnp.copy, params)
+
+        ref = Trainer(
+            tiny_cfg(output_dir=str(tmp_path / "a"), **kw),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        ref_loss = ref.train()
+
+        sharded = Trainer(
+            tiny_cfg(output_dir=str(tmp_path / "b"), mesh_shape=(1, 2, 4), **kw),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert sharded.mesh is not None
+        np.testing.assert_allclose(sharded.train(), ref_loss, rtol=1e-4)
+
+        sp = Trainer(
+            tiny_cfg(
+                output_dir=str(tmp_path / "c"), mesh_shape=(1, 2, 4),
+                sequence_parallel=True, **kw,
+            ),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert sp.sp is not None
+        np.testing.assert_allclose(sp.train(), ref_loss, rtol=1e-4)
+
     def test_lora_only_updates_lora_leaves(self, tmp_path):
         mcfg, params = tiny_model()
         cfg = tiny_cfg(training_mode="lora", output_dir=str(tmp_path), steps=2)
