@@ -10,15 +10,17 @@ from mlx_video_tpu.config import (
 )
 from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
 
-# --- Model protocol (reference: ltx_core/model/model_protocol.py) ---------
-from typing import Protocol, TypeVar
+from ltx_core.model.model_protocol import ModelConfigurator, ModelType
 
-ModelType = TypeVar("ModelType")
-
-
-class ModelConfigurator(Protocol[ModelType]):
-    """Protocol for loaders that instantiate models from a config dict
-    (reference: ltx_core/model/model_protocol.py:6-10)."""
-
-    @classmethod
-    def from_config(cls, config: dict) -> ModelType: ...
+__all__ = [
+    "LTXModelConfig",
+    "LTXModelType",
+    "LTXRopeType",
+    "TransformerConfig",
+    "VideoVAEConfig",
+    "Modality",
+    "init_ltx_params",
+    "ltx_apply",
+    "ModelConfigurator",
+    "ModelType",
+]

@@ -184,6 +184,19 @@ class Trainer:
         path = Path(cfg.model_repo)
         if path.exists():
             files = [path] if path.is_file() else sorted(path.glob("*.safetensors"))
+            # Native-format checkpoints (our own trainer/convert output,
+            # e.g. transformer_step_N.safetensors) load directly as the
+            # param pytree; PT/MLX-layout checkpoints go through the key
+            # sanitizer in load_dit_params.
+            from mlx_video_tpu.io.safetensors import read_metadata
+
+            if len(files) == 1 and (
+                read_metadata(files[0]).get("format") == "mlx_video_tpu"
+            ):
+                from mlx_video_tpu.io.weights import load_native_params
+
+                params = load_native_params(files[0])
+                return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
             return load_dit_params(files, self.model_config, dtype=dtype, strict=False)
         raise FileNotFoundError(
             f"Model weights not found at {cfg.model_repo}; pass params= for in-memory init."
@@ -298,7 +311,11 @@ class Trainer:
             save_lora(out_dir / f"lora_step_{step}.safetensors", self.params, self.model_config)
         else:
             flat = {k: np.asarray(v) for k, v in flatten_params(self.params).items()}
-            save_safetensors(out_dir / f"transformer_step_{step}.safetensors", flat)
+            save_safetensors(
+                out_dir / f"transformer_step_{step}.safetensors",
+                flat,
+                metadata={"format": "mlx_video_tpu"},
+            )
         ckpt.save_train_checkpoint(
             out_dir / f"state_step_{step}.safetensors", self.params, self.opt_state, step
         )

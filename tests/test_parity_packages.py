@@ -297,6 +297,45 @@ class TestDeepImportPaths:
         "ltx_core.loader.registry", "ltx_core.loader.primitives",
         "ltx_core.loader.fuse_loras", "ltx_core.loader.sft_loader",
         "ltx_core.loader.single_gpu_model_builder",
+        "ltx_core.loader.kernels", "ltx_core.loader.module_ops",
+        "ltx_core.loader.sd_ops",
+        "ltx_core.model.model_protocol", "ltx_core.model.common",
+        "ltx_core.model.common.normalization",
+        "ltx_core.model.transformer.adaln",
+        "ltx_core.model.transformer.attention",
+        "ltx_core.model.transformer.feed_forward",
+        "ltx_core.model.transformer.gelu_approx",
+        "ltx_core.model.transformer.modality",
+        "ltx_core.model.transformer.model",
+        "ltx_core.model.transformer.model_configurator",
+        "ltx_core.model.transformer.rope",
+        "ltx_core.model.transformer.text_projection",
+        "ltx_core.model.transformer.timestep_embedding",
+        "ltx_core.model.transformer.transformer",
+        "ltx_core.model.transformer.transformer_args",
+        "ltx_core.model.video_vae.convolution",
+        "ltx_core.model.video_vae.decoder", "ltx_core.model.video_vae.encoder",
+        "ltx_core.model.video_vae.enums",
+        "ltx_core.model.video_vae.model_configurator",
+        "ltx_core.model.video_vae.normalization",
+        "ltx_core.model.video_vae.ops", "ltx_core.model.video_vae.resnet",
+        "ltx_core.model.video_vae.sampling", "ltx_core.model.video_vae.tiling",
+        "ltx_core.model.video_vae.video_vae",
+        "ltx_core.model.upsampler.blur_downsample",
+        "ltx_core.model.upsampler.model",
+        "ltx_core.model.upsampler.model_configurator",
+        "ltx_core.model.upsampler.pixel_shuffle",
+        "ltx_core.model.upsampler.res_block",
+        "ltx_core.model.upsampler.spatial_rational_resampler",
+        "ltx_core.model.audio_vae.attention",
+        "ltx_core.model.audio_vae.audio_vae",
+        "ltx_core.model.audio_vae.causal_conv_2d",
+        "ltx_core.model.audio_vae.causality_axis",
+        "ltx_core.model.audio_vae.downsample",
+        "ltx_core.model.audio_vae.model_configurator",
+        "ltx_core.model.audio_vae.normalization",
+        "ltx_core.model.audio_vae.ops", "ltx_core.model.audio_vae.resnet",
+        "ltx_core.model.audio_vae.upsample", "ltx_core.model.audio_vae.vocoder",
         "ltx_core.conditioning.exceptions", "ltx_core.conditioning.item",
         "ltx_core.conditioning.types", "ltx_core.conditioning.types.latent_cond",
         "ltx_core.conditioning.types.keyframe_cond",
