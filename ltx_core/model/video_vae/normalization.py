@@ -1,0 +1,5 @@
+"""Normalization re-export (reference: ltx_core/model/video_vae/normalization.py)."""
+
+from ltx_core.model.common.normalization import PixelNorm, build_normalization_layer
+
+__all__ = ["PixelNorm", "build_normalization_layer"]
