@@ -152,9 +152,13 @@ def precompute_dataset(
         if audio_encode_fn is not None:
             audio_lat = audio_encode_fn(video_path)
             if audio_lat is not None:
+                # Either a bare latent array or a full payload dict
+                # (latents + num_time_steps/frequency_bins/duration,
+                # reference: precompute.py:383-389).
+                if not isinstance(audio_lat, dict):
+                    audio_lat = {"latents": np.asarray(audio_lat, np.float32)}
                 save_safetensors(
-                    out / "audio_latents" / f"latent_{stem}.safetensors",
-                    {"latents": np.asarray(audio_lat, np.float32)},
+                    out / "audio_latents" / f"latent_{stem}.safetensors", audio_lat
                 )
         ref_frames = None
         if reference_dir is not None:
@@ -178,6 +182,80 @@ def precompute_dataset(
             )
         count += 1
     return count
+
+
+def extract_audio_pcm(
+    path: Path, sample_rate: int, channels: int = 2
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Extract PCM via ffmpeg: (waveform (channels, samples) in [-1, 1], rate),
+    or None when the clip has no audio track (reference: precompute.py:192-215)."""
+    import subprocess
+
+    cmd = [
+        "ffmpeg", "-y", "-i", str(path), "-vn",
+        "-ac", str(channels), "-ar", str(sample_rate), "-f", "s16le", "-",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True)
+    except FileNotFoundError:
+        return None
+    if proc.returncode != 0 or not proc.stdout:
+        return None
+    data = np.frombuffer(proc.stdout, dtype=np.int16)
+    if data.size == 0:
+        return None
+    waveform = data.reshape(-1, channels).T.astype(np.float32) / 32768.0
+    return waveform, sample_rate
+
+
+def make_audio_encode_fn(model_path: Path, dtype=None) -> Callable[[Path], Optional[dict]]:
+    """Build video-file -> audio-latent-payload encoder: ffmpeg PCM extract ->
+    log-mel (AudioProcessor) -> AudioEncoder -> normalized latents
+    (reference: precompute.py:131-190, 366-389)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.io import vae_weights
+    from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+        AudioVAEConfig,
+        audio_encoder_apply,
+        init_audio_encoder,
+    )
+    from mlx_video_tpu.models.ltx.audio_vae.processing import AudioProcessor
+
+    dtype = dtype or jnp.bfloat16
+    cfg = AudioVAEConfig()
+    params = init_audio_encoder(jax.random.key(0), cfg, dtype=dtype)
+    audio_file = model_path / "audio_vae" / "diffusion_pytorch_model.safetensors"
+    if not audio_file.exists():
+        unified = model_path / "model.safetensors"
+        if not unified.exists():
+            raise FileNotFoundError(f"No audio VAE weights under {model_path}")
+        audio_file = unified
+    vae_weights.load_audio_vae_weights(audio_file, params, None, dtype=dtype)
+    processor = AudioProcessor(
+        sample_rate=cfg.sample_rate,
+        mel_bins=cfg.mel_bins,
+        mel_hop_length=cfg.mel_hop_length,
+    )
+    encode_jit = jax.jit(lambda m: audio_encoder_apply(params, cfg, m))
+
+    def encode(video_path: Path) -> Optional[dict]:
+        extracted = extract_audio_pcm(video_path, processor.sample_rate)
+        if extracted is None:
+            print(f"[precompute] No audio track for {video_path.name}, skipping.")
+            return None
+        waveform, sr = extracted
+        mel = processor.waveform_to_mel(waveform, sr)  # (1, ch, time, mel)
+        latents = np.asarray(encode_jit(jnp.asarray(mel)).astype(jnp.float32))
+        return {
+            "latents": latents[0],
+            "num_time_steps": np.array([latents.shape[2]], np.int32),
+            "frequency_bins": np.array([latents.shape[3]], np.int32),
+            "duration": np.array([waveform.shape[1] / float(sr)], np.float32),
+        }
+
+    return encode
 
 
 def compute_edge_reference(frames: np.ndarray) -> np.ndarray:
@@ -210,7 +288,12 @@ def main(argv=None) -> None:
     parser.add_argument("--caption-backend", default="transformers",
                         choices=["transformers", "mlx_vlm"],
                         help="mlx_vlm is the reference backend; transformers here")
-    parser.add_argument("--audio", "--with-audio", action="store_true", dest="audio")
+    parser.add_argument("--audio", "--with-audio", action="store_true", dest="audio",
+                        help="Encode each clip's audio track to mel latents "
+                             "(ffmpeg PCM -> log-mel -> AudioEncoder)")
+    parser.add_argument("--audio-latents-dir", default=None,
+                        help="Copy precomputed audio latents from this dir "
+                             "instead of encoding")
     parser.add_argument("--reference-edges", action="store_true",
                         help="Write Canny-edge reference latents (IC-LoRA)")
     parser.add_argument("--reference-dir", default=None,
@@ -267,6 +350,27 @@ def main(argv=None) -> None:
         from mlx_video_tpu.trainer.aux import caption_video
 
         caption_fn = lambda p: caption_video(p, model_name=args.caption_model)  # noqa: E731
+
+    audio_encode_fn = None
+    if args.audio_latents_dir:
+        # Copy mode (reference: precompute.py:359-365): reuse latents computed
+        # in an earlier pass instead of re-encoding.
+        audio_src = Path(args.audio_latents_dir)
+
+        def audio_encode_fn(video_path: Path):
+            for name in (f"latent_{video_path.stem}.safetensors",
+                         f"{video_path.stem}.safetensors"):
+                src = audio_src / name
+                if src.exists():
+                    from mlx_video_tpu.io.safetensors import SafetensorsReader
+
+                    with SafetensorsReader(src) as r:
+                        return {k: np.asarray(r.get(k)) for k in r.keys()}
+            print(f"[precompute] Missing audio latents for {video_path.stem}, skipping.")
+            return None
+    elif args.audio:
+        audio_encode_fn = make_audio_encode_fn(model_path)
+
     n = precompute_dataset(
         videos,
         Path(args.output),
@@ -274,6 +378,7 @@ def main(argv=None) -> None:
         text_encode_fn=text_encode,
         prompts=prompts,
         buckets=buckets,
+        audio_encode_fn=audio_encode_fn,
         reference_fn=compute_edge_reference if args.reference_edges else None,
         reference_dir=Path(args.reference_dir) if args.reference_dir else None,
         frame_cap=args.frame_cap,

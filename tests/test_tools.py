@@ -518,3 +518,78 @@ class TestPostprocess:
         a = build_parser().parse_args(["-p", "a cat", "--mode", "i2v", "--json",
                                        "--max-new-tokens", "64"])
         assert a.mode == "i2v" and a.json and a.max_tokens == 64
+
+
+class TestAudioPrecompute:
+    """Audio latent precompute (reference: precompute.py:131-215, 366-389)."""
+
+    def _write_av_clip(self, path):
+        """ffmpeg: 1s test video with a 440 Hz sine audio track."""
+        import subprocess
+
+        cmd = [
+            "ffmpeg", "-y",
+            "-f", "lavfi", "-i", "testsrc=size=64x64:rate=8:duration=1",
+            "-f", "lavfi", "-i", "sine=frequency=440:duration=1",
+            "-c:v", "mpeg4", "-c:a", "aac", "-shortest", str(path),
+        ]
+        try:
+            proc = subprocess.run(cmd, capture_output=True)
+        except FileNotFoundError:
+            return False
+        return proc.returncode == 0 and path.exists()
+
+    def test_extract_audio_pcm(self, tmp_path):
+        import pytest
+
+        from mlx_video_tpu.trainer.precompute import extract_audio_pcm
+
+        clip = tmp_path / "clip.mp4"
+        if not self._write_av_clip(clip):
+            pytest.skip("ffmpeg cannot synthesize an AV clip here")
+        out = extract_audio_pcm(clip, 16000)
+        assert out is not None
+        waveform, sr = out
+        assert sr == 16000
+        assert waveform.shape[0] == 2  # stereo
+        assert 14000 < waveform.shape[1] <= 18000  # ~1 s
+        assert np.max(np.abs(waveform)) > 0.1  # sine present
+
+    def test_audio_payload_written(self, tmp_path, rng):
+        """precompute_dataset writes the reference audio payload fields."""
+        import cv2
+
+        from mlx_video_tpu.io.safetensors import SafetensorsReader
+        from mlx_video_tpu.trainer.precompute import precompute_dataset
+
+        vid_dir = tmp_path / "vids"
+        vid_dir.mkdir()
+        path = vid_dir / "clip.mp4"
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 64))
+        for _ in range(9):
+            w.write((rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+        w.release()
+
+        def fake_encode(t):
+            b, c, f, h, w_ = t.shape
+            return rng.normal(size=(b, 8, 1 + (f - 1) // 8, h // 32, w_ // 32)).astype(np.float32)
+
+        def fake_audio(video_path):
+            return {
+                "latents": rng.normal(size=(8, 25, 16)).astype(np.float32),
+                "num_time_steps": np.array([25], np.int32),
+                "frequency_bins": np.array([16], np.int32),
+                "duration": np.array([1.0], np.float32),
+            }
+
+        out_root = tmp_path / "data"
+        n = precompute_dataset(
+            [path], out_root, encode_fn=fake_encode, audio_encode_fn=fake_audio,
+            prompts={"clip": "a test"},
+        )
+        assert n == 1
+        files = list((out_root / "audio_latents").glob("*.safetensors"))
+        assert len(files) == 1
+        with SafetensorsReader(files[0]) as r:
+            keys = set(r.keys())
+        assert {"latents", "num_time_steps", "frequency_bins", "duration"} <= keys
