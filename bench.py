@@ -4,14 +4,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: denoise steps/sec on a 48-layer LTX-style DiT "proxy-3B" config
 (dim 2048, 16 heads x 128) at the default distilled geometry — 512x512x33f
--> 5x16x16 = 1280 latent tokens, bf16, SPLIT RoPE — the same hot loop as the
+-> 5x16x16 = 1280 latent tokens, SPLIT RoPE — the same hot loop as the
 19B model (which does not fit a single v5e chip in bf16; later rounds bench
 the sharded 19B on the virtual mesh and real multi-chip when available).
 
-The reference publishes no numbers (BASELINE.md): vs_baseline is reported
-against a fixed anchor of 2.0 steps/s — the step rate implied by the north
-star (<10 s e2e for 8+3 steps leaves ~5.5 s of denoise budget) — so the
-ratio is comparable across rounds.
+Default mode is W8A8 int8 execution (ops/int8.py: int8 x int8 -> int32 on
+the MXU at 2x the bf16 rate, per-token dynamic activation scales; final
+8-step latents match bf16 to cosine 0.99999 / rel 0.5% at this scale —
+scripts/ab_w8a8.py). Pass --dense for the bf16 path.
+
+Timing protocol: per-step = (t(8-step scan) - t(2-step scan)) / 6, medians
+over 4 pairs — per-call fixed costs (tunnel RPC, dispatch, arg marshalling)
+cancel, which simple wall-clock-over-reps does not through the axon tunnel
+(PERF.md "measurement gotchas").
+
+The reference publishes no benchmark numbers (BASELINE.md): vs_baseline is
+reported against a fixed anchor of 2.0 steps/s — the step rate implied by
+the north star (<10 s e2e for 8+3 steps leaves ~5.5 s of denoise budget) —
+so the ratio is comparable across rounds.
 """
 
 from __future__ import annotations
@@ -36,9 +46,10 @@ def main() -> None:
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
+    w8a8 = "--dense" not in sys.argv
 
     dev = jax.devices()[0]
-    print(f"bench device: {dev}", file=sys.stderr)
+    print(f"bench device: {dev} mode={'w8a8' if w8a8 else 'dense bf16'}", file=sys.stderr)
 
     config = LTXModelConfig(
         model_type=LTXModelType.VideoOnly,
@@ -65,7 +76,17 @@ def main() -> None:
         )
 
     b, f, h, w = 1, 5, 16, 16  # 512x512x33f distilled geometry -> 1280 tokens
-    params = init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
+    # Init (and quantize) on the host CPU device so no fp32/duplicate
+    # transient lands in HBM; then place on the accelerator.
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
+        if w8a8:
+            from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+            params = quantize_params_w8a8(params)
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+
     latents = jax.random.normal(
         jax.random.key(1), (b, config.in_channels, f, h, w), dtype=jnp.bfloat16
     )
@@ -77,42 +98,43 @@ def main() -> None:
     # Distilled stage-1 sigma schedule, 8 steps (reference default recipe).
     sigmas = [1.0, 0.99375, 0.9875, 0.975, 0.909375, 0.725, 0.421875, 0.2, 0.0]
     n_steps = len(sigmas) - 1
+    sig2 = sigmas[:2] + [0.0]  # 2-step schedule for fixed-cost cancellation
 
     # NOTE: through the axon tunnel, block_until_ready() returns before the
-    # computation finishes (verified: it reported 41 PFLOP/s on one chip).
-    # A scalar-reduction fetch is the only honest sync, so timing is
-    # "time-to-scalar(sum(out))" minus the measured RPC baseline.
+    # computation finishes. A scalar-reduction fetch is the only honest sync.
     sum_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
 
+    def run(sg):
+        v, _ = dn.denoise(params, config, latents, positions, context, sg)
+        return v
+
     t0 = time.time()
-    v, _ = dn.denoise(params, config, latents, positions, context, sigmas)
-    first_sum = float(sum_jit(v))
-    compile_and_first = time.time() - t0
-    print(f"first run (incl compile): {compile_and_first:.1f}s", file=sys.stderr)
+    first_sum = float(sum_jit(run(sigmas)))
+    print(f"8-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     assert np.isfinite(first_sum), "non-finite output"
-
-    # RPC latency baseline: fetch a scalar of an already-computed value.
     t0 = time.time()
-    for _ in range(3):
-        float(sum_jit(latents))
-    rpc_baseline = (time.time() - t0) / 3
-    print(f"rpc baseline: {rpc_baseline * 1000:.0f}ms", file=sys.stderr)
+    float(sum_jit(run(sig2)))
+    print(f"2-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        v, _ = dn.denoise(params, config, latents, positions, context, sigmas)
-    final_sum = float(sum_jit(v))
-    elapsed = max(time.time() - t0 - rpc_baseline, 1e-9)
-    steps_per_sec = reps * n_steps / elapsed
-    assert np.isfinite(final_sum), "non-finite output"
+    t8s, t2s = [], []
+    for _ in range(4):
+        t0 = time.time()
+        float(sum_jit(run(sigmas)))
+        t8s.append(time.time() - t0)
+        t0 = time.time()
+        float(sum_jit(run(sig2)))
+        t2s.append(time.time() - t0)
+    per_step = (np.median(t8s) - np.median(t2s)) / (n_steps - 2)
+    steps_per_sec = 1.0 / per_step
+    print(f"t8 med {np.median(t8s):.3f}s t2 med {np.median(t2s):.3f}s", file=sys.stderr)
 
+    mode = "w8a8 int8" if w8a8 else "bf16"
     print(
         json.dumps(
             {
                 "metric": "dit_proxy3b_denoise_steps_per_sec",
                 "value": round(steps_per_sec, 3),
-                "unit": "steps/s (48L dim2048 DiT, 1280 tokens, bf16, 1 chip)",
+                "unit": f"steps/s (48L dim2048 DiT, 1280 tokens, {mode}, 1 chip)",
                 "vs_baseline": round(steps_per_sec / ANCHOR_STEPS_PER_SEC, 3),
             }
         )

@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantization", "--quantize-bits", type=int, default=None,
                    choices=[4, 8], dest="quantize_bits",
                    help="Runtime-quantize the transformer")
+    p.add_argument("--w8a8", action="store_true",
+                   help="Run transformer-block matmuls as W8A8 int8 (2x MXU "
+                        "rate + half the weight HBM traffic; per-token dynamic "
+                        "activation scales, ops/int8.py)")
     p.add_argument("--mesh", default=None,
                    help="data,fsdp,tensor mesh shape for sharded (GSPMD) inference, "
                         "e.g. 1,1,8 for 8-way tensor parallelism; 'auto' uses all "
@@ -240,6 +244,14 @@ def main(argv=None) -> None:
         models.transformer_params = quantize_dit_params(
             models.transformer_params, bits=args.quantize_bits
         )
+    if args.w8a8:
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        models.transformer_params = quantize_params_w8a8(models.transformer_params)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = quantize_params_w8a8(
+                models.stage2_transformer_params
+            )
 
     mesh = None
     if args.mesh:

@@ -1,0 +1,112 @@
+"""W8A8 dynamic int8 matmul path for the DiT hot loop.
+
+Unlike the storage-oriented affine quantization in ops/quant.py (2-8 bit
+group-wise, MLX `.scales/.biases` checkpoint layout, dequantized to bf16
+before the matmul — reference: mlx_video/generate.py:2902-2990), this path
+executes the matmul itself in int8: per-output-channel symmetric weight
+scales, per-token dynamic activation scales, ``int8 x int8 -> int32`` on the
+MXU — which runs at 2x the bf16 rate on TPU v5e/v5p — then a fused fp32
+rescale. Weight HBM traffic also halves vs bf16.
+
+Opt-in (quality/speed trade): enable by converting params with
+:func:`quantize_params_w8a8` (e.g. ``--w8a8`` on the generate CLI). Scope
+mirrors the reference's quantize scopes: transformer-block linears only
+("core"); patchify/adaLN/output projections stay in bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``w``: (..., in, out) — the native linear layout (possibly with a leading
+    stacked-layer axis). Returns (w_q int8 same shape, scale fp32 (..., out)).
+    """
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)  # (..., out)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    w_q = jnp.clip(
+        jnp.round(wf / scale[..., None, :]), -127, 127
+    ).astype(jnp.int8)
+    return w_q, scale
+
+
+def int8_linear(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """y = dequant(quant(x) @ w_q) (+ bias) with per-token activation scales.
+
+    ``x``: (..., in); ``w_q``: (in, out) int8; ``w_scale``: (out,) fp32.
+    The int8 dot accumulates in int32 on the MXU; the rescale
+    ``int32 * x_scale * w_scale`` happens in fp32 and casts back to x.dtype.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q,
+        w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# Transformer-block linear names safe to run in W8A8 ("core" scope): the
+# attention projections and FFN. Norm weights, adaLN tables, patchify and
+# output projections are excluded (small and/or quality-critical).
+_CORE_LINEAR_PARENTS = (
+    "attn1", "attn2", "audio_to_video_attn", "video_to_audio_attn", "ff",
+)
+_LINEAR_CHILDREN = ("to_q", "to_k", "to_v", "to_out", "k_pe", "proj_in", "proj_out")
+
+
+def quantize_params_w8a8(params: dict) -> dict:
+    """Rewrite transformer-block linear leaves to the int8 form.
+
+    Works on the native DiT pytree (model.py init_ltx_params), including the
+    scan-stacked ``blocks`` subtree (leading layer axis on every leaf —
+    quantization axes are relative to the trailing (in, out) dims, so stacked
+    weights quantize per layer for free). Dense ``weight`` ->
+    ``int8_weight``/``int8_scale``; bias and any LoRA leaves pass through.
+    """
+
+    def convert_linear(leaf_dict: dict) -> dict:
+        w = leaf_dict.get("weight")
+        if w is None or w.ndim < 2:
+            return leaf_dict
+        w_q, scale = quantize_weight_int8(w)
+        out = {k: v for k, v in leaf_dict.items() if k != "weight"}
+        out["int8_weight"] = w_q
+        out["int8_scale"] = scale
+        return out
+
+    def walk(node, in_core: bool):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict):
+                child_core = in_core or name in _CORE_LINEAR_PARENTS
+                if child_core and name in _LINEAR_CHILDREN and "weight" in child:
+                    out[name] = convert_linear(child)
+                else:
+                    out[name] = walk(child, child_core)
+            else:
+                out[name] = child
+        return out
+
+    return walk(params, False)

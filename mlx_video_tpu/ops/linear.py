@@ -51,6 +51,9 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
 
     ``params`` variants (all plain pytree leaves):
     - dense:      ``weight`` (in, out), optional ``bias``;
+    - W8A8 int8:  ``int8_weight``/``int8_scale`` (see ops/int8.py) — the
+      matmul itself runs int8 x int8 -> int32 on the MXU with per-token
+      dynamic activation scales;
     - quantized:  ``quant_weight``/``scales``/``biases`` in the MLX affine
       layout (see ops/quant.py) — dequantized into the matmul prologue;
     - LoRA:       additional ``lora_A`` (r, in), ``lora_B`` (out, r), optional
@@ -62,6 +65,11 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     which would silently degrade the model's fp32 islands. bf16 operands keep
     the default fast MXU path.
     """
+    if "int8_weight" in params:
+        from mlx_video_tpu.ops.int8 import int8_linear
+
+        y = int8_linear(x, params["int8_weight"], params["int8_scale"], params.get("bias"))
+        return _apply_lora(params, x, y)
     if "quant_weight" in params:
         from mlx_video_tpu.ops.quant import dequantize_affine
 

@@ -84,6 +84,12 @@ def _path_str(path) -> str:
 def spec_for_path(path_str: str, ndim: int) -> P:
     """PartitionSpec for one param leaf; stacked block leaves get a leading
     None for the scanned layer axis."""
+    # W8A8 leaves (ops/int8.py): int8_weight has the weight's (in, out)
+    # layout; int8_scale is (out,) like a bias.
+    if path_str.endswith("int8_weight"):
+        path_str = path_str[: -len("int8_weight")] + "weight"
+    elif path_str.endswith("int8_scale"):
+        path_str = path_str[: -len("int8_scale")] + "bias"
     stacked = path_str.startswith("blocks/") or "/blocks/" in path_str
     for pattern, spec in _RULES:
         if re.search(pattern, path_str):

@@ -258,3 +258,82 @@ class TestQuantMatmulKernel:
         assert calls, "quant kernel was not routed"
         rel = float(jnp.max(jnp.abs(out - base))) / float(jnp.max(jnp.abs(base)))
         assert rel < 2e-2
+
+
+class TestW8A8:
+    """W8A8 dynamic int8 matmul path (ops/int8.py) — the TPU-native
+    execution-quantization complement to the MLX storage format."""
+
+    def test_int8_linear_close_to_dense(self, rng):
+        from mlx_video_tpu.ops.int8 import int8_linear, quantize_weight_int8
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32)) * 0.05
+        wq, ws = quantize_weight_int8(w)
+        assert wq.dtype == jnp.int8 and ws.shape == (256,)
+        y = int8_linear(x, wq, ws)
+        ref = x @ w
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02
+
+    def test_stacked_layer_quantization(self, rng):
+        """Scan-stacked (L, in, out) weights quantize per layer."""
+        from mlx_video_tpu.ops.int8 import quantize_weight_int8
+
+        w = jnp.asarray(rng.normal(size=(3, 32, 16)).astype(np.float32))
+        w = w * jnp.asarray([1.0, 10.0, 0.1])[:, None, None]  # distinct ranges
+        wq, ws = quantize_weight_int8(w)
+        assert ws.shape == (3, 16)
+        for layer in range(3):
+            wq1, ws1 = quantize_weight_int8(w[layer])
+            np.testing.assert_array_equal(np.asarray(wq[layer]), np.asarray(wq1))
+
+    def test_linear_routes_int8(self, rng):
+        from mlx_video_tpu.ops.int8 import quantize_weight_int8
+        from mlx_video_tpu.ops.linear import linear
+
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 0.1
+        b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+        wq, ws = quantize_weight_int8(w)
+        x = jnp.asarray(rng.normal(size=(1, 8, 64)).astype(np.float32))
+        out = linear({"int8_weight": wq, "int8_scale": ws, "bias": b}, x)
+        ref = linear({"weight": w, "bias": b}, x)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.03
+
+    def test_model_velocity_close(self, rng):
+        """Full tiny-DiT forward: W8A8 velocity tracks dense to ~1%."""
+        import jax
+
+        from mlx_video_tpu.config import LTXModelType, LTXRopeType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        cfg = tiny_test_config(
+            LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT, num_layers=4
+        )
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        qparams = quantize_params_w8a8(params)
+
+        leaves = {
+            ".".join(str(k.key) for k in p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]
+        }
+        assert any("int8_weight" in k for k in leaves)
+        # patchify/adaLN/output projections stay dense
+        assert not any(
+            k.startswith("video.") and "int8" in k for k in leaves
+        ), sorted(k for k in leaves if k.startswith("video.") and "int8" in k)
+
+        b, f, h, w = 1, 2, 4, 4
+        lat = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f * h * w)).astype(np.float32))
+        tokens = jnp.transpose(lat, (0, 2, 1))
+        pos = jnp.asarray(create_position_grid(b, f, h, w))
+        ctx = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full(tokens.shape[:2], 0.7, dtype=jnp.float32)
+        mod = Modality(latent=tokens, timesteps=ts, context=ctx, positions=pos)
+        v_ref, _ = ltx_apply(params, cfg, video=mod)
+        v_q, _ = ltx_apply(qparams, cfg, video=mod)
+        rel = float(jnp.linalg.norm(v_q - v_ref) / jnp.linalg.norm(v_ref))
+        assert rel < 0.02, rel

@@ -252,3 +252,53 @@ class TestFull19BSharding:
         if mem is not None:
             per_device = (mem.argument_size_in_bytes + mem.temp_size_in_bytes) / 2**30
             assert per_device < 32, f"per-device HBM {per_device:.1f} GiB too high"
+
+
+class TestW8A8Sharding:
+    """W8A8 int8 leaves must shard like their dense counterparts
+    (int8_weight ~ weight, int8_scale ~ bias) and compute identically
+    under the mesh."""
+
+    def test_int8_specs(self):
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        cfg = tp_config()
+        params = quantize_params_w8a8(
+            init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        )
+        specs = param_specs(params)
+        assert specs["blocks"]["attn1"]["to_q"]["int8_weight"] == P(None, "fsdp", "tensor")
+        assert specs["blocks"]["attn1"]["to_q"]["int8_scale"] == P(None, "tensor")
+        assert specs["blocks"]["ff"]["proj_out"]["int8_weight"] == P(None, "tensor", "fsdp")
+
+    def test_sharded_w8a8_forward_matches_single_device(self):
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        cfg = tp_config()
+        params = quantize_params_w8a8(
+            init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        )
+        rng = np.random.default_rng(0)
+        b, f, h, w = 2, 2, 2, 2
+        latents = jnp.asarray(
+            rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)
+        )
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full((b, f * h * w), 0.7)
+
+        ref, _ = ltx_apply(
+            params, cfg, video=Modality(latent=latents, timesteps=ts, context=context, positions=positions)
+        )
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            sp = shard_params(params, mesh)
+            lat_s, pos_s, ctx_s, ts_s = shard_batch((latents, positions, context, ts), mesh)
+            fn = jax.jit(
+                lambda p, l, po, c, t: ltx_apply(
+                    p, cfg, video=Modality(latent=l, timesteps=t, context=c, positions=po)
+                )[0]
+            )
+            out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
