@@ -287,7 +287,8 @@ def main(argv=None) -> None:
         )
 
         encoder = LTX2TextEncoder.load(
-            model_path, args.text_encoder_path or model_path, dtype=jnp.bfloat16
+            model_path, args.text_encoder_path or model_path, dtype=jnp.bfloat16,
+            w8a8=args.w8a8,
         )
         if args.enhance_prompt:
             enhance_kwargs = dict(temperature=args.temperature, max_new_tokens=args.max_tokens)

@@ -308,9 +308,20 @@ class LTX2TextEncoder:
         )
 
     @classmethod
-    def load(cls, model_path, text_encoder_path, max_length: int = 1024, dtype=jnp.bfloat16):
+    def load(
+        cls,
+        model_path,
+        text_encoder_path,
+        max_length: int = 1024,
+        dtype=jnp.bfloat16,
+        w8a8: bool = False,
+    ):
         """Load Gemma weights + connector weights from local snapshots
-        (layout spec: reference text_encoder.py:709-906)."""
+        (layout spec: reference text_encoder.py:709-906).
+
+        ``w8a8``: rewrite the Gemma layer stack + feature aggregation to
+        int8 execution (ops/int8.py) — 2x MXU rate and the 12B LM fits a
+        single 16 GB chip."""
         import json
 
         from mlx_video_tpu.io.text_encoder_weights import (
@@ -329,6 +340,10 @@ class LTX2TextEncoder:
         )
         params["language_model"] = load_gemma_weights(te_path, gemma_config, dtype=dtype)
         load_connector_weights(params, Path(model_path), dtype=dtype)
+        if w8a8:
+            from mlx_video_tpu.ops.int8 import quantize_text_encoder_w8a8
+
+            params = quantize_text_encoder_w8a8(params)
 
         tokenizer = None
         try:

@@ -74,6 +74,49 @@ _CORE_LINEAR_PARENTS = (
 _LINEAR_CHILDREN = ("to_q", "to_k", "to_v", "to_out", "k_pe", "proj_in", "proj_out")
 
 
+_GEMMA_LINEARS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+)
+
+
+def quantize_text_encoder_w8a8(params: dict) -> dict:
+    """W8A8-rewrite the LTX2 text encoder pytree: the Gemma-3 layer stack's
+    attention/MLP projections and the 49-state feature aggregation matmul
+    (188160 x 3840 — the largest single weight in the system). Embeddings,
+    norms and the register connectors stay bf16.
+
+    Besides the 2x MXU rate, int8 weights drop the 12B LM from ~24 GB to
+    ~12 GB — under a single v5e chip's 16 GB HBM.
+    """
+
+    def convert(leaf_dict: dict) -> dict:
+        w_q, scale = quantize_weight_int8(leaf_dict["weight"])
+        out = {k: v for k, v in leaf_dict.items() if k != "weight"}
+        out["int8_weight"] = w_q
+        out["int8_scale"] = scale
+        return out
+
+    out = dict(params)
+    lm = dict(out.get("language_model", {}))
+    if "layers" in lm:
+        layers = dict(lm["layers"])
+        for block_name in ("self_attn", "mlp"):
+            if block_name in layers:
+                block = dict(layers[block_name])
+                for name in _GEMMA_LINEARS:
+                    if name in block and "weight" in block[name]:
+                        block[name] = convert(block[name])
+                layers[block_name] = block
+        lm["layers"] = layers
+        out["language_model"] = lm
+    fe = out.get("feature_extractor")
+    if fe and "aggregate_embed" in fe and "weight" in fe["aggregate_embed"]:
+        out["feature_extractor"] = {
+            **fe, "aggregate_embed": convert(fe["aggregate_embed"])
+        }
+    return out
+
+
 def quantize_params_w8a8(params: dict) -> dict:
     """Rewrite transformer-block linear leaves to the int8 form.
 

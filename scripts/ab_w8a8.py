@@ -18,7 +18,11 @@ from mlx_video_tpu.pipelines import denoise as dn
 from mlx_video_tpu.pipelines.positions import create_position_grid
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "dense"
-assert variant in ("dense", "w8a8")
+assert variant in ("dense", "w8a8", "w8a8_cross")
+if variant == "w8a8_cross":
+    from mlx_video_tpu.ops.attention import use_cross_kernel
+    use_cross_kernel(True)
+
 
 config = LTXModelConfig(
     model_type=LTXModelType.VideoOnly, num_attention_heads=16,
@@ -31,7 +35,7 @@ cpu = jax.devices("cpu")[0]
 tpu = jax.devices()[0]
 with jax.default_device(cpu):
     params = init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
-    if variant == "w8a8":
+    if variant.startswith("w8a8"):
         params = quantize_params_w8a8(params)
 params = jax.device_put(params, tpu)
 jax.block_until_ready(params)

@@ -337,3 +337,38 @@ class TestW8A8:
         v_q, _ = ltx_apply(qparams, cfg, video=mod)
         rel = float(jnp.linalg.norm(v_q - v_ref) / jnp.linalg.norm(v_ref))
         assert rel < 0.02, rel
+
+    def test_text_encoder_w8a8(self, rng):
+        """Gemma layer stack + feature aggregation quantize; embeddings,
+        norms, connectors stay dense; encode still runs."""
+        import jax
+
+        from mlx_video_tpu.models.gemma3 import Gemma3TextConfig
+        from mlx_video_tpu.models.ltx.text_encoder import (
+            encode_tokens,
+            init_text_encoder_params,
+        )
+        from mlx_video_tpu.ops.int8 import quantize_text_encoder_w8a8
+
+        cfg = Gemma3TextConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, sliding_window=4, sliding_window_pattern=2,
+        )
+        params = init_text_encoder_params(
+            jax.random.key(0), cfg, hidden_dim=32, dtype=jnp.float32
+        )
+        qparams = quantize_text_encoder_w8a8(params)
+        lm = qparams["language_model"]["layers"]
+        assert "int8_weight" in lm["self_attn"]["q_proj"]
+        assert "int8_weight" in lm["mlp"]["down_proj"]
+        assert "weight" in qparams["language_model"]["embed_tokens"]
+        assert "int8_weight" in qparams["feature_extractor"]["aggregate_embed"]
+        connector_block = qparams["video_embeddings_connector"]["transformer_1d_blocks"]["0"]
+        assert "weight" in connector_block["attn1"]["to_q"]  # connectors stay dense
+
+        ids = jnp.asarray(rng.integers(0, 64, size=(1, 6)), jnp.int32)
+        mask = jnp.ones((1, 6), bool)
+        v_ref, a_ref = encode_tokens(params, cfg, ids, mask, True)
+        v_q, a_q = encode_tokens(qparams, cfg, ids, mask, True)
+        assert v_q.shape == v_ref.shape and np.isfinite(np.asarray(v_q)).all()
