@@ -136,6 +136,13 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: 
     softmax, no online rescaling. Profitable when the fp32 logits tile
     (block_q, S_pad) fits VMEM comfortably — short/medium sequences where
     the online variant's per-block max/rescale VPU work dominates.
+
+    No max-subtraction: this kernel is VPU-bound on the (block_q, S) logits
+    passes (int8 MXU dots measured only 7% faster — PERF.md), and dropping
+    the row-max reduce+subtract saves 12% (434 -> 381 us at DiT geometry).
+    Instead logits clamp to [-80, 60]: exp stays inside fp32 normal range
+    (no overflow, no all-underflow NaN), and the clamp only binds where
+    softmax is saturated and carries no signal anyway.
     """
     s = k_ref.shape[0]
     q = q_ref[:]
@@ -147,8 +154,10 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: 
     if valid_len < s:
         key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp(jnp.clip(logits, -80.0, 60.0))
+    if valid_len < s:
+        # restore exact zeros for masked keys (clip turned -inf into -80)
+        p = jnp.where(key_idx < valid_len, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:],
@@ -415,4 +424,119 @@ def flash_cross_attention(
     )(qh, kh, vh, bias_rows)
 
     out = out[:, :sq].reshape(b, h, sq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Int8 single-pass attention (W8A8 for the attention dots)
+# ---------------------------------------------------------------------------
+
+
+def _single_pass_int8_kernel(
+    q_ref, k_ref, v_ref, qk_scale_ref, v_scale_ref, o_ref, *, valid_len: int
+):
+    """Single-pass softmax attention with int8 MXU dots.
+
+    The bf16 kernel at DiT geometry (S=1280, D=128, B*H=16) is MXU
+    cycle-bound (~30 TF/s == the serial tile roofline; PERF.md); int8 dots
+    take half the MXU cycles. q/k carry one per-tensor scale folded into
+    the logits multiplier (softmax is NOT temperature-invariant, so the
+    true scale must be applied); p is in [0,1] so its quantization scale
+    is the static 1/127; v is quantized per-channel (contraction is over
+    tokens, so scales must be constant along tokens).
+
+    q_ref: (block_q, d) int8; k_ref/v_ref: (S_pad, d) int8;
+    qk_scale_ref: (1, 1) fp32 = s_q * s_k * softmax_scale;
+    v_scale_ref: (1, d) fp32 per-channel v scales.
+    """
+    s = k_ref.shape[0]
+    logits_i32 = jax.lax.dot_general(
+        q_ref[:], k_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    logits = logits_i32.astype(jnp.float32) * qk_scale_ref[pl.program_id(0)]
+    if valid_len < s:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p_q = jnp.round(p * 127.0).astype(jnp.int8)
+    # normalize with the quantized numerator's own sum for consistency
+    l = jnp.maximum(jnp.sum(p_q.astype(jnp.float32), axis=-1, keepdims=True), 1.0)
+    acc_i32 = jax.lax.dot_general(
+        p_q, v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc_i32.astype(jnp.float32) * v_scale_ref[0, :] / l
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_attention_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full bidirectional attention over (B, S, H, D) with int8 MXU dots.
+
+    Quantization happens here in XLA (fused into neighbors): per-tensor
+    symmetric for q and k, per-(head, channel) for v.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, s, h, d = q.shape
+
+    block_q, _, s_pad = _pick_blocks(s, block_q, block_q)
+
+    def to_heads(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+
+    def quant_tensor(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        sc = jnp.maximum(absmax / 127.0, 1e-12)
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127).astype(jnp.int8), sc
+
+    q_q, s_q = quant_tensor(qh)
+    k_q, s_k = quant_tensor(kh)
+    v32 = vh.astype(jnp.float32)
+    v_absmax = jnp.max(jnp.abs(v32), axis=1, keepdims=True)  # (B*H, 1, d)
+    v_sc = jnp.maximum(v_absmax / 127.0, 1e-12)
+    v_q = jnp.clip(jnp.round(v32 / v_sc), -127, 127).astype(jnp.int8)
+    # p's 1/127 scale cancels against the same factor in the p_q-sum
+    # normalizer inside the kernel, so v_scale carries only the v scales.
+    # SMEM for the scalar; the per-channel v scales ride a (1, 1, d) VMEM
+    # block (leading None axis selects the grid row — tile rules apply to
+    # the last two dims (1, d=128), which pass).
+    v_scale_rows = v_sc.astype(jnp.float32)  # (B*H, 1, d)
+    qk_scale = jnp.broadcast_to(
+        (s_q * s_k * scale).astype(jnp.float32).reshape(1), (b * h,)
+    )
+
+    grid = (b * h, s_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_single_pass_int8_kernel, valid_len=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * h,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(q_q, k_q, v_q, qk_scale, v_scale_rows)
+
+    out = out[:, :s].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -52,7 +52,7 @@ def measure(tag):
     t0 = time.time(); float(sum_jit(run(sigmas))); c8 = time.time() - t0
     t0 = time.time(); float(sum_jit(run(sig2))); c2 = time.time() - t0
     t8s, t2s = [], []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.time(); float(sum_jit(run(sigmas))); t8s.append(time.time() - t0)
         t0 = time.time(); float(sum_jit(run(sig2))); t2s.append(time.time() - t0)
     per_step = (np.median(t8s) - np.median(t2s)) / 6

@@ -234,3 +234,30 @@ def test_sdpa_routes_cross_kernel(rng):
         fa.flash_cross_attention = orig
     assert calls, "cross kernel was not routed"
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=5e-5, rtol=1e-4)
+
+
+def test_int8_attention_close(rng):
+    """flash_attention_int8 (experimental, PERF.md): int8 MXU dots with
+    per-tensor q/k and per-channel v scales; ~2-3% rel err by design."""
+    from mlx_video_tpu.ops.flash_attention import flash_attention_int8
+
+    b, s, h, d = 1, 256, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    ref = jax.nn.dot_product_attention(q, k, v)
+    out = flash_attention_int8(q, k, v, interpret=True)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
+
+
+def test_single_pass_no_max_padding_mask(rng):
+    """Padded keys must carry (effectively) zero weight in the no-max
+    single-pass kernel (clip turns -inf into -80; the where restores 0)."""
+    b, s, h, d = 1, 200, 2, 64  # pads to 256
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    ref = jax.nn.dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
