@@ -53,6 +53,7 @@ def convert_transformer(
     quantize_bits: Optional[int] = None,
     quantize_group_size: int = 64,
     quantize_scope: str = "core",
+    w8a8: bool = False,
     lora_paths: Optional[List[str]] = None,
     lora_strength: float = 1.0,
     report: bool = False,
@@ -66,6 +67,17 @@ def convert_transformer(
         )
 
     meta = {}
+    if w8a8:
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        params = quantize_params_w8a8(params)
+        meta = {
+            "mode": "w8a8-int8",
+            "predicate": "core",
+            "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
+        }
+        with open(output_path.parent / "quantization.json", "w") as f:
+            json.dump(meta, f, indent=2)
     if quantize_bits:
         params = quantize_dit_params(
             params, group_size=quantize_group_size, bits=quantize_bits, scope=quantize_scope
@@ -167,6 +179,9 @@ def main(argv=None) -> None:
                         choices=[2, 4, 8], dest="quantize_bits", help="Quantize to N bits")
     parser.add_argument("--quantize-group-size", "--q-group-size", type=int, default=64,
                         dest="quantize_group_size")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="Export W8A8 int8 execution weights (native format; "
+                             "int8 x int8 -> int32 MXU matmuls at load, ops/int8.py)")
     parser.add_argument("--quantize-scope", "--q-mode", default="core",
                         choices=["attn1", "core", "all"], dest="quantize_scope")
     parser.add_argument("--lora", action="append", default=[], help="LoRA file(s) to pre-merge")
@@ -204,6 +219,7 @@ def main(argv=None) -> None:
         quantize_bits=args.quantize_bits,
         quantize_group_size=args.quantize_group_size,
         quantize_scope=args.quantize_scope,
+        w8a8=args.w8a8,
         lora_paths=args.lora,
         lora_strength=args.lora_strength,
         report=args.report,

@@ -116,9 +116,19 @@ def load_dit_params(
 
     ``extra_weights``: in-memory overrides (e.g. LoRA-merged tensors) keyed
     by raw checkpoint key; applied after file shards.
+
+    Native-format checkpoints (our own convert/trainer output, tagged with
+    ``format: mlx_video_tpu`` metadata — save_dit_params) are loaded
+    directly as the stored pytree with stored dtypes (which may include
+    int8 W8A8 leaves); the key sanitizer below only handles PT/MLX layouts.
     """
     if isinstance(paths, (str, Path)):
         paths = [paths]
+    if len(paths) == 1:
+        from mlx_video_tpu.io.safetensors import read_metadata
+
+        if read_metadata(paths[0]).get("format") == "mlx_video_tpu":
+            return load_native_params(paths[0])
 
     # Expected structure from a shape-only init (no device memory).
     shape_tree = jax.eval_shape(lambda: init_ltx_params(jax.random.key(0), config, dtype=dtype))

@@ -184,20 +184,20 @@ class Trainer:
         path = Path(cfg.model_repo)
         if path.exists():
             files = [path] if path.is_file() else sorted(path.glob("*.safetensors"))
-            # Native-format checkpoints (our own trainer/convert output,
-            # e.g. transformer_step_N.safetensors) load directly as the
-            # param pytree; PT/MLX-layout checkpoints go through the key
-            # sanitizer in load_dit_params.
-            from mlx_video_tpu.io.safetensors import read_metadata
+            # load_dit_params handles both PT/MLX-layout checkpoints (key
+            # sanitizer) and our native-format output (transformer_step_N
+            # etc.); cast only float leaves to the training dtype so
+            # quantized (int8/aux) leaves keep their stored dtypes.
+            params = load_dit_params(files, self.model_config, dtype=dtype, strict=False)
 
-            if len(files) == 1 and (
-                read_metadata(files[0]).get("format") == "mlx_video_tpu"
-            ):
-                from mlx_video_tpu.io.weights import load_native_params
+            def _cast(path, x):
+                name = str(path[-1].key) if path and hasattr(path[-1], "key") else ""
+                keep = name in ("int8_scale", "scales", "biases") or not jnp.issubdtype(
+                    x.dtype, jnp.floating
+                )
+                return x if keep or x.dtype == dtype else jnp.asarray(x, dtype)
 
-                params = load_native_params(files[0])
-                return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-            return load_dit_params(files, self.model_config, dtype=dtype, strict=False)
+            return jax.tree_util.tree_map_with_path(_cast, params)
         raise FileNotFoundError(
             f"Model weights not found at {cfg.model_repo}; pass params= for in-memory init."
         )

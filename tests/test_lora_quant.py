@@ -372,3 +372,32 @@ class TestW8A8:
         v_ref, a_ref = encode_tokens(params, cfg, ids, mask, True)
         v_q, a_q = encode_tokens(qparams, cfg, ids, mask, True)
         assert v_q.shape == v_ref.shape and np.isfinite(np.asarray(v_q)).all()
+
+    def test_convert_w8a8_roundtrip(self, tmp_path, rng):
+        """convert --w8a8 exports a native int8 checkpoint that
+        load_dit_params reads back (format metadata dispatch)."""
+        import jax
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.convert import convert_transformer
+        from mlx_video_tpu.io.weights import load_dit_params, save_dit_params
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        src = tmp_path / "in.safetensors"
+        save_dit_params(src, params)
+
+        out = tmp_path / "out.safetensors"
+        convert_transformer([src], out, config=cfg, dtype=jnp.float32, w8a8=True)
+        assert (tmp_path / "quantization.json").exists()
+
+        loaded = load_dit_params([out], cfg, strict=False)
+        assert loaded["blocks"]["attn1"]["to_q"]["int8_weight"].dtype == jnp.int8
+        np.testing.assert_allclose(
+            np.asarray(loaded["blocks"]["attn1"]["to_q"]["int8_scale"]),
+            np.asarray(
+                jnp.max(jnp.abs(params["blocks"]["attn1"]["to_q"]["weight"]), axis=-2) / 127.0
+            ),
+            rtol=1e-6,
+        )
