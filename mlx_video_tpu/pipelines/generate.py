@@ -266,6 +266,19 @@ def decode_latents(
     )
 
 
+
+def _check_params_dtype(models: "ModelBundle", dtype) -> None:
+    """Fail fast on a params/pipeline dtype mismatch (otherwise it surfaces
+    as an opaque scan carry-type error deep in the compiled denoise loop)."""
+    probe = models.transformer_params.get("video", {}).get("patchify_proj", {}).get("weight")
+    if probe is not None and jnp.issubdtype(probe.dtype, jnp.floating) and probe.dtype != dtype:
+        raise ValueError(
+            f"transformer params are {probe.dtype} but the pipeline dtype is "
+            f"{jnp.dtype(dtype).name}; load the weights in the pipeline dtype "
+            f"or pass dtype={probe.dtype} to generate_video."
+        )
+
+
 def generate_video(
     models: ModelBundle,
     text: TextConditioning,
@@ -387,6 +400,8 @@ def generate_video(
         if stage2_steps not in (1, 2, 3):
             raise ValueError("stage2_steps must be 1, 2, or 3.")
 
+        _check_params_dtype(models, dtype)
+
         stage1_h, stage1_w = latent_h // 2, latent_w // 2
         s1_sigmas = subsample_sigmas(STAGE_1_SIGMAS, stage1_steps, sigma_subsample)
         s2_sigmas = subsample_refinement_sigmas(STAGE_2_SIGMAS, stage2_steps, sigma_subsample)
@@ -467,6 +482,7 @@ def generate_video(
         log_memory("stage2 complete", profile or mem_log)
     else:
         # Dev single-stage CFG (reference: generate.py:3374-3495).
+        _check_params_dtype(models, dtype)
         dev_conds = []
         if images:
             with timer.phase("cond_encode"):
