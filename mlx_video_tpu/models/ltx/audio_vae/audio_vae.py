@@ -180,7 +180,9 @@ def init_audio_encoder(key, config: AudioVAEConfig = AudioVAEConfig(), dtype=jnp
     in_mult = (1,) + tuple(config.ch_mult)
     params: dict = {
         "conv_in": init_conv2d(keys[0], config.in_channels, config.ch, 3, dtype),
-        "per_channel_statistics": init_per_channel_statistics(config.ch),
+        "per_channel_statistics": init_per_channel_statistics(
+            config.z_channels * (config.mel_bins // config.latent_downsample_factor)
+        ),
         "down": {},
     }
     curr_res = config.resolution
@@ -264,7 +266,9 @@ def init_audio_decoder(key, config: AudioVAEConfig = AudioVAEConfig(), dtype=jnp
     base_ch = config.ch * config.ch_mult[-1]
     params: dict = {
         "conv_in": init_conv2d(keys[0], config.z_channels, base_ch, 3, dtype),
-        "per_channel_statistics": init_per_channel_statistics(config.ch),
+        "per_channel_statistics": init_per_channel_statistics(
+            config.z_channels * (config.mel_bins // config.latent_downsample_factor)
+        ),
         "up": {},
     }
     mk = jax.random.split(keys[1], 3)

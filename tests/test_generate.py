@@ -214,3 +214,88 @@ class TestCropBack:
         assert out.exists()
         # internal latents at padded res 128/32 = 4
         assert result.latents.shape[-2:] == (4, 4)
+
+
+class TestJointAudioVideo:
+    """Dev-pipeline joint AV generation end to end: denoise both modalities,
+    decode audio latents through the mel VAE + vocoder, write wav
+    (reference: generate.py:1330-1703, 3928-4160)."""
+
+    def test_av_generate_writes_wav(self, tmp_path):
+        import dataclasses
+
+        from mlx_video_tpu.config import LTXModelType, VideoVAEConfig, tiny_test_config
+        from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+            AudioVAEConfig,
+            init_audio_decoder,
+        )
+        from mlx_video_tpu.models.ltx.audio_vae.vocoder import VocoderConfig, init_vocoder
+        from mlx_video_tpu.models.ltx.video_vae.decoder import (
+            DecoderConfig,
+            init_video_decoder,
+        )
+        from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder
+
+        # Audio tokens are C*M = 8*16 = 128-dim at the pipeline's latent
+        # geometry (AUDIO_LATENT_CHANNELS x AUDIO_MEL_BINS).
+        cfg = dataclasses.replace(
+            tiny_test_config(LTXModelType.AudioVideo),
+            audio_in_channels=128, audio_out_channels=128,
+        )
+        enc_cfg = VideoVAEConfig(
+            in_channels=3, out_channels=cfg.in_channels, latent_channels=cfg.in_channels,
+            patch_size=4, encoder_blocks=REAL_GEOM_ENCODER_BLOCKS,
+        )
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        audio_cfg = AudioVAEConfig(
+            ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, in_channels=2, out_ch=2,
+            z_channels=8, mel_bins=64, resolution=64,
+            decoder_attn_resolutions=(), mid_block_add_attention=True,
+        )
+        voc_cfg = VocoderConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            upsample_initial_channel=32, stereo=True, mel_in_channels=128,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            vae_encoder_params=init_video_encoder(jax.random.key(2), enc_cfg),
+            vae_encoder_config=enc_cfg,
+            audio_decoder_params=init_audio_decoder(jax.random.key(3), audio_cfg),
+            audio_decoder_config=audio_cfg,
+            vocoder_params=init_vocoder(jax.random.key(4), voc_cfg),
+            vocoder_config=voc_cfg,
+        )
+        rng = np.random.default_rng(0)
+        text = TextConditioning(
+            video_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            ),
+            video_neg_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            ),
+            audio_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.audio_caption_channels)).astype(np.float32)
+            ),
+            audio_neg_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.audio_caption_channels)).astype(np.float32)
+            ),
+        )
+        out_path = tmp_path / "av.mp4"
+        result = generate_video(
+            models, text, pipeline=PipelineType.DEV, num_inference_steps=2,
+            height=128, width=128, num_frames=9, seed=3, audio=True,
+            output_path=out_path, output_audio_path=tmp_path / "av.wav",
+            dtype=jnp.float32,
+        )
+        assert result.audio_latents is not None
+        assert result.audio_latents.shape[1] == 8  # AUDIO_LATENT_CHANNELS
+        assert np.isfinite(result.audio_latents).all()
+        assert (tmp_path / "av.wav").exists()
+        assert out_path.exists()
