@@ -43,6 +43,53 @@ class UpcastWithStochasticRounding:
     """Compatibility marker (reference: transformer/__init__.py:25-26)."""
 
 
+class LTXModel:
+    """Class-style adapter over the functional DiT (reference exposes an
+    ``LTXModel`` nn.Module; the engine is ``init_ltx_params``/``ltx_apply``).
+
+    ``LTXModel(config)`` initializes fresh params, or bind existing ones
+    with ``LTXModel(config, params)``. Calling returns per-modality
+    velocity predictions."""
+
+    def __init__(self, config: LTXModelConfig = None, params: dict = None, *, key=None, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.config = config or LTXModelConfig()
+        if params is None:
+            params = init_ltx_params(
+                key if key is not None else jax.random.key(0),
+                self.config,
+                dtype=dtype or jnp.bfloat16,
+            )
+        self.params = params
+
+    def __call__(self, video=None, audio=None, **kw):
+        return ltx_apply(self.params, self.config, video=video, audio=audio, **kw)
+
+
+class X0Model:
+    """Velocity -> denoised wrapper (reference: ltx.py X0Model;
+    x0 = x_t - sigma * v)."""
+
+    def __init__(self, model: LTXModel):
+        self.model = model
+
+    def __call__(self, video=None, audio=None, **kw):
+        v_vel, a_vel = self.model(video=video, audio=audio, **kw)
+        v_x0 = (
+            to_denoised(video.latent, v_vel, video.timesteps[..., None])
+            if video is not None and v_vel is not None
+            else v_vel
+        )
+        a_x0 = (
+            to_denoised(audio.latent, a_vel, audio.timesteps[..., None])
+            if audio is not None and a_vel is not None
+            else a_vel
+        )
+        return v_x0, a_x0
+
+
 __all__ = [
     "LTXV_MODEL_COMFY_RENAMING_MAP",
     "LTXV_MODEL_COMFY_RENAMING_WITH_TRANSFORMER_LINEAR_DOWNCAST_MAP",
@@ -51,9 +98,11 @@ __all__ = [
     "LTXModelConfigurator",
     "LTXRopeType",
     "LTXVideoOnlyModelConfigurator",
+    "LTXModel",
     "Modality",
     "TransformerConfig",
     "UpcastWithStochasticRounding",
+    "X0Model",
     "attention_apply",
     "block_apply",
     "feed_forward_apply",

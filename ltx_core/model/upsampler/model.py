@@ -6,6 +6,8 @@ from mlx_video_tpu.models.ltx.upsampler import (
     upsample_latents,
 )
 
+from ltx_core.model.upsampler import LatentUpsampler
+
 
 def upsample_video(latent, params):
     """Run the 2x latent upsampler on ``latent`` (reference: model.py:6-8)."""
@@ -13,6 +15,7 @@ def upsample_video(latent, params):
 
 
 __all__ = [
+    "LatentUpsampler",
     "init_latent_upsampler",
     "latent_upsampler_apply",
     "upsample_latents",

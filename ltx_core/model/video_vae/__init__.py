@@ -39,6 +39,59 @@ class VideoDecoderConfigurator:
         pass
 
 
+class VideoEncoder:
+    """Class-style adapter over the functional encoder (reference exposes a
+    ``VideoEncoder`` nn.Module; the engine is init/apply)."""
+
+    def __init__(self, config=None, params: dict = None, *, key=None, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_video_tpu.config import VideoVAEConfig
+
+        self.config = config or VideoVAEConfig()
+        if params is None:
+            params = init_video_encoder(
+                key if key is not None else jax.random.key(0),
+                self.config,
+                dtype=dtype or jnp.float32,
+            )
+        self.params = params
+
+    def __call__(self, video):
+        return video_encoder_apply(self.params, self.config, video)
+
+
+class VideoDecoder:
+    """Class-style adapter over the dedicated LTX-2 decoder."""
+
+    def __init__(self, config=None, params: dict = None, *, key=None, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig
+
+        self.config = config or DecoderConfig()
+        if params is None:
+            params = init_video_decoder(
+                key if key is not None else jax.random.key(0),
+                self.config,
+                dtype=dtype or jnp.float32,
+            )
+        self.params = params
+
+    def __call__(self, latents, **kw):
+        return video_decoder_apply(self.params, self.config, latents, **kw)
+
+    def decode_tiled(self, latents, tiling_config=None, on_frames_ready=None, **kw):
+        return decode_with_tiling(
+            lambda lat, **dkw: video_decoder_apply(self.params, self.config, lat, **dkw, **kw),
+            latents,
+            tiling_config or TilingConfig.default(),
+            on_frames_ready=on_frames_ready,
+        )
+
+
 __all__ = [
     "DecoderConfig",
     "SpatialTilingConfig",
@@ -46,7 +99,9 @@ __all__ = [
     "TilingConfig",
     "VAE_DECODER_COMFY_KEYS_FILTER",
     "VAE_ENCODER_COMFY_KEYS_FILTER",
+    "VideoDecoder",
     "VideoDecoderConfigurator",
+    "VideoEncoder",
     "VideoEncoderConfigurator",
     "causal_conv3d",
     "decode_with_tiling",

@@ -9,10 +9,7 @@ from mlx_video_tpu.models.ltx.video_vae.encoder import (
     video_encoder_apply,
 )
 
-# Reference-name aliases: the reference exposes VideoEncoder/VideoDecoder
-# classes; the engine equivalents are init/apply function pairs.
-VideoEncoder = video_encoder_apply
-VideoDecoder = video_decoder_apply
+from ltx_core.model.video_vae import VideoDecoder, VideoEncoder
 
 __all__ = [
     "VideoDecoder",

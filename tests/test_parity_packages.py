@@ -414,3 +414,115 @@ class TestDeepImportPaths:
             expected,
             atol=1e-4,
         )
+
+
+class TestClassAdapters:
+    """Reference class names over the functional engine: LTXModel/X0Model,
+    VideoEncoder/Decoder, AudioEncoder/Decoder/Vocoder, LatentUpsampler,
+    trainer samplers/strategies/captioner names."""
+
+    def test_ltx_model_and_x0(self, rng):
+        from ltx_core.model.transformer import LTXModel, X0Model
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import Modality, ltx_apply, to_denoised
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        model = LTXModel(cfg, key=jax.random.key(0), dtype=jnp.float32)
+        b, f, h, w = 1, 2, 4, 4
+        video = Modality(
+            latent=jnp.asarray(rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)),
+            timesteps=jnp.full((b, f * h * w), 0.5),
+            context=jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32)),
+            positions=jnp.asarray(create_position_grid(b, f, h, w)),
+        )
+        v_vel, _ = model(video=video)
+        ref, _ = ltx_apply(model.params, cfg, video=video)
+        np.testing.assert_allclose(np.asarray(v_vel), np.asarray(ref), atol=1e-6)
+
+        x0, _ = X0Model(model)(video=video)
+        np.testing.assert_allclose(
+            np.asarray(x0),
+            np.asarray(to_denoised(video.latent, ref, video.timesteps[..., None])),
+            atol=1e-6,
+        )
+
+    def test_vae_classes(self, rng):
+        from ltx_core.model.video_vae import VideoDecoder, VideoEncoder
+        from mlx_video_tpu.config import VideoVAEConfig
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig
+
+        enc = VideoEncoder(VideoVAEConfig(), key=jax.random.key(1))
+        clip = jnp.asarray(rng.uniform(-1, 1, size=(1, 3, 9, 64, 64)).astype(np.float32))
+        lat = enc(clip)
+        assert lat.shape[1] == 128
+
+        dec = VideoDecoder(
+            DecoderConfig(in_channels=16, base_channels=32, num_layers_per_block=1, num_upsamples=2),
+            key=jax.random.key(2),
+        )
+        px = dec(jnp.asarray(rng.normal(size=(1, 16, 2, 4, 4)).astype(np.float32)),
+                 timestep=jnp.array([0.05]))
+        assert px.shape[1] == 3 and np.isfinite(np.asarray(px)).all()
+
+    def test_audio_classes(self, rng):
+        from ltx_core.model.audio_vae import AudioDecoder, AudioEncoder, Vocoder
+        from mlx_video_tpu.models.ltx.audio_vae.audio_vae import AudioVAEConfig
+        from mlx_video_tpu.models.ltx.audio_vae.vocoder import VocoderConfig
+
+        cfg = AudioVAEConfig(
+            ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, in_channels=2, out_ch=2,
+            z_channels=4, mel_bins=16, resolution=64,
+            decoder_attn_resolutions=(), mid_block_add_attention=True,
+        )
+        enc = AudioEncoder(cfg, key=jax.random.key(0))
+        mel = jnp.asarray(rng.normal(size=(1, 2, 12, 16)).astype(np.float32))
+        lat = enc(mel)
+        dec = AudioDecoder(cfg, key=jax.random.key(1))
+        spec = dec(lat)
+        assert np.isfinite(np.asarray(spec)).all()
+
+        voc = Vocoder(
+            VocoderConfig(
+                upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+                upsample_initial_channel=32, stereo=True, mel_in_channels=8,
+            ),
+            key=jax.random.key(2),
+        )
+        wav = voc(jnp.asarray(rng.normal(size=(1, 2, 10, 4)).astype(np.float32)))
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_upsampler_class(self, rng):
+        from ltx_core.model.upsampler import LatentUpsampler
+
+        ups = LatentUpsampler(key=jax.random.key(0), in_channels=16, mid_channels=32, num_blocks=1)
+        lat = jnp.asarray(rng.normal(size=(1, 16, 2, 4, 4)).astype(np.float32))
+        out = ups(lat)
+        assert out.shape == (1, 16, 2, 8, 8)
+
+    def test_trainer_parity_names(self):
+        from ltx_trainer.captioning import Captioner, CaptionConfig, MlxCaptioner  # noqa: F401
+        from ltx_trainer.timestep_samplers import (
+            ShiftedLogitNormalSampler,
+            UniformSampler,
+            get_timestep_sampler,
+        )
+        from ltx_trainer.trainer import MLXTrainer, Trainer, TrainingConfig  # noqa: F401
+        from ltx_trainer.training_strategies.base_strategy import TrainingStrategy
+        from ltx_trainer.training_strategies.text_to_video import TextToVideoStrategy
+        from ltx_trainer.training_strategies.video_to_video import VideoToVideoStrategy
+
+        assert MLXTrainer is Trainer
+        lat = jnp.zeros((2, 10, 4))
+        s = get_timestep_sampler("shifted_logit_normal", std=0.5)
+        assert isinstance(s, ShiftedLogitNormalSampler)
+        sig = s.sample_for(lat)
+        assert sig.shape == (2, 1, 1) and (np.asarray(sig) > 0).all()
+        assert UniformSampler().sample_for(lat).shape == (2, 1, 1)
+
+        t2v = TextToVideoStrategy(TrainingConfig(with_audio=True))
+        assert t2v.requires_audio and "audio_latents" in t2v.get_data_sources()
+        v2v = VideoToVideoStrategy(TrainingConfig())
+        assert "reference_latents" in v2v.get_data_sources()
+        assert isinstance(t2v, TrainingStrategy)
