@@ -412,3 +412,12 @@ def denoise_audio_only(
         )
         progress_callback(i + 1, num_steps)
     return carry[1]
+
+
+# Reference-name aliases (mlx_video/generate.py:564, 1060, 1330): the single
+# ``denoise`` entry point covers all three loops here — distilled (no CFG)
+# and dev (CFG) are selected by the presence of ``neg_context``/``cfg_scale``,
+# and the AV variant by passing an audio modality.
+denoise_distilled = denoise
+denoise_dev = denoise
+denoise_dev_av = denoise

@@ -160,3 +160,10 @@ def load_model(
             model_path, text_encoder_path or model_path, dtype
         )
     return out
+
+
+# Reference-name aliases (mlx_video/mlx_trainer/model_loader.py surface).
+load_vae_encoder = load_video_vae_encoder
+load_vae_decoder = load_video_vae_decoder
+load_audio_decoder = load_audio_vae_decoder
+load_gemma = load_text_encoder
