@@ -40,7 +40,9 @@ class Captioner:
         self.cfg = cfg or CaptionConfig()
 
     def caption(self, frame: np.ndarray) -> str:
-        return caption_image(frame, model_name=self.cfg.model_id)
+        return caption_image(
+            frame, model_name=self.cfg.model_id, max_new_tokens=self.cfg.max_new_tokens
+        )
 
     def caption_batch(self, frames: List[np.ndarray]) -> List[str]:
         return [self.caption(f) for f in frames]

@@ -17,20 +17,25 @@ import jax
 from mlx_video_tpu.trainer.strategies import sample_sigmas  # noqa: F401
 
 
-def _fold(key_holder):
-    key, sub = jax.random.split(key_holder[0])
-    key_holder[0] = key
-    return sub
-
-
 @dataclass
 class TimestepSampler:
-    """Base class for sampling sigmas/timesteps."""
+    """Base class for sampling sigmas/timesteps.
+
+    The PRNG key is created lazily on first use (no JAX backend init at
+    import time) and advances per call. Prefer ``get_timestep_sampler`` over
+    the shared ``SAMPLERS`` instances when reproducibility matters — shared
+    instances share one PRNG stream across callers.
+    """
 
     seed: int = 0
 
-    def __post_init__(self):
-        self._key = [jax.random.key(self.seed)]
+    def _next_key(self):
+        key = getattr(self, "_key", None)
+        if key is None:
+            key = jax.random.key(self.seed)
+        key, sub = jax.random.split(key)
+        self._key = key
+        return sub
 
     def sample_for(self, latents, seq_len: Optional[int] = None):
         raise NotImplementedError
@@ -40,7 +45,7 @@ class TimestepSampler:
 class UniformSampler(TimestepSampler):
     def sample_for(self, latents, seq_len: Optional[int] = None):
         b = latents.shape[0]
-        return sample_sigmas(_fold(self._key), b, seq_len or latents.shape[1], "uniform").reshape(
+        return sample_sigmas(self._next_key(), b, seq_len or latents.shape[1], "uniform").reshape(
             b, 1, 1
         )
 
@@ -52,7 +57,7 @@ class ShiftedLogitNormalSampler(TimestepSampler):
     def sample_for(self, latents, seq_len: Optional[int] = None):
         b = latents.shape[0]
         return sample_sigmas(
-            _fold(self._key), b, seq_len or latents.shape[1], "shifted_logit_normal", self.std
+            self._next_key(), b, seq_len or latents.shape[1], "shifted_logit_normal", self.std
         ).reshape(b, 1, 1)
 
 

@@ -31,6 +31,7 @@ class TrainingStrategy:
 
     def __init__(self, cfg: Any = None) -> None:
         self.cfg = cfg
+        self._key = jax.random.key(int(getattr(cfg, "seed", 0) or 0))
 
     @property
     def requires_audio(self) -> bool:
@@ -39,6 +40,10 @@ class TrainingStrategy:
     def get_data_sources(self):
         return dict(self._sources)
 
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def prepare_training_inputs(
         self, batch, timestep_sampler=None, key: Optional[jax.Array] = None
     ) -> ModelInputs:
@@ -46,15 +51,27 @@ class TrainingStrategy:
             raise NotImplementedError
         sb = type(self)._prepare(batch)
         if key is None:
-            seed = getattr(timestep_sampler, "seed", 0) if timestep_sampler is not None else 0
-            key = jax.random.key(seed)
+            # Advance the strategy's own PRNG stream per call (a fixed key
+            # here would train every step on the same sigma/noise draw).
+            key = self._next_key()
         cfg = self.cfg
+        # Honor an explicitly passed sampler's distribution; fall back to
+        # the config fields (the engine path, trainer/strategies.py).
+        mode = getattr(cfg, "timestep_sampling_mode", "uniform")
+        std = getattr(cfg, "timestep_sampling_std", 1.0)
+        if timestep_sampler is not None:
+            name = type(timestep_sampler).__name__
+            if "ShiftedLogitNormal" in name:
+                mode = "shifted_logit_normal"
+                std = getattr(timestep_sampler, "std", std)
+            elif "Uniform" in name:
+                mode = "uniform"
         return make_inputs(
             sb,
             key,
             first_frame_conditioning_p=getattr(cfg, "first_frame_conditioning_p", 0.1),
-            timestep_sampling_mode=getattr(cfg, "timestep_sampling_mode", "uniform"),
-            timestep_sampling_std=getattr(cfg, "timestep_sampling_std", 1.0),
+            timestep_sampling_mode=mode,
+            timestep_sampling_std=std,
         )
 
     def compute_loss(self, video_pred, audio_pred, inputs: ModelInputs):

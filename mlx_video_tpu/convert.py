@@ -35,6 +35,8 @@ def quantization_report(params: dict) -> List[str]:
         if isinstance(node, dict):
             if "quant_weight" in node:
                 lines.append(f"{path}: quantized {node['quant_weight'].dtype}")
+            elif "int8_weight" in node:
+                lines.append(f"{path}: w8a8 int8")
             elif "weight" in node and getattr(node["weight"], "ndim", 0) >= 2:
                 lines.append(f"{path}: dense {node['weight'].dtype}")
             else:
@@ -67,6 +69,11 @@ def convert_transformer(
         )
 
     meta = {}
+    if w8a8 and quantize_bits:
+        raise ValueError(
+            "--w8a8 (int8 execution weights) and --quantize-bits (MLX affine "
+            "storage format) are mutually exclusive; pick one."
+        )
     if w8a8:
         from mlx_video_tpu.ops.int8 import quantize_params_w8a8
 

@@ -335,15 +335,29 @@ class LTX2TextEncoder:
         config_file = te_path / "config.json"
         gemma_config = Gemma3TextConfig.from_dict(json.loads(config_file.read_text()))
 
-        params = init_text_encoder_params(
-            jax.random.key(0), gemma_config, dtype=dtype, init_gemma=False
-        )
-        params["language_model"] = load_gemma_weights(te_path, gemma_config, dtype=dtype)
-        load_connector_weights(params, Path(model_path), dtype=dtype)
         if w8a8:
+            # Load + quantize on the host CPU device so neither the ~24 GB
+            # bf16 LM nor the fp32 quantization transient ever lands in HBM
+            # (the int8 result is ~12 GB and fits one v5e chip); then place
+            # the quantized tree on the accelerator.
             from mlx_video_tpu.ops.int8 import quantize_text_encoder_w8a8
 
-            params = quantize_text_encoder_w8a8(params)
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = init_text_encoder_params(
+                    jax.random.key(0), gemma_config, dtype=dtype, init_gemma=False
+                )
+                params["language_model"] = load_gemma_weights(
+                    te_path, gemma_config, dtype=dtype
+                )
+                load_connector_weights(params, Path(model_path), dtype=dtype)
+                params = quantize_text_encoder_w8a8(params)
+            params = jax.device_put(params, jax.devices()[0])
+        else:
+            params = init_text_encoder_params(
+                jax.random.key(0), gemma_config, dtype=dtype, init_gemma=False
+            )
+            params["language_model"] = load_gemma_weights(te_path, gemma_config, dtype=dtype)
+            load_connector_weights(params, Path(model_path), dtype=dtype)
 
         tokenizer = None
         try:

@@ -140,9 +140,12 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: 
     No max-subtraction: this kernel is VPU-bound on the (block_q, S) logits
     passes (int8 MXU dots measured only 7% faster — PERF.md), and dropping
     the row-max reduce+subtract saves 12% (434 -> 381 us at DiT geometry).
-    Instead logits clamp to [-80, 60]: exp stays inside fp32 normal range
-    (no overflow, no all-underflow NaN), and the clamp only binds where
-    softmax is saturated and carries no signal anyway.
+    Instead logits clamp to [-80, 80]: exp(80)=5.5e34, so even summed over
+    SINGLE_PASS_MAX_S=2048 keys the row sum stays under fp32 max (1.1e38),
+    exp(-80)=1.8e-35 avoids the all-underflow NaN, and softmax is exact for
+    any logits within +/-80 — beyond that it is saturated; two keys both
+    above 80 would flatten to equal weight, which is the only (pathological,
+    RMS-normed-q/k) regime where this kernel diverges from the online one.
     """
     s = k_ref.shape[0]
     q = q_ref[:]
@@ -154,7 +157,7 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: 
     if valid_len < s:
         key_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
-    p = jnp.exp(jnp.clip(logits, -80.0, 60.0))
+    p = jnp.exp(jnp.clip(logits, -80.0, 80.0))
     if valid_len < s:
         # restore exact zeros for masked keys (clip turned -inf into -80)
         p = jnp.where(key_idx < valid_len, p, 0.0)

@@ -65,13 +65,15 @@ def int8_linear(
     return y.astype(x.dtype)
 
 
-# Transformer-block linear names safe to run in W8A8 ("core" scope): the
-# attention projections and FFN. Norm weights, adaLN tables, patchify and
+# Transformer-block linear names safe to run in W8A8 ("core" scope,
+# matching ops/quant.py SCOPE_PATTERNS): both video- and audio-branch
+# attention projections and FFNs. Norm weights, adaLN tables, patchify and
 # output projections are excluded (small and/or quality-critical).
 _CORE_LINEAR_PARENTS = (
-    "attn1", "attn2", "audio_to_video_attn", "video_to_audio_attn", "ff",
+    "attn1", "attn2", "audio_attn1", "audio_attn2",
+    "audio_to_video_attn", "video_to_audio_attn", "ff", "audio_ff",
 )
-_LINEAR_CHILDREN = ("to_q", "to_k", "to_v", "to_out", "k_pe", "proj_in", "proj_out")
+_LINEAR_CHILDREN = ("to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out")
 
 
 _GEMMA_LINEARS = (

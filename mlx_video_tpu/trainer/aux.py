@@ -106,12 +106,15 @@ def read_quantization_metadata(model_path: Path) -> Optional[Dict]:
 # -- captioning (reference: mlx_trainer/captioning.py) -----------------------
 
 
-def caption_image(image, model_name: str = "Salesforce/blip-image-captioning-base") -> str:
+def caption_image(
+    image,
+    model_name: str = "Salesforce/blip-image-captioning-base",
+    max_new_tokens: Optional[int] = None,
+) -> str:
     """Caption a single frame via a transformers captioner (the reference uses
     mlx_vlm SmolVLM with a transformers fallback; only the transformers
     backend exists on TPU hosts)."""
     import numpy as np
-    from transformers import pipeline
 
     captioner = _get_captioner(model_name)
     arr = np.asarray(image)
@@ -119,7 +122,10 @@ def caption_image(image, model_name: str = "Salesforce/blip-image-captioning-bas
         arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
     from PIL import Image
 
-    result = captioner(Image.fromarray(arr))
+    kwargs = {}
+    if max_new_tokens is not None:
+        kwargs["generate_kwargs"] = {"max_new_tokens": int(max_new_tokens)}
+    result = captioner(Image.fromarray(arr), **kwargs)
     return result[0]["generated_text"] if result else ""
 
 
