@@ -47,11 +47,14 @@ from mlx_video_tpu.trainer.train_step import (
 
 
 def _params_has_quant(params: dict) -> bool:
+    """True for affine (quant_weight) AND W8A8 (int8_weight) bases — both
+    are frozen-weight formats (int8 matmuls have zero gradient through the
+    round()); only LoRA training is valid on top of them."""
     found = []
 
     def walk(n):
         if isinstance(n, dict):
-            if "quant_weight" in n:
+            if "quant_weight" in n or "int8_weight" in n:
                 found.append(True)
             for v in n.values():
                 walk(v)

@@ -358,3 +358,16 @@ class TestGradientCheckpointing:
         tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
         assert tr.model_config.gradient_checkpointing
         tr.train()
+
+    def test_w8a8_base_requires_lora_mode(self, tmp_path):
+        """int8 execution weights are frozen (zero grad through round());
+        full finetune on them must be rejected like affine-quantized bases."""
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        mcfg, params = tiny_model()
+        qparams = quantize_params_w8a8(params)
+        with pytest.raises(ValueError, match="LoRA"):
+            Trainer(
+                tiny_cfg(training_mode="full", output_dir=str(tmp_path), steps=1),
+                model_config=mcfg, params=qparams, dataset=tiny_dataset(),
+            )
