@@ -198,15 +198,38 @@ def mux_audio(
     audio_path: Union[str, Path],
     output_path: Union[str, Path],
     audio_filter: Optional[str] = None,
+    audio_bitrate: str = "256k",
+    audio_sample_rate: int = 24000,
 ) -> bool:
-    """Mux a WAV track into an MP4 via ffmpeg (reference: generate.py:3928-4160).
-    Returns False when ffmpeg is unavailable."""
+    """Mux a WAV track into an MP4 via ffmpeg (reference: generate.py:1980-2033
+    mux_video_audio). Returns False when ffmpeg is unavailable or fails.
+
+    Parity notes: explicit stream mapping (avoids ffmpeg picking wrong streams),
+    AAC at ``audio_bitrate``, stereo at ``audio_sample_rate``, and deliberately
+    NO ``-shortest`` — hop-size rounding can make audio slightly shorter than
+    video and ``-shortest`` would drop the final frames. A filter value of
+    none/off/false/0 disables the filter chain.
+    """
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         return False
-    cmd = [ffmpeg, "-y", "-i", str(video_path), "-i", str(audio_path)]
-    if audio_filter:
-        cmd += ["-af", audio_filter]
-    cmd += ["-c:v", "copy", "-c:a", "aac", "-shortest", str(output_path)]
+    af = (audio_filter or "").strip()
+    if af.lower() in {"none", "off", "false", "0"}:
+        af = ""
+    cmd = [
+        ffmpeg, "-y",
+        "-i", str(video_path),
+        "-i", str(audio_path),
+        "-map", "0:v:0",
+        "-map", "1:a:0",
+        "-c:v", "copy",
+        "-c:a", "aac",
+        "-b:a", str(audio_bitrate),
+        "-ar", str(audio_sample_rate),
+        "-ac", "2",
+    ]
+    if af:
+        cmd += ["-af", af]
+    cmd += ["-movflags", "+faststart", str(output_path)]
     result = subprocess.run(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
     return result.returncode == 0

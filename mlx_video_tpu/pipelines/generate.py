@@ -305,6 +305,7 @@ def generate_video(
     audio_mode: str = "auto",
     audio_steps: int = 8,
     audio_filter: Optional[str] = None,
+    audio_bitrate: str = "256k",
     output_audio_path: Optional[Union[str, Path]] = None,
     # output
     output_path: Optional[Union[str, Path]] = None,
@@ -339,11 +340,17 @@ def generate_video(
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
 
     def _gather(x):
-        """Collapse a mesh-sharded array onto the default device between
-        pipeline stages (no-op without a mesh)."""
+        """Replicate a mesh-sharded array across the mesh between pipeline
+        stages (no-op without a mesh). Device-side reshard — an XLA
+        all-gather over ICI, not a device->host->device numpy bounce.
+        Replicated (not single-device) placement keeps the device set
+        identical to the sharded transformer params, so the following stage
+        jits as one GSPMD program instead of failing on mixed commitments."""
         if mesh is None or x is None:
             return x
-        return jnp.asarray(np.asarray(x), dtype=x.dtype)
+        return jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
     is_distilled = pipeline in (PipelineType.DISTILLED, PipelineType.KEYFRAME, PipelineType.IC_LORA)
     conditioning_mode = "guide" if pipeline == PipelineType.KEYFRAME else "replace"
     if pipeline == PipelineType.IC_LORA and not video_conditionings:
@@ -467,12 +474,19 @@ def generate_video(
         stage2_params = models.stage2_transformer_params or params
         with timer.phase("stage2_denoise"):
             if stage2_cfg and text.video_neg_embeddings is not None:
-                latents = dn.denoise(
+                # CFG refinement refines audio too (reference: generate.py:3341-3356
+                # routes joint audio through denoise_dev_av with neg embeddings).
+                if joint_audio and text.audio_neg_embeddings is None:
+                    raise ValueError(
+                        "stage2_cfg with joint audio requires audio_neg_embeddings "
+                        "(the negative-prompt audio context) in TextConditioning."
+                    )
+                latents, audio_latents = dn.denoise(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                     state=state2, progress_callback=progress_callback,
-                    sequence_parallel=sp,
-                )[0]
+                    sequence_parallel=sp, **audio_kwargs,
+                )
             else:
                 latents, audio_latents = dn.denoise(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
@@ -614,7 +628,12 @@ def generate_video(
             )
             save_wav(str(wav_path), np.asarray(wav), models.vocoder_config.output_sample_rate)
         with timer.phase("audio_mux"):
-            if media.mux_audio(video_file, wav_path, output_path, audio_filter=audio_filter):
+            if media.mux_audio(
+                video_file, wav_path, output_path,
+                audio_filter=audio_filter, audio_bitrate=audio_bitrate,
+                audio_sample_rate=models.vocoder_config.output_sample_rate
+                if models.vocoder_config is not None else 24000,
+            ):
                 video_file.unlink(missing_ok=True)
             else:
                 video_file.rename(output_path)

@@ -299,3 +299,72 @@ class TestJointAudioVideo:
         assert np.isfinite(result.audio_latents).all()
         assert (tmp_path / "av.wav").exists()
         assert out_path.exists()
+
+
+class TestStage2CfgJointAudio:
+    """Stage-2 CFG refinement must refine joint audio too (reference:
+    generate.py:3341-3356 routes joint audio through denoise_dev_av with
+    negative embeddings)."""
+
+    def _models_and_text(self, with_audio_neg=True):
+        import dataclasses
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.video_vae.decoder import (
+            DecoderConfig,
+            init_video_decoder,
+        )
+
+        cfg = dataclasses.replace(
+            tiny_test_config(LTXModelType.AudioVideo),
+            audio_in_channels=128, audio_out_channels=128,
+        )
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        rng = np.random.default_rng(7)
+
+        def emb(ch):
+            return jnp.asarray(rng.normal(size=(1, 8, ch)).astype(np.float32))
+
+        text = TextConditioning(
+            video_embeddings=emb(cfg.caption_channels),
+            video_neg_embeddings=emb(cfg.caption_channels),
+            audio_embeddings=emb(cfg.audio_caption_channels),
+            audio_neg_embeddings=emb(cfg.audio_caption_channels) if with_audio_neg else None,
+        )
+        return models, text
+
+    def test_stage2_cfg_refines_audio(self):
+        models, text = self._models_and_text()
+        result = generate_video(
+            models, text, pipeline=PipelineType.DISTILLED,
+            height=64, width=64, num_frames=9, seed=0,
+            stage1_steps=1, stage2_steps=1, stage2_cfg=True, cfg_scale=3.0,
+            audio=True, audio_mode="joint",
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert result.audio_latents is not None
+        assert result.audio_latents.shape[1] == 8
+        assert np.isfinite(result.audio_latents).all()
+
+    def test_stage2_cfg_without_audio_neg_raises(self):
+        models, text = self._models_and_text(with_audio_neg=False)
+        with pytest.raises(ValueError, match="audio_neg_embeddings"):
+            generate_video(
+                models, text, pipeline=PipelineType.DISTILLED,
+                height=64, width=64, num_frames=9, seed=0,
+                stage1_steps=1, stage2_steps=1, stage2_cfg=True, cfg_scale=3.0,
+                audio=True, audio_mode="joint",
+                decode_latents_only=True, dtype=jnp.float32,
+            )

@@ -401,6 +401,74 @@ class TestCLIParsers:
         assert slugify("A Cat! Jumping?") == "a-cat-jumping"
         assert slugify("") == "video"
 
+    def test_audio_bitrate_and_reference_flags(self):
+        # reference CLI parity: generate.py:4368 (+4672 no-op), 4446
+        from mlx_video_tpu.cli.generate import build_parser
+
+        args = build_parser().parse_args(
+            ["--prompt", "x", "--audio-bitrate", "192k", "--include-reference-in-output"]
+        )
+        assert args.audio_bitrate == "192k"
+        assert args.include_reference_in_output is True
+        assert build_parser().parse_args(["--prompt", "x"]).audio_bitrate is None
+
+
+class TestMuxAudio:
+    def test_mux_command_parity(self, monkeypatch, tmp_path):
+        """The mux must pass -b:a/-ar/-ac/-map/+faststart and must NOT use
+        -shortest (reference: generate.py:1980-2033 — -shortest drops final
+        video frames when audio is a hop shorter)."""
+        import subprocess as sp
+
+        from mlx_video_tpu.io import media
+
+        captured = {}
+
+        def fake_run(cmd, **kw):
+            captured["cmd"] = cmd
+
+            class R:
+                returncode = 0
+
+            return R()
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        monkeypatch.setattr(media.shutil, "which", lambda name: "/usr/bin/ffmpeg")
+        ok = media.mux_audio(
+            tmp_path / "v.mp4", tmp_path / "a.wav", tmp_path / "o.mp4",
+            audio_filter="highpass=f=40", audio_bitrate="192k", audio_sample_rate=24000,
+        )
+        assert ok
+        cmd = captured["cmd"]
+        assert "-shortest" not in cmd
+        pairs = list(zip(cmd, cmd[1:]))
+        for pair in (("-b:a", "192k"), ("-ar", "24000"), ("-ac", "2"),
+                     ("-map", "0:v:0"), ("-map", "1:a:0"),
+                     ("-af", "highpass=f=40"), ("-movflags", "+faststart")):
+            assert pair in pairs, (pair, cmd)
+
+    def test_mux_filter_disable_tokens(self, monkeypatch, tmp_path):
+        import subprocess as sp
+
+        from mlx_video_tpu.io import media
+
+        captured = {}
+
+        def fake_run(cmd, **kw):
+            captured["cmd"] = cmd
+
+            class R:
+                returncode = 0
+
+            return R()
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        monkeypatch.setattr(media.shutil, "which", lambda name: "/usr/bin/ffmpeg")
+        for tok in ("none", "OFF", "false", "0", None, ""):
+            media.mux_audio(tmp_path / "v.mp4", tmp_path / "a.wav", tmp_path / "o.mp4",
+                            audio_filter=tok)
+            assert "-af" not in captured["cmd"], tok
+
 
 class TestAudioTransformerResolution:
     def test_candidates_priority(self, tmp_path):
