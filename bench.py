@@ -2,16 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: denoise steps/sec on a 48-layer LTX-style DiT "proxy-3B" config
-(dim 2048, 16 heads x 128) at the default distilled geometry — 512x512x33f
--> 5x16x16 = 1280 latent tokens, SPLIT RoPE — the same hot loop as the
-19B model (which does not fit a single v5e chip in bf16; later rounds bench
-the sharded 19B on the virtual mesh and real multi-chip when available).
+Default metric (round 2+): denoise steps/sec of the FLAGSHIP 19B geometry
+(48 layers, dim 4096 = 32 heads x 128, cross-attn 4096, caption 3840) at the
+default distilled geometry — 512x512x33f -> 5x16x16 = 1280 latent tokens,
+SPLIT RoPE — executed q4 group-affine quantized (ops/quant.py MLX layout,
+XLA dequant-into-matmul): bf16 (38 GB) and w8a8 (19 GB) exceed one v5e's
+~16 GB HBM, q4 (~10.7 GB incl. scales) fits. Params are synthesized directly
+in the quantized layout (no 38 GB dense transient); throughput depends only
+on shapes/dtypes, not values.
 
-Default mode is W8A8 int8 execution (ops/int8.py: int8 x int8 -> int32 on
-the MXU at 2x the bf16 rate, per-token dynamic activation scales; final
-8-step latents match bf16 to cosine 0.99999 / rel 0.5% at this scale —
-scripts/ab_w8a8.py). Pass --dense for the bf16 path.
+--proxy reverts to the round-1 metric: "proxy-3B" (dim 2048, 16 heads x 128)
+W8A8 int8 execution (ops/int8.py: int8 x int8 -> int32 on the MXU at 2x the
+bf16 rate; final 8-step latents match bf16 to cosine 0.99999 —
+scripts/ab_w8a8.py). --dense selects bf16 for the proxy.
 
 Timing protocol: per-step = (t(8-step scan) - t(2-step scan)) / 6, medians
 over 4 pairs — per-call fixed costs (tunnel RPC, dispatch, arg marshalling)
@@ -39,6 +42,74 @@ import numpy as np
 ANCHOR_STEPS_PER_SEC = 2.0
 
 
+def synth_q4_params(config, group_size: int = 64, bits: int = 4):
+    """Synthesize DiT params directly in the MLX q4 quantized layout.
+
+    Walks the shape skeleton from ``jax.eval_shape`` (zero memory) and
+    materializes each eligible transformer-block linear as
+    quant_weight/scales/biases — the dense 19B pytree (38 GB bf16) never
+    exists. Values are random but scaled like init_linear's uniform
+    (+-in^-0.5) so the 48-layer forward stays finite; throughput depends on
+    shapes/dtypes only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.models.ltx.model import init_ltx_params
+    from mlx_video_tpu.ops.quant import SCOPE_PATTERNS
+
+    patterns = SCOPE_PATTERNS["core"]
+    shapes = jax.eval_shape(lambda: init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16))
+    key_it = iter(jax.random.split(jax.random.key(0), 4096))
+
+    def synth_quant_linear(node):
+        w = node["weight"]
+        in_dim, out_dim = w.shape[-2], w.shape[-1]
+        lead = w.shape[:-2]
+        sigma = in_dim**-0.5
+        packed = jax.random.bits(
+            next(key_it), (*lead, out_dim, in_dim * bits // 32), dtype=jnp.uint32
+        )
+        scales = jnp.full((*lead, out_dim, in_dim // group_size), 2 * sigma / ((1 << bits) - 1), jnp.float32)
+        biases = jnp.full((*lead, out_dim, in_dim // group_size), -sigma, jnp.float32)
+        out = {"quant_weight": packed, "scales": scales, "biases": biases}
+        if "bias" in node:
+            out["bias"] = jnp.zeros(node["bias"].shape, jnp.bfloat16)
+        return out
+
+    def synth_dense(leaf, name):
+        if name in ("weight", "scale") and leaf.ndim == 1:  # norm gains
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name == "bias":
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        sigma = (leaf.shape[-2] ** -0.5) if leaf.ndim >= 2 else 0.02
+        return (
+            jax.random.uniform(next(key_it), leaf.shape, jnp.float32, -sigma, sigma)
+            .astype(leaf.dtype)
+        )
+
+    def walk(node, path):
+        if (
+            isinstance(node, dict)
+            and "weight" in node
+            and node["weight"].ndim in (2, 3)
+            and any(p in path + "/" for p in patterns)
+            and node["weight"].shape[-2] % group_size == 0
+            and path.rsplit("/", 1)[-1] not in ("q_norm", "k_norm")
+        ):
+            return synth_quant_linear(node)
+        if isinstance(node, dict):
+            return {
+                k: walk(v, f"{path}/{k}" if path else k)
+                if isinstance(v, dict)
+                else synth_dense(v, k)
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(shapes, "")
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -50,22 +121,40 @@ def main() -> None:
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    w8a8 = "--dense" not in sys.argv
+    flagship = "--proxy" not in sys.argv and "--tiny" not in sys.argv
+    w8a8 = "--dense" not in sys.argv and not flagship
 
     dev = jax.devices()[0]
-    print(f"bench device: {dev} mode={'w8a8' if w8a8 else 'dense bf16'}", file=sys.stderr)
+    mode = "q4 flagship-19B" if flagship else ("w8a8" if w8a8 else "dense bf16")
+    print(f"bench device: {dev} mode={mode}", file=sys.stderr)
 
-    config = LTXModelConfig(
-        model_type=LTXModelType.VideoOnly,
-        num_attention_heads=16,
-        attention_head_dim=128,
-        in_channels=128,
-        out_channels=128,
-        num_layers=48,
-        cross_attention_dim=2048,
-        caption_channels=3840,
-        rope_type=LTXRopeType.SPLIT,
-    )
+    if flagship:
+        # Real 19B geometry (config.py defaults: 48L, 32 heads x 128 = dim
+        # 4096, cross-attn 4096, caption 3840). q4 is the only mode that
+        # fits one v5e chip (~10.7 GB weights incl. scales).
+        config = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=32,
+            attention_head_dim=128,
+            in_channels=128,
+            out_channels=128,
+            num_layers=48,
+            cross_attention_dim=4096,
+            caption_channels=3840,
+            rope_type=LTXRopeType.SPLIT,
+        )
+    else:
+        config = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=16,
+            attention_head_dim=128,
+            in_channels=128,
+            out_channels=128,
+            num_layers=48,
+            cross_attention_dim=2048,
+            caption_channels=3840,
+            rope_type=LTXRopeType.SPLIT,
+        )
     if "--tiny" in sys.argv:  # fast smoke mode
         config = LTXModelConfig(
             model_type=LTXModelType.VideoOnly,
@@ -80,15 +169,20 @@ def main() -> None:
         )
 
     b, f, h, w = 1, 5, 16, 16  # 512x512x33f distilled geometry -> 1280 tokens
-    # Init (and quantize) on the host CPU device so no fp32/duplicate
-    # transient lands in HBM; then place on the accelerator.
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
-        if w8a8:
-            from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+    if flagship:
+        # Synthesized directly in quantized layout on the device — the dense
+        # 19B pytree never exists anywhere.
+        params = synth_q4_params(config)
+    else:
+        # Init (and quantize) on the host CPU device so no fp32/duplicate
+        # transient lands in HBM; then place on the accelerator.
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
+            if w8a8:
+                from mlx_video_tpu.ops.int8 import quantize_params_w8a8
 
-            params = quantize_params_w8a8(params)
-    params = jax.device_put(params, dev)
+                params = quantize_params_w8a8(params)
+        params = jax.device_put(params, dev)
     jax.block_until_ready(params)
 
     latents = jax.random.normal(
@@ -132,13 +226,18 @@ def main() -> None:
     steps_per_sec = 1.0 / per_step
     print(f"t8 med {np.median(t8s):.3f}s t2 med {np.median(t2s):.3f}s", file=sys.stderr)
 
-    mode = "w8a8 int8" if w8a8 else "bf16"
+    if flagship:
+        metric = "dit_19b_q4_denoise_steps_per_sec"
+        unit = "steps/s (48L dim4096 19B-geometry DiT, 1280 tokens, q4, 1 chip)"
+    else:
+        metric = "dit_proxy3b_denoise_steps_per_sec"
+        unit = f"steps/s (48L dim2048 DiT, 1280 tokens, {'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"
     print(
         json.dumps(
             {
-                "metric": "dit_proxy3b_denoise_steps_per_sec",
+                "metric": metric,
                 "value": round(steps_per_sec, 3),
-                "unit": f"steps/s (48L dim2048 DiT, 1280 tokens, {mode}, 1 chip)",
+                "unit": unit,
                 "vs_baseline": round(steps_per_sec / ANCHOR_STEPS_PER_SEC, 3),
             }
         )
