@@ -526,3 +526,104 @@ class TestClassAdapters:
         v2v = VideoToVideoStrategy(TrainingConfig())
         assert "reference_latents" in v2v.get_data_sources()
         assert isinstance(t2v, TrainingStrategy)
+
+
+class TestMediaIO:
+    """ltx_pipelines.utils.media_io surface (reference: media_io.py:16-299)."""
+
+    def test_resize_and_center_crop_layout(self):
+        from ltx_pipelines.utils import media_io
+
+        img = np.random.default_rng(0).uniform(0, 255, (30, 50, 3)).astype(np.float32)
+        out = media_io.resize_and_center_crop(img, 16, 16)
+        assert out.shape == (1, 3, 1, 16, 16)
+        vid = np.random.default_rng(1).uniform(0, 255, (4, 30, 50, 3)).astype(np.float32)
+        out = media_io.resize_and_center_crop(vid, 16, 24)
+        assert out.shape == (1, 3, 4, 16, 24)
+        with pytest.raises(ValueError):
+            media_io.resize_and_center_crop(np.zeros((3, 4)), 8, 8)
+
+    def test_resize_aspect_ratio_preserving(self):
+        from ltx_pipelines.utils import media_io
+
+        img = np.zeros((30, 60, 3), np.float32)
+        out = media_io.resize_aspect_ratio_preserving(img, 20)
+        assert out.shape == (10, 20, 3)
+
+    def test_normalize_latent_range(self):
+        from ltx_pipelines.utils import media_io
+
+        x = np.array([0.0, 127.5, 255.0])
+        out = np.asarray(media_io.normalize_latent(x, jnp.float32))
+        np.testing.assert_allclose(out, [-1.0, 0.0, 1.0], atol=1e-6)
+
+    def test_encode_video_chunks_and_decode(self, tmp_path):
+        from ltx_pipelines.utils import media_io
+
+        rng = np.random.default_rng(0)
+        chunks = [rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8) for _ in range(2)]
+        out = tmp_path / "vid.mp4"
+        media_io.encode_video(iter(chunks), 8.0, None, None, str(out), 2)
+        assert out.exists() and out.stat().st_size > 0
+        frames = list(media_io.decode_video_from_file(str(out), frame_cap=4))
+        assert len(frames) == 4 and frames[0].shape == (1, 32, 32, 3)
+
+    def test_encode_video_with_audio_track(self, tmp_path):
+        from ltx_pipelines.utils import media_io
+
+        rng = np.random.default_rng(0)
+        video = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+        audio = rng.uniform(-0.5, 0.5, (2400, 2)).astype(np.float32)
+        out = tmp_path / "av.mp4"
+        media_io.encode_video(video, 8.0, audio, 24000, str(out), 1)
+        # ffmpeg is absent in this environment: mux falls back to video-only,
+        # but the container must exist either way.
+        assert out.exists() and out.stat().st_size > 0
+
+    def test_wav_roundtrip(self, tmp_path):
+        from ltx_pipelines.utils import media_io
+
+        rng = np.random.default_rng(0)
+        audio = rng.uniform(-0.5, 0.5, (1000, 2)).astype(np.float32)
+        wav = tmp_path / "a.wav"
+        media_io._write_wav(str(wav), audio, 16000)
+        back = np.asarray(media_io.decode_audio_from_file(str(wav)))
+        assert back.shape == (1000, 2)
+        np.testing.assert_allclose(back, audio, atol=1e-3)
+
+    def test_wav_channel_layouts(self, tmp_path):
+        from ltx_pipelines.utils import media_io
+
+        wav = tmp_path / "m.wav"
+        media_io._write_wav(str(wav), np.zeros((2, 500), np.float32), 16000)  # (2, N)
+        assert np.asarray(media_io.decode_audio_from_file(str(wav))).shape == (500, 2)
+        media_io._write_wav(str(wav), np.zeros((500,), np.float32), 16000)  # mono
+        assert np.asarray(media_io.decode_audio_from_file(str(wav))).shape == (500, 2)
+
+    def test_preprocess_crf_zero_is_identity(self):
+        from ltx_pipelines.utils import media_io
+
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        out = media_io.preprocess(img, crf=0)
+        np.testing.assert_array_equal(out, img)
+
+    def test_preprocess_roundtrip_shape(self):
+        from ltx_pipelines.utils import media_io
+
+        img = np.random.default_rng(0).integers(0, 255, (33, 35, 3)).astype(np.uint8)
+        out = media_io.preprocess(img, crf=33)
+        # crf round-trip crops to even dims (reference: media_io.py:268-270)
+        assert out.shape[2] == 3 and out.shape[0] in (32, 33) and out.shape[1] in (34, 35)
+
+    def test_load_image_conditioning(self, tmp_path):
+        from PIL import Image
+
+        from ltx_pipelines.utils import media_io
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (40, 40, 3), dtype=np.uint8).astype(np.uint8)
+        ).save(img_path)
+        out = media_io.load_image_conditioning(str(img_path), 32, 32, jnp.float32)
+        assert out.shape == (1, 3, 1, 32, 32)
+        assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
