@@ -122,10 +122,15 @@ def main() -> None:
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     flagship = "--proxy" not in sys.argv and "--tiny" not in sys.argv
+    w4a8 = flagship and "--no-w4a8" not in sys.argv
     w8a8 = "--dense" not in sys.argv and not flagship
 
     dev = jax.devices()[0]
-    mode = "q4 flagship-19B" if flagship else ("w8a8" if w8a8 else "dense bf16")
+    mode = (
+        ("w4a8 flagship-19B" if w4a8 else "q4 flagship-19B")
+        if flagship
+        else ("w8a8" if w8a8 else "dense bf16")
+    )
     print(f"bench device: {dev} mode={mode}", file=sys.stderr)
 
     if flagship:
@@ -173,6 +178,10 @@ def main() -> None:
         # Synthesized directly in quantized layout on the device — the dense
         # 19B pytree never exists anywhere.
         params = synth_q4_params(config)
+        if w4a8:
+            from mlx_video_tpu.ops.quant import prepare_w4a8
+
+            params = prepare_w4a8(params, bits=4)
     else:
         # Init (and quantize) on the host CPU device so no fp32/duplicate
         # transient lands in HBM; then place on the accelerator.
@@ -227,8 +236,9 @@ def main() -> None:
     print(f"t8 med {np.median(t8s):.3f}s t2 med {np.median(t2s):.3f}s", file=sys.stderr)
 
     if flagship:
-        metric = "dit_19b_q4_denoise_steps_per_sec"
-        unit = "steps/s (48L dim4096 19B-geometry DiT, 1280 tokens, q4, 1 chip)"
+        fmode = "w4a8" if w4a8 else "q4"
+        metric = f"dit_19b_{fmode}_denoise_steps_per_sec"
+        unit = f"steps/s (48L dim4096 19B-geometry DiT, 1280 tokens, {fmode}, 1 chip)"
     else:
         metric = "dit_proxy3b_denoise_steps_per_sec"
         unit = f"steps/s (48L dim2048 DiT, 1280 tokens, {'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"

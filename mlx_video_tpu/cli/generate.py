@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run transformer-block matmuls as W8A8 int8 (2x MXU "
                         "rate + half the weight HBM traffic; per-token dynamic "
                         "activation scales, ops/int8.py)")
+    p.add_argument("--w4a8", action="store_true",
+                   help="q4 weight storage + int8 MXU compute: quantize the "
+                        "transformer to 4-bit (or use a pre-quantized repo) "
+                        "and requantize each layer to int8 inside the graph "
+                        "(ops/quant.py prepare_w4a8). Fits 19B on one 16 GB "
+                        "chip at the 2x int8 matmul rate.")
     p.add_argument("--mesh", default=None,
                    help="data,fsdp,tensor mesh shape for sharded (GSPMD) inference, "
                         "e.g. 1,1,8 for 8-way tensor parallelism; 'auto' uses all "
@@ -271,6 +277,8 @@ def main(argv=None) -> None:
         models.transformer_params = quantize_dit_params(
             models.transformer_params, bits=args.quantize_bits
         )
+    if args.w8a8 and args.w4a8:
+        raise SystemExit("--w8a8 and --w4a8 are mutually exclusive")
     if args.w8a8:
         from mlx_video_tpu.ops.int8 import quantize_params_w8a8
 
@@ -279,6 +287,24 @@ def main(argv=None) -> None:
             models.stage2_transformer_params = quantize_params_w8a8(
                 models.stage2_transformer_params
             )
+    if args.w4a8:
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+
+        bits = args.quantize_bits or 4
+
+        def _has_quant(node) -> bool:
+            return isinstance(node, dict) and (
+                "quant_weight" in node or any(_has_quant(v) for v in node.values())
+            )
+
+        def _to_w4a8(p):
+            if not _has_quant(p):
+                p = quantize_dit_params(p, bits=bits)
+            return prepare_w4a8(p, bits=bits)
+
+        models.transformer_params = _to_w4a8(models.transformer_params)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = _to_w4a8(models.stage2_transformer_params)
 
     mesh = None
     if args.mesh:

@@ -134,6 +134,41 @@ def dequantize_linear_params(params: dict, bits: int, dtype=jnp.bfloat16) -> dic
     return out
 
 
+def prepare_w4a8(params: dict, bits: int = 4) -> dict:
+    """Add per-output-channel int8 requantization scales to every quantized
+    linear, enabling W4A8 execution: q4 storage in HBM, int8 compute on the
+    MXU (2x the bf16 rate on v5e/v5p).
+
+    The scale needs only the affine endpoints — a group's dequantized values
+    span [b_g, b_g + levels*s_g] (s_g > 0), so the per-channel absmax is
+    max over groups of max(|b_g|, |b_g + levels*s_g|); the packed weights are
+    never unpacked here. At matmul time :func:`mlx_video_tpu.ops.linear.linear`
+    dequantizes each layer's q4 block directly to int8 inside the compiled
+    graph (a per-layer transient — the full int8 model, which would NOT fit
+    one chip at 19B, never materializes) and runs the int8 x int8 -> int32
+    dot with per-token dynamic activation scales (ops/int8.py semantics).
+
+    Requantization error: int8's 254 symmetric levels subdivide the coarsest
+    group's 2^bits-level grid unless a channel's group scales vary by more
+    than ~127/2^bits x; measured on the DiT this adds <0.2% relative error
+    over q4-dequant execution (tests/test_lora_quant.py::TestW4A8).
+    """
+    levels = (1 << bits) - 1
+
+    def walk(node: dict) -> dict:
+        if "quant_weight" in node:
+            s = node["scales"].astype(jnp.float32)
+            b = node["biases"].astype(jnp.float32)
+            hi = b + levels * s
+            absmax = jnp.max(jnp.maximum(jnp.abs(b), jnp.abs(hi)), axis=-1)  # (..., out)
+            out = dict(node)
+            out["int8_scale"] = jnp.maximum(absmax / 127.0, 1e-12)
+            return out
+        return {k: walk(v) if isinstance(v, dict) else v for k, v in node.items()}
+
+    return walk(params)
+
+
 def _match_any(path: str, patterns) -> bool:
     return any(p in path for p in patterns)
 

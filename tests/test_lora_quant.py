@@ -401,3 +401,82 @@ class TestW8A8:
             ),
             rtol=1e-6,
         )
+
+
+class TestW4A8:
+    """W4A8: q4 storage -> in-graph int8 requantization -> int8 MXU matmul
+    (ops/quant.py prepare_w4a8 + ops/linear.py dispatch). The full int8
+    model never materializes — only one layer's int8 block per matmul."""
+
+    def test_prepare_adds_scales_everywhere(self, rng):
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, num_layers=2)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        q4 = quantize_dit_params(params, group_size=64, bits=4)
+        w4a8 = prepare_w4a8(q4, bits=4)
+
+        def count(node, key):
+            n = int(key in node)
+            return n + sum(count(v, key) for v in node.values() if isinstance(v, dict))
+
+        assert count(w4a8, "int8_scale") == count(q4, "quant_weight") > 0
+
+    def test_scale_covers_affine_range_exactly(self, rng):
+        """The per-channel absmax from group endpoints must equal the absmax
+        of the actually dequantized weights (no unpacking shortcut error)."""
+        from mlx_video_tpu.ops.quant import dequantize_affine, prepare_w4a8, quantize_affine
+
+        w = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32)) * 0.1
+        packed, scales, biases = quantize_affine(w, group_size=64, bits=4)
+        node = prepare_w4a8(
+            {"quant_weight": packed, "scales": scales, "biases": biases}, bits=4
+        )
+        wq = dequantize_affine(packed, scales, biases, bits=4, dtype=jnp.float32)
+        absmax = np.max(np.abs(np.asarray(wq)), axis=1)
+        np.testing.assert_allclose(
+            np.asarray(node["int8_scale"]), np.maximum(absmax / 127.0, 1e-12), rtol=1e-5
+        )
+
+    def test_linear_w4a8_close_to_q4(self, rng):
+        from mlx_video_tpu.ops.linear import linear
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_affine
+
+        w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32)) * 0.05
+        packed, scales, biases = quantize_affine(jnp.asarray(w).T, group_size=64, bits=4)
+        q4 = {"quant_weight": packed, "scales": scales, "biases": biases}
+        w4a8 = prepare_w4a8(dict(q4), bits=4)
+        x = jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))
+        y_q4 = linear(q4, x)
+        y_w4a8 = linear(w4a8, x)
+        rel = float(jnp.linalg.norm(y_w4a8 - y_q4) / jnp.linalg.norm(y_q4))
+        assert rel < 0.02, rel
+
+    def test_full_model_w4a8_close_to_q4(self, rng):
+        from mlx_video_tpu.config import LTXModelType, LTXRopeType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT, num_layers=4)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        q4 = quantize_dit_params(params, group_size=64, bits=4)
+        w4a8 = prepare_w4a8(q4, bits=4)
+
+        tokens = jnp.asarray(rng.normal(size=(1, 32, cfg.in_channels)).astype(np.float32))
+        ts = jnp.full((1, 32), 0.7, dtype=jnp.float32)
+        pos = jnp.asarray(create_position_grid(1, 2, 4, 4))
+        ctx = jnp.asarray(rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32))
+
+        def run(p):
+            v, _ = ltx_apply(
+                p, cfg, video=Modality(latent=tokens, timesteps=ts, context=ctx, positions=pos)
+            )
+            return np.asarray(v, np.float64)
+
+        a, b = run(w4a8), run(q4)
+        cos = float((a.ravel() @ b.ravel()) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        rel = float(np.linalg.norm(a - b) / np.linalg.norm(b))
+        assert cos > 0.9999 and rel < 0.01, (cos, rel)
