@@ -164,9 +164,11 @@ def _encode_conditionings(
     if models.vae_encoder_params is None:
         raise ValueError("Image/video conditioning requires a loaded VAE encoder")
     conds = []
-    encode = jax.jit(
-        lambda v: video_encoder_apply(models.vae_encoder_params, models.vae_encoder_config, v)
-    )
+    # Params as jit arguments (NOT closure constants — see upsample note).
+    enc_jit = jax.jit(video_encoder_apply, static_argnames=("config",))
+
+    def encode(v):
+        return enc_jit(models.vae_encoder_params, models.vae_encoder_config, v)
     for img_path, frame_idx, strength in images:
         image = media.load_image(img_path, height=height, width=width)
         tensor = jnp.asarray(media.prepare_image_for_encoding(image, height, width), dtype=dtype)
@@ -444,12 +446,12 @@ def generate_video(
         with timer.phase("upsample"):
             if models.upsampler_params is None:
                 raise ValueError("Distilled pipeline requires upsampler weights")
-            up = jax.jit(
-                lambda l: upsample_latents(
-                    models.upsampler_params, l, models.latents_mean, models.latents_std
-                )
+            # Params must be jit ARGUMENTS: closure-captured arrays are inlined
+            # as program constants — a host round-trip plus an in-executable
+            # copy of the whole upsampler (OOMs next to a resident 19B model).
+            latents = jax.jit(upsample_latents)(
+                models.upsampler_params, latents, models.latents_mean, models.latents_std
             )
-            latents = up(latents)
 
         # Stage 2: renoise at sigma0 then refine (reference: generate.py:3285-3326).
         positions2 = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))

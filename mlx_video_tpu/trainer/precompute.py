@@ -238,7 +238,10 @@ def make_audio_encode_fn(model_path: Path, dtype=None) -> Callable[[Path], Optio
         mel_bins=cfg.mel_bins,
         mel_hop_length=cfg.mel_hop_length,
     )
-    encode_jit = jax.jit(lambda m: audio_encoder_apply(params, cfg, m))
+    # Params as jit arguments: closure-captured arrays would be inlined as
+    # program constants (host round-trip + in-executable weight copy).
+    _audio_jit = jax.jit(audio_encoder_apply, static_argnames=("config",))
+    encode_jit = lambda m: _audio_jit(params, cfg, m)
 
     def encode(video_path: Path) -> Optional[dict]:
         extracted = extract_audio_pcm(video_path, processor.sample_rate)
@@ -321,7 +324,8 @@ def main(argv=None) -> None:
     enc_cfg = VideoVAEConfig()
     enc_params = init_video_encoder(jax.random.key(0), enc_cfg, dtype=jnp.bfloat16)
     vae_weights.load_video_encoder_weights(resolve_vae_file(model_path), enc_params)
-    encode_jit = jax.jit(lambda v: video_encoder_apply(enc_params, enc_cfg, v))
+    _enc_jit = jax.jit(video_encoder_apply, static_argnames=("config",))
+    encode_jit = lambda v: _enc_jit(enc_params, enc_cfg, v)
 
     te_path = get_model_path(args.text_encoder_repo) if args.text_encoder_repo else model_path
     text_encoder = LTX2TextEncoder.load(model_path, te_path)
