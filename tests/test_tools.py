@@ -661,3 +661,34 @@ class TestAudioPrecompute:
         with SafetensorsReader(files[0]) as r:
             keys = set(r.keys())
         assert {"latents", "num_time_steps", "frequency_bins", "duration"} <= keys
+
+
+class TestCompareLatents:
+    """tools/compare_latents.py — the PSNR instrument for the latent-parity
+    north star (BASELINE.md)."""
+
+    def test_psnr_known_value(self):
+        from mlx_video_tpu.tools.compare_latents import psnr
+
+        a = np.zeros((4, 4), np.float64)
+        b = np.full((4, 4), 0.1, np.float64)
+        # data_range 1.0, mse 0.01 -> 20 dB
+        assert abs(psnr(a, b, data_range=1.0) - 20.0) < 1e-9
+        assert psnr(a, a) == float("inf")
+
+    def test_per_frame_psnr_shape(self, rng):
+        from mlx_video_tpu.tools.compare_latents import per_frame_psnr
+
+        a = rng.normal(size=(1, 4, 3, 8, 8))
+        out = per_frame_psnr(a, a + 0.01)
+        assert out.shape == (3,) and np.all(np.isfinite(out))
+
+    def test_cli_end_to_end(self, tmp_path, capsys, rng):
+        from mlx_video_tpu.tools.compare_latents import main
+
+        lat = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+        save_safetensors(tmp_path / "a.safetensors", {"latents": lat})
+        save_safetensors(tmp_path / "b.safetensors", {"latents": lat + 1e-3})
+        main([str(tmp_path / "a.safetensors"), str(tmp_path / "b.safetensors"), "--per-frame"])
+        out = capsys.readouterr().out
+        assert "psnr=" in out and "per-frame psnr" in out
