@@ -321,6 +321,7 @@ def generate_video(
     mem_log: bool = False,
     mesh=None,
     sequence_parallel: bool = False,
+    low_memory: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -337,6 +338,13 @@ def generate_video(
     ``fsdp`` mesh axis — raises the max F*H*W beyond one chip's HBM for
     long/large videos (token count must divide the axis size; falls back
     to local attention otherwise).
+
+    ``low_memory``: free the transformer params from the bundle after the
+    final denoise so the VAE decode has the chip to itself — the reference's
+    serial load/free choreography (``del transformer; mx.clear_cache()``,
+    generate.py:3504-3506) for single-chip runs where the 19B model + the
+    1024-channel decoder don't fit HBM together. The bundle's
+    ``transformer_params`` are None afterwards; reload before reuse.
     """
     timer = PhaseTimer()
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
@@ -541,6 +549,19 @@ def generate_video(
                 cfg_scale=cfg_scale if text.audio_neg_embeddings is not None else 1.0,
             )
             audio_latents = _gather(audio_latents)
+
+    if low_memory:
+        # Reference-parity staging (generate.py:3504-3506 del transformer +
+        # clear_cache): drop every transformer param ref so HBM is free for
+        # the upsample/decode convs. Refcount release frees device buffers.
+        models.transformer_params = None
+        models.stage2_transformer_params = None
+        models.audio_transformer_params = None
+        params = None  # noqa: F841 — local alias of transformer_params
+        stage2_params = None  # noqa: F841
+        import gc
+
+        gc.collect()
 
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None

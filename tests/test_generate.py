@@ -99,6 +99,35 @@ class TestDistilledPipeline:
         assert "stage2_denoise" in result.phase_timer.phases
         assert "vae_decode" in result.phase_timer.phases
 
+    def test_low_memory_frees_transformer(self, tmp_path):
+        # low_memory: reference-parity staging (del transformer before decode,
+        # reference generate.py:3504-3506). Fresh bundle: `models` is shared.
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        bundle = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(3), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        out = tmp_path / "lm.mp4"
+        result = generate_video(
+            bundle, _text(cfg), height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=1, stage2_steps=1,
+            output_path=out, tiling="none", dtype=jnp.float32, low_memory=True,
+        )
+        assert out.exists() and np.all(np.isfinite(result.video))
+        assert bundle.transformer_params is None
+
     def test_latents_only(self, models):
         result = generate_video(
             models, _text(models.transformer_config),
