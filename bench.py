@@ -58,9 +58,21 @@ def synth_q4_params(config, group_size: int = 64, bits: int = 4):
     from mlx_video_tpu.models.ltx.model import init_ltx_params
     from mlx_video_tpu.ops.quant import SCOPE_PATTERNS
 
+    import itertools
+
     patterns = SCOPE_PATTERNS["core"]
     shapes = jax.eval_shape(lambda: init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16))
-    key_it = iter(jax.random.split(jax.random.key(0), 4096))
+    # fold_in with a host counter: iterating a split() key array does one
+    # device->host fetch per key, which is slow and fragile through the
+    # axon tunnel (observed FAILED_PRECONDITION mid-iteration).
+    _base_key = jax.random.key(0)
+    _counter = itertools.count()
+
+    class _Keys:
+        def __next__(self):
+            return jax.random.fold_in(_base_key, next(_counter))
+
+    key_it = _Keys()
 
     def synth_quant_linear(node):
         w = node["weight"]
@@ -203,7 +215,9 @@ def main() -> None:
     )
 
     # Distilled stage-1 sigma schedule, 8 steps (reference default recipe).
-    sigmas = [1.0, 0.99375, 0.9875, 0.975, 0.909375, 0.725, 0.421875, 0.2, 0.0]
+    from mlx_video_tpu.pipelines.schedulers import STAGE_1_SIGMAS
+
+    sigmas = list(STAGE_1_SIGMAS)
     n_steps = len(sigmas) - 1
     sig2 = sigmas[:2] + [0.0]  # 2-step schedule for fixed-cost cancellation
 

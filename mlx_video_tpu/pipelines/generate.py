@@ -449,6 +449,12 @@ def generate_video(
             latents, audio_latents = _gather(latents), _gather(audio_latents)
             if joint_audio:
                 audio_kwargs["audio_latents"] = audio_latents
+            if low_memory:
+                # Honest device sync (a host fetch of the small latents): with
+                # async dispatch the next stage's buffers would be enqueued
+                # while this scan's multi-GB temp arena is still live — the
+                # two arenas together can exceed single-chip HBM at 19B scale.
+                latents = jnp.asarray(np.asarray(latents), dtype=latents.dtype)
         log_memory("stage1 complete", profile or mem_log)
 
         with timer.phase("upsample"):

@@ -95,6 +95,7 @@ def main() -> None:
         seed=0, pipeline=PipelineType.DISTILLED,
         stage1_steps=2 if tiny else 8, stage2_steps=1 if tiny else 3,
         output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
+        low_memory=not tiny,  # 19B + full decoder: stage HBM like the reference
     )
     wall = time.time() - t0
     assert result.video is not None and np.isfinite(result.video).all()
