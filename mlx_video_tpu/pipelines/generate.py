@@ -339,15 +339,33 @@ def generate_video(
     long/large videos (token count must divide the axis size; falls back
     to local attention otherwise).
 
-    ``low_memory``: free the transformer params from the bundle after the
-    final denoise so the VAE decode has the chip to itself — the reference's
-    serial load/free choreography (``del transformer; mx.clear_cache()``,
-    generate.py:3504-3506) for single-chip runs where the 19B model + the
-    1024-channel decoder don't fit HBM together. The bundle's
-    ``transformer_params`` are None afterwards; reload before reuse.
+    ``low_memory``: single-chip staging — the reference's serial load/free
+    choreography (``del transformer; mx.clear_cache()``,
+    generate.py:3504-3506) translated to host<->HBM swaps: the VAE
+    decoder/upsampler params live on the host while the transformer
+    denoises (19B q4 + its scan arena alone fill most of a 16 GB chip),
+    each moves on-device only for its phase, and the transformer params are
+    freed after the final denoise. The bundle's ``transformer_params`` are
+    None afterwards; reload before reuse.
     """
     timer = PhaseTimer()
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
+
+    _host_dev = jax.devices("cpu")[0] if low_memory else None
+
+    def _stage(tree, to_host: bool):
+        """Move a param tree host<->device (low_memory only)."""
+        if not low_memory or tree is None:
+            return tree
+        target = _host_dev if to_host else jax.devices()[0]
+        return jax.device_put(tree, target)
+
+    if low_memory:
+        models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=True)
+        models.upsampler_params = _stage(models.upsampler_params, to_host=True)
+        if models.audio_decoder_params is not None:
+            models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=True)
+            models.vocoder_params = _stage(models.vocoder_params, to_host=True)
 
     def _gather(x):
         """Replicate a mesh-sharded array across the mesh between pipeline
@@ -460,12 +478,17 @@ def generate_video(
         with timer.phase("upsample"):
             if models.upsampler_params is None:
                 raise ValueError("Distilled pipeline requires upsampler weights")
+            ups_params = _stage(models.upsampler_params, to_host=False)
+            lat_mean = _stage(models.latents_mean, to_host=False)
+            lat_std = _stage(models.latents_std, to_host=False)
             # Params must be jit ARGUMENTS: closure-captured arrays are inlined
             # as program constants — a host round-trip plus an in-executable
             # copy of the whole upsampler (OOMs next to a resident 19B model).
-            latents = jax.jit(upsample_latents)(
-                models.upsampler_params, latents, models.latents_mean, models.latents_std
-            )
+            latents = jax.jit(upsample_latents)(ups_params, latents, lat_mean, lat_std)
+            if low_memory:
+                # retire the upsampler arena before stage 2 re-enters the 19B
+                latents = jnp.asarray(np.asarray(latents), dtype=latents.dtype)
+                del ups_params
 
         # Stage 2: renoise at sigma0 then refine (reference: generate.py:3285-3326).
         positions2 = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))
@@ -559,7 +582,7 @@ def generate_video(
     if low_memory:
         # Reference-parity staging (generate.py:3504-3506 del transformer +
         # clear_cache): drop every transformer param ref so HBM is free for
-        # the upsample/decode convs. Refcount release frees device buffers.
+        # the decode convs, then bring the decoder on-device.
         models.transformer_params = None
         models.stage2_transformer_params = None
         models.audio_transformer_params = None
@@ -568,6 +591,10 @@ def generate_video(
         import gc
 
         gc.collect()
+        models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=False)
+        if models.audio_decoder_params is not None:
+            models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=False)
+            models.vocoder_params = _stage(models.vocoder_params, to_host=False)
 
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
