@@ -354,11 +354,16 @@ def generate_video(
     _host_dev = jax.devices("cpu")[0] if low_memory else None
 
     def _stage(tree, to_host: bool):
-        """Move a param tree host<->device (low_memory only)."""
+        """Move a param tree host<->device (low_memory only). Blocks until
+        the copy lands: device_put is async, and launching the next heavy
+        stage while the old device buffers are still draining re-creates the
+        exact coexistence this staging exists to avoid."""
         if not low_memory or tree is None:
             return tree
         target = _host_dev if to_host else jax.devices()[0]
-        return jax.device_put(tree, target)
+        moved = jax.device_put(tree, target)
+        jax.block_until_ready(moved)
+        return moved
 
     if low_memory:
         models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=True)

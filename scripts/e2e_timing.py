@@ -70,6 +70,14 @@ def main() -> None:
         ups = init_latent_upsampler(jax.random.key(2), dtype=jnp.bfloat16)
 
     params = synth_q4_params(config)
+    if not tiny:
+        # W4A8: the recommended single-chip 19B mode (int8 MXU rate, and the
+        # per-layer int8 transients halve the scan's temp arena vs bf16
+        # dequant - the arena is what crowds a 16 GB chip next to 8.4 GB of
+        # weights).
+        from mlx_video_tpu.ops.quant import prepare_w4a8
+
+        params = prepare_w4a8(params, bits=4)
     dec = init_video_decoder(jax.random.key(1), dec_cfg, dtype=jnp.bfloat16)
     models = ModelBundle(
         transformer_params=params,
