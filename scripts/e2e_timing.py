@@ -3,9 +3,11 @@
 Measures the north-star config (BASELINE.md: distilled 512x512x33f, 8+3
 steps) through the real generate_video pipeline on one TPU chip: stage-1
 denoise -> 2x latent upsample -> stage-2 refine -> chunked VAE decode ->
-mp4 write. The 19B-geometry transformer runs q4 (bench.synth_q4_params —
-random weights in the real quantized layout; timing depends on
-shapes/dtypes only); decoder/upsampler are full-geometry random bf16.
+mp4 write. The 19B-geometry transformer runs W4A8 (q4 storage synthesized
+by bench.synth_q4_params — random weights in the real quantized layout;
+timing depends on shapes/dtypes only — with int8 MXU compute);
+decoder/upsampler are full-geometry random bf16, host-staged around the
+denoise phases (generate_video low_memory).
 
 Run it twice in separate processes to measure cold-vs-warm persistent
 compilation cache (VERDICT r1 weak #3):
@@ -86,6 +88,9 @@ def main() -> None:
         vae_decoder_config=dec_cfg,
         upsampler_params=ups,
     )
+    # The bundle must hold the ONLY references: low_memory staging frees
+    # HBM by refcount, and lingering locals would pin the device copies.
+    del params, dec, ups
     text = TextConditioning(
         video_embeddings=jax.random.normal(
             jax.random.key(3), (1, 128, config.caption_channels), dtype=jnp.bfloat16
@@ -113,7 +118,7 @@ def main() -> None:
         "wall_seconds": round(wall, 2),
         "param_setup_seconds": round(t_load, 2),
         "phases": phases,
-        "mode": "19b-q4 + full decoder" if not tiny else "tiny",
+        "mode": "19b-w4a8 + full decoder" if not tiny else "tiny",
     }))
 
 
