@@ -80,11 +80,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sequence-parallel", action="store_true",
                    help="With --mesh: ring-attention sequence parallelism over "
                         "the fsdp axis (long-video training)")
+    p.add_argument("--no-preemption-handler", action="store_true",
+                   help="Do not catch SIGTERM for checkpoint-and-exit")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    # Multi-host (TPU pod slice / explicit JAX_COORDINATOR_ADDRESS env):
+    # bring up the distributed runtime before any jax device use. No-op for
+    # the common single-process case.
+    from mlx_video_tpu.parallel.distributed import initialize_multihost
+
+    initialize_multihost()
 
     from mlx_video_tpu.trainer.config import TrainingConfig, load_training_config
     from mlx_video_tpu.trainer.trainer import Trainer
@@ -153,6 +162,7 @@ def main(argv=None) -> None:
             debug=args.debug,
             mesh_shape=[int(x) for x in args.mesh.split(",")] if args.mesh else None,
             sequence_parallel=args.sequence_parallel,
+            handle_preemption=not args.no_preemption_handler,
         )
 
     trainer = Trainer(cfg)

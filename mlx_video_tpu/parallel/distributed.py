@@ -1,0 +1,161 @@
+"""Multi-host orchestration: distributed runtime init + preemption-aware
+checkpointed restart.
+
+The reference is single-host by design (MLX / one Apple-Silicon box:
+reference ltx_trainer/docs/mlx_limitations.md:7-10); its failure story is
+"re-run the command". SURVEY §5 flags failure detection/recovery as the
+subsystem to close for production multi-host TPU training. The TPU-native
+story has three parts, all here:
+
+1. ``initialize_multihost`` — bring up the JAX distributed runtime
+   (coordination service + global device view) on TPU pods/slices. One
+   program runs on every host; GSPMD sees all chips.
+2. ``PreemptionGuard`` — convert SIGTERM (what a TPU VM gets on
+   maintenance events / spot reclamation) into a cooperative flag checked
+   at step boundaries, agreed across hosts so every process checkpoints
+   the same step.
+3. Restart = resume: the trainer's exact-resume checkpoints
+   (trainer/checkpoints.py: params + optimizer state + step) make the
+   recovery path identical to a planned restart — there is no separate
+   recovery code to keep correct.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+_INITIALIZED = False
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Initialize the JAX distributed runtime if this is a multi-process job.
+
+    On TPU pod slices ``jax.distributed.initialize`` auto-detects every
+    argument from the TPU metadata; elsewhere the triple
+    (coordinator_address, num_processes, process_id) comes from args or the
+    standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). Single-process jobs (the common dev path, and every
+    test environment) are a no-op. Idempotent.
+
+    Returns True iff the distributed runtime was (already) initialized.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return True
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    # A pod slice announces MULTIPLE worker hostnames; a single entry (e.g.
+    # "localhost" on one-host setups) is not a multi-host job.
+    worker_hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    on_tpu_pod = len(worker_hosts) > 1 or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    explicit = coordinator_address is not None and num_processes is not None and process_id is not None
+    if not on_tpu_pod and not explicit:
+        if num_processes not in (None, 1):
+            raise ValueError(
+                "Multi-process init needs coordinator_address + num_processes + "
+                "process_id (args or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                "JAX_PROCESS_ID env vars)."
+            )
+        return False  # single-process: nothing to initialize
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _INITIALIZED = True
+    return True
+
+
+def is_primary_host() -> bool:
+    """True on the process that should own host-side singletons (wandb,
+    progress printing, checkpoint pruning)."""
+    return jax.process_index() == 0
+
+
+class PreemptionGuard:
+    """Turn termination signals into a cooperative checkpoint request.
+
+    Usage::
+
+        with PreemptionGuard() as guard:
+            for step in ...:
+                train_step(...)
+                if guard.should_checkpoint():
+                    save_checkpoint(step); break
+
+    ``preempted`` is the local flag (signal arrived on THIS host);
+    ``should_checkpoint()`` is the global decision — on multi-process jobs
+    every host must agree on the step at which to stop, so the local flags
+    are OR-reduced across processes. The reduction only runs when the
+    distributed runtime is active; single-process returns the local flag
+    with no device work.
+    """
+
+    def __init__(self, signals: Sequence[int] = (signal.SIGTERM,)) -> None:
+        self._signals = tuple(signals)
+        self._previous: dict = {}
+        self._installed = False
+        self.preempted = False
+
+    # -- signal plumbing ---------------------------------------------------
+
+    def _on_signal(self, signum, frame) -> None:  # noqa: ARG002 (signal API)
+        self.preempted = True
+
+    def install(self) -> "PreemptionGuard":
+        if not self._installed:
+            for s in self._signals:
+                self._previous[s] = signal.signal(s, self._on_signal)
+            self._installed = True
+        return self
+
+    def uninstall(self) -> None:
+        if self._installed:
+            for s, prev in self._previous.items():
+                signal.signal(s, prev)
+            self._previous.clear()
+            self._installed = False
+
+    def __enter__(self) -> "PreemptionGuard":
+        return self.install()
+
+    def __exit__(self, *exc) -> None:
+        self.uninstall()
+
+    # -- global agreement --------------------------------------------------
+
+    def should_checkpoint(self) -> bool:
+        if jax.process_count() == 1:
+            return self.preempted
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(np.array([self.preempted], dtype=np.bool_))
+        return bool(np.any(flags))
+
+
+def all_hosts_agree(value: int) -> bool:
+    """True iff every process passes the same value (config/step cross-check
+    before collective phases; catches divergent resume states early)."""
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.array([value], dtype=np.int64))
+    return bool(np.all(vals == vals.flat[0]))

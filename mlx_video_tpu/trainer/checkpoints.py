@@ -26,20 +26,42 @@ def _flatten_with_treedef(tree):
     return leaves, treedef
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Device leaf -> full host array.
+
+    Multi-host jobs shard global arrays so no single process addresses every
+    shard; ``process_allgather`` reassembles the full value on each host
+    (every process must call this — it is a collective). Single-process
+    (including single-host meshes) is a plain device fetch.
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def save_train_checkpoint(
     path: Path, params: dict, opt_state, step: int, extra: Optional[dict] = None
 ) -> None:
-    """Save params + optimizer state + step to <path> (.safetensors)."""
+    """Save params + optimizer state + step to <path> (.safetensors).
+
+    On multi-host jobs every process must call this (the leaf gathers are
+    collectives); only process 0 writes the file.
+    """
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
 
     tensors = {}
     p_leaves, p_def = _flatten_with_treedef(params)
     for i, leaf in enumerate(p_leaves):
-        tensors[f"params.{i}"] = np.asarray(leaf)
+        tensors[f"params.{i}"] = _to_host(leaf)
     o_leaves, o_def = _flatten_with_treedef(opt_state)
     for i, leaf in enumerate(o_leaves):
-        tensors[f"opt.{i}"] = np.asarray(leaf)
+        tensors[f"opt.{i}"] = _to_host(leaf)
+
+    if jax.process_index() != 0:
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
 
     meta = {
         "step": str(step),

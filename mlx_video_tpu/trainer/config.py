@@ -74,6 +74,10 @@ class TrainingConfig:
     hub_model_id: Optional[str] = None
     progress: bool = True
     mixed_precision_mode: str = "bf16"
+    # Catch SIGTERM (TPU maintenance/spot reclaim), checkpoint the current
+    # step on every host, and exit cleanly so a restart resumes exactly
+    # (parallel/distributed.PreemptionGuard).
+    handle_preemption: bool = True
     # TPU-specific (new capability): mesh shape for sharded training.
     mesh_shape: Optional[Sequence[int]] = None
     # With a mesh: ring-attention sequence parallelism over the fsdp axis

@@ -229,6 +229,17 @@ class Trainer:
         return prepare_text_to_video(batch, with_audio=self.cfg.with_audio)
 
     def train(self) -> float:
+        from mlx_video_tpu.parallel.distributed import PreemptionGuard
+
+        guard = PreemptionGuard()
+        if self.cfg.handle_preemption:
+            guard.install()
+        try:
+            return self._train_loop(guard)
+        finally:
+            guard.uninstall()
+
+    def _train_loop(self, guard) -> float:
         cfg = self.cfg
         key = jax.random.key(cfg.seed)
         accum_steps = max(1, cfg.grad_accum_steps)
@@ -293,6 +304,17 @@ class Trainer:
                 ):
                     self.validation_fn(self.params, step)
                 step += 1
+                # Preemption (SIGTERM): every host agrees on the stop step,
+                # checkpoints it exactly, and exits cleanly — restart with
+                # cfg.resume picks up from here (parallel/distributed.py).
+                if cfg.handle_preemption and guard.should_checkpoint():
+                    self.save_checkpoint(step)
+                    ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
+                    marker = Path(cfg.output_dir) / "PREEMPTED"
+                    marker.parent.mkdir(parents=True, exist_ok=True)
+                    marker.write_text(str(step))
+                    print(f"[trainer] preempted: saved step {step}, exiting for restart")
+                    return last_loss
             epoch += 1
 
         if accum is not None:
