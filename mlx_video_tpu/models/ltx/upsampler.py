@@ -18,20 +18,23 @@ from einops import rearrange
 
 from mlx_video_tpu.models.ltx.video_vae import ops
 from mlx_video_tpu.models.ltx.video_vae.blocks import group_norm
-from mlx_video_tpu.models.ltx.video_vae.conv import conv2d, init_conv2d, init_conv3d
+from mlx_video_tpu.models.ltx.video_vae.conv import (
+    conv2d,
+    conv3d_via_2d,
+    init_conv2d,
+    init_conv3d,
+)
 from jax import lax
 
 
 def _conv3d_same(params: dict, x: jax.Array) -> jax.Array:
-    """3x3x3 conv with symmetric zero padding over (B, F, H, W, C)."""
-    out = lax.conv_general_dilated(
-        x,
-        params["weight"].astype(x.dtype),
-        window_strides=(1, 1, 1),
-        padding=((1, 1), (1, 1), (1, 1)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    return out + params["bias"].astype(x.dtype)
+    """3x3x3 conv with symmetric zero padding over (B, F, H, W, C).
+
+    Lowered via conv3d_via_2d — XLA:TPU's 3D-conv compile is pathological
+    at these channel counts (scripts/ab_conv3d.py)."""
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    out = conv3d_via_2d(x, params["weight"].astype(x.dtype), (1, 1, 1))
+    return (out + params["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _init_norm(channels: int, dtype) -> dict:

@@ -77,6 +77,39 @@ def init_conv3d(
     }
 
 
+def conv3d_via_2d(
+    x: jax.Array, weight: jax.Array, strides: Tuple[int, int, int]
+) -> jax.Array:
+    """VALID 3D convolution lowered to ``kd`` batched 2D convolutions.
+
+    XLA:TPU's native 3D-conv lowering compiles pathologically slowly at VAE
+    geometries (243 s device-side for ONE 1024-channel 3x3x3 conv vs 1-4 s
+    for the identical math expressed as 2D convs; steady-state is equal —
+    scripts/ab_conv3d.py), so every VAE/upsampler conv routes through this
+    decomposition: temporal kernel tap ``t`` is a (B*F_out)-batched 2D conv,
+    taps accumulated in fp32, rounded once at the end.
+
+    x: (B, F_padded, H_padded, W_padded, C); weight: (kd, kh, kw, I, O).
+    """
+    kd = weight.shape[0]
+    sd, sh, sw = strides
+    b, fp, hp, wp, c = x.shape
+    fo = (fp - kd) // sd + 1
+    out = None
+    for t in range(kd):
+        xt = x if (kd == 1 and sd == 1) else x[:, t : t + (fo - 1) * sd + 1 : sd]
+        o = lax.conv_general_dilated(
+            xt.reshape(b * fo, hp, wp, c),
+            weight[t],
+            window_strides=(sh, sw),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = o if out is None else out + o
+    return out.reshape(b, fo, out.shape[1], out.shape[2], weight.shape[4])
+
+
 def causal_conv3d(
     params: dict,
     x: jax.Array,
@@ -93,14 +126,8 @@ def causal_conv3d(
     kd, kh, kw = _triple(kernel_size)
     x = temporal_causal_pad(x, kd, causal)
     x = spatial_pad(x, kh // 2, kw // 2, padding_mode)
-    out = lax.conv_general_dilated(
-        x,
-        params["weight"].astype(x.dtype),
-        window_strides=_triple(stride),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    return out + params["bias"].astype(x.dtype)
+    out = conv3d_via_2d(x, params["weight"].astype(x.dtype), _triple(stride))
+    return (out + params["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def init_conv2d(
