@@ -128,8 +128,17 @@ def init_latent_upsampler(
 
 
 def latent_upsampler_apply(params: dict, latent: jax.Array) -> jax.Array:
-    """(B, C, F, H, W) -> (B, C, F, 2H, 2W) (reference: upsampler.py:232-294)."""
-    x = ops.to_channels_last(latent)
+    """(B, C, F, H, W) -> (B, C, F, 2H, 2W) (reference: upsampler.py:232-294).
+
+    Compatibility wrapper over :func:`latent_upsampler_apply_cl`; jit the
+    ``_cl`` core with eager transposes outside when host-driving (channel
+    transposes inside a jitted graph device-compile pathologically on TPU —
+    PERF.md round 2)."""
+    return ops.to_channels_first(latent_upsampler_apply_cl(params, ops.to_channels_last(latent)))
+
+
+def latent_upsampler_apply_cl(params: dict, x: jax.Array) -> jax.Array:
+    """Channels-last core: (B, F, H, W, C) -> (B, F, 2H, 2W, C)."""
     x = jax.nn.silu(group_norm(params["initial_norm"], _conv3d_same(params["initial_conv"], x), 32, eps=1e-5))
 
     def res_body(h, bparams):
@@ -142,15 +151,23 @@ def latent_upsampler_apply(params: dict, latent: jax.Array) -> jax.Array:
 
     x, _ = jax.lax.scan(res_body, x, params["post_upsample_res_blocks"])
 
-    x = _conv3d_same(params["final_conv"], x)
-    return ops.to_channels_first(x)
+    return _conv3d_same(params["final_conv"], x)
 
 
 def upsample_latents(
     params: dict, latent: jax.Array, latent_mean: jax.Array, latent_std: jax.Array
 ) -> jax.Array:
     """Denormalize -> upsample -> renormalize (reference: upsampler.py:297-316)."""
-    mean = latent_mean.reshape(1, -1, 1, 1, 1).astype(latent.dtype)
-    std = latent_std.reshape(1, -1, 1, 1, 1).astype(latent.dtype)
-    up = latent_upsampler_apply(params, latent * std + mean)
+    up_cl = upsample_latents_cl(params, ops.to_channels_last(latent), latent_mean, latent_std)
+    return ops.to_channels_first(up_cl)
+
+
+def upsample_latents_cl(
+    params: dict, latent_cl: jax.Array, latent_mean: jax.Array, latent_std: jax.Array
+) -> jax.Array:
+    """Channels-last denormalize -> upsample -> renormalize core; see
+    latent_upsampler_apply for why the layout transpose stays outside."""
+    mean = latent_mean.reshape(1, 1, 1, 1, -1).astype(latent_cl.dtype)
+    std = latent_std.reshape(1, 1, 1, 1, -1).astype(latent_cl.dtype)
+    up = latent_upsampler_apply_cl(params, latent_cl * std + mean)
     return (up - mean) / std

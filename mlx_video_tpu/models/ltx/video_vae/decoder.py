@@ -166,8 +166,13 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("config", "causal"))
-def _decoder_head(params, config: DecoderConfig, sample, noise, causal):
-    x = ops.to_channels_last(sample)
+def _decoder_head(params, config: DecoderConfig, sample_cl, noise, causal):
+    """sample_cl is channels-LAST (B, F', H', W', C): the layout transpose
+    stays OUTSIDE this jit — XLA:TPU's device-side compile of a channel
+    transpose embedded in a jitted graph is pathological (200-450 s
+    measured) while the same transpose as a standalone eager op costs ~40 ms
+    (PERF.md round 2)."""
+    x = sample_cl
     if noise is not None:
         x = noise * config.decode_noise_scale + (1.0 - config.decode_noise_scale) * x
     x = ops.denormalize_latents(x, params["latents_mean"], params["latents_std"])
@@ -207,8 +212,8 @@ def _decoder_tail(params, config: DecoderConfig, x, scaled_timestep, causal):
         ada = params["last_scale_shift_table"][None] + embedded.reshape(b, 2, chans[-1])
         x = x * (1 + ada[:, 1, None, None, None, :]) + ada[:, 0, None, None, None, :]
     x = causal_conv3d(params["conv_out"], jax.nn.silu(x), 3, 1, causal, config.padding_mode)
-    x = ops.unpatchify(x, patch_size_hw=config.patch_size, patch_size_t=1)
-    return ops.to_channels_first(x)
+    # Channels-LAST out; the caller transposes eagerly (see _decoder_head).
+    return ops.unpatchify(x, patch_size_hw=config.patch_size, patch_size_t=1)
 
 
 def video_decoder_apply_chunked(
@@ -229,9 +234,13 @@ def video_decoder_apply_chunked(
     decode paths (pipelines/generate, tiling) use this by default.
     """
     b = sample.shape[0]
+    # Layout conversions happen HERE, outside the stage jits — eager channel
+    # transposes are cheap; the same transpose inside a jitted graph hits a
+    # pathological XLA:TPU device-side compile (PERF.md round 2).
+    sample_cl = ops.to_channels_last(sample)
     noise = None
     if config.timestep_conditioning and noise_key is not None:
-        noise = jax.random.normal(noise_key, ops.to_channels_last(sample).shape,
+        noise = jax.random.normal(noise_key, sample_cl.shape,
                                   dtype=jnp.float32).astype(sample.dtype)
     scaled_timestep = None
     if config.timestep_conditioning:
@@ -239,14 +248,14 @@ def video_decoder_apply_chunked(
             timestep = jnp.full((b,), config.decode_timestep, dtype=jnp.float32)
         scaled_timestep = timestep * 1000.0
 
-    x = _decoder_head(params, config, sample, noise, causal)
+    x = _decoder_head(params, config, sample_cl, noise, causal)
     for g in range(config.num_upsamples + 1):
         group = params["up_blocks"][str(2 * g)]
         ups = params["up_blocks"].get(str(2 * g + 1))
         x = _decoder_stage(
             group, ups, x, scaled_timestep, config, causal, upsample=ups is not None
         )
-    return _decoder_tail(params, config, x, scaled_timestep, causal)
+    return ops.to_channels_first(_decoder_tail(params, config, x, scaled_timestep, causal))
 
 
 def video_decoder_apply(

@@ -98,15 +98,33 @@ def video_encoder_apply(
 ) -> jax.Array:
     """Encode (B, C, F, H, W) video in [-1, 1] to normalized latent means
     (B, latent_C, F', H', W') (reference: video_vae.py:321-372).
+
+    Compatibility wrapper over :func:`video_encoder_apply_cl`; jit the
+    ``_cl`` core with eager transposes outside when host-driving (channel
+    transposes inside a jitted graph device-compile pathologically on TPU —
+    PERF.md round 2).
     """
-    frames = sample.shape[2]
+    means = video_encoder_apply_cl(
+        params, config, ops.to_channels_last(sample), padding_mode
+    )
+    return ops.to_channels_first(means)
+
+
+def video_encoder_apply_cl(
+    params: dict,
+    config: VideoVAEConfig,
+    sample_cl: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Channels-last core: (B, F, H, W, C) in [-1, 1] -> normalized latent
+    means (B, F', H', W', latent_C)."""
+    frames = sample_cl.shape[1]
     if (frames - 1) % 8 != 0:
         raise ValueError(
             f"Encode input must have 1 + 8*k frames (e.g. 1, 9, 17, ...); got {frames}."
         )
 
-    x = ops.to_channels_last(sample)
-    x = ops.patchify(x, patch_size_hw=config.patch_size, patch_size_t=1)
+    x = ops.patchify(sample_cl, patch_size_hw=config.patch_size, patch_size_t=1)
     x = causal_conv3d(params["conv_in"], x, 3, 1, True, padding_mode)
 
     feat = config.out_channels
@@ -132,8 +150,7 @@ def video_encoder_apply(
     # means are returned (reference: video_vae.py:356-372).
     means = x[..., : config.out_channels]
     stats = params["per_channel_statistics"]
-    means = ops.normalize_latents(means, stats["mean"], stats["std"])
-    return ops.to_channels_first(means)
+    return ops.normalize_latents(means, stats["mean"], stats["std"])
 
 
 def encode_image(

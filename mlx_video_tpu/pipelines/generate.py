@@ -29,13 +29,17 @@ import numpy as np
 
 from mlx_video_tpu.config import LTXModelConfig
 from mlx_video_tpu.io import media
-from mlx_video_tpu.models.ltx.upsampler import upsample_latents
+from mlx_video_tpu.models.ltx.upsampler import upsample_latents, upsample_latents_cl  # noqa: F401
+from mlx_video_tpu.models.ltx.video_vae import ops as vae_ops
 from mlx_video_tpu.models.ltx.video_vae.decoder import (
     DecoderConfig,
     video_decoder_apply,  # noqa: F401 (re-exported for callers composing in-graph)
     video_decoder_apply_chunked,
 )
-from mlx_video_tpu.models.ltx.video_vae.encoder import video_encoder_apply
+from mlx_video_tpu.models.ltx.video_vae.encoder import (  # noqa: F401
+    video_encoder_apply,
+    video_encoder_apply_cl,
+)
 from mlx_video_tpu.models.ltx.video_vae.tiling import TilingConfig, decode_with_tiling
 from mlx_video_tpu.pipelines import denoise as dn
 from mlx_video_tpu.pipelines.conditioning import (
@@ -165,10 +169,15 @@ def _encode_conditionings(
         raise ValueError("Image/video conditioning requires a loaded VAE encoder")
     conds = []
     # Params as jit arguments (NOT closure constants — see upsample note).
-    enc_jit = jax.jit(video_encoder_apply, static_argnames=("config",))
+    # Channels-last core jitted; the layout transposes run EAGERLY outside
+    # (in-jit channel transposes device-compile pathologically — PERF.md r2).
+    enc_jit = jax.jit(video_encoder_apply_cl, static_argnames=("config",))
 
     def encode(v):
-        return enc_jit(models.vae_encoder_params, models.vae_encoder_config, v)
+        out_cl = enc_jit(
+            models.vae_encoder_params, models.vae_encoder_config, vae_ops.to_channels_last(v)
+        )
+        return vae_ops.to_channels_first(out_cl)
     for img_path, frame_idx, strength in images:
         image = media.load_image(img_path, height=height, width=width)
         tensor = jnp.asarray(media.prepare_image_for_encoding(image, height, width), dtype=dtype)
@@ -489,7 +498,11 @@ def generate_video(
             # Params must be jit ARGUMENTS: closure-captured arrays are inlined
             # as program constants — a host round-trip plus an in-executable
             # copy of the whole upsampler (OOMs next to a resident 19B model).
-            latents = jax.jit(upsample_latents)(ups_params, latents, lat_mean, lat_std)
+            # Channels-last core jitted, layout transposes eager (PERF.md r2).
+            lat_cl = jax.jit(upsample_latents_cl)(
+                ups_params, vae_ops.to_channels_last(latents), lat_mean, lat_std
+            )
+            latents = vae_ops.to_channels_first(lat_cl)
             if low_memory:
                 # retire the upsampler arena before stage 2 re-enters the 19B
                 latents = jnp.asarray(np.asarray(latents), dtype=latents.dtype)

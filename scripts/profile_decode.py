@@ -113,7 +113,9 @@ def main() -> None:
     print("== per-stage decoder timing (full geometry, warm) ==")
     cfg = DecoderConfig()
     params = init_video_decoder(jax.random.key(1), cfg, dtype=jnp.bfloat16)
-    latent = jax.random.normal(jax.random.key(2), (1, 128, 5, 16, 16), jnp.bfloat16)
+    # _decoder_head takes channels-LAST input — the layout transpose happens
+    # eagerly in video_decoder_apply_chunked, never inside the stage jits.
+    latent = jax.random.normal(jax.random.key(2), (1, 5, 16, 16, 128), jnp.bfloat16)
     ts = jnp.full((1,), cfg.decode_timestep, jnp.float32) * 1000.0
     noise = jax.random.normal(
         jax.random.key(3), (1, 5, 16, 16, 128), jnp.float32

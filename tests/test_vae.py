@@ -83,6 +83,24 @@ class TestCausalConv:
         # (9 + 2 pad - 3) // 2 + 1 = 5 frames, spatial (8 + 2 - 3)//2 + 1 = 4
         assert y.shape == (1, 5, 4, 4, 4)
 
+    @pytest.mark.parametrize("kd,stride", [(3, (1, 1, 1)), (3, (2, 2, 2)), (1, (1, 1, 1)), (3, (1, 2, 2))])
+    def test_via_2d_matches_native_3d(self, rng, kd, stride):
+        """conv3d_via_2d (the TPU-compile-friendly lowering) == native
+        lax 3-D conv for every kernel/stride shape the VAE uses."""
+        from jax import lax
+
+        from mlx_video_tpu.models.ltx.video_vae.conv import conv3d_via_2d
+
+        ci, co = 5, 7
+        x = jnp.asarray(rng.normal(size=(2, 6 + kd - 1, 9, 9, ci)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(kd, 3, 3, ci, co)).astype(np.float32) * 0.1)
+        got = conv3d_via_2d(x, w, stride)
+        want = lax.conv_general_dilated(
+            x, w, stride, "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
     def test_reflect_padding_excludes_boundary(self):
         params = {"weight": jnp.zeros((1, 3, 1, 1, 1)).at[0, 0, 0, 0, 0].set(1.0),
                   "bias": jnp.zeros((1,))}
