@@ -153,6 +153,93 @@ def video_encoder_apply_cl(
     return ops.normalize_latents(means, stats["mean"], stats["std"])
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("config", "padding_mode"))
+def _encoder_head(params, config: VideoVAEConfig, sample_cl, padding_mode):
+    x = ops.patchify(sample_cl, patch_size_hw=config.patch_size, patch_size_t=1)
+    return causal_conv3d(params["conv_in"], x, 3, 1, True, padding_mode)
+
+
+@partial(jax.jit, static_argnames=("padding_mode",))
+def _encoder_res_block(bparams, x, padding_mode):
+    return resnet_block(bparams, x, True, padding_mode)
+
+
+@partial(jax.jit, static_argnames=("out_ch", "strides", "padding_mode"))
+def _encoder_downsample(bparams, x, out_ch, strides, padding_mode):
+    return space_to_depth_downsample(bparams, x, out_ch, strides, True, padding_mode)
+
+
+@partial(jax.jit, static_argnames=("strides", "padding_mode"))
+def _encoder_conv_compress(bparams, x, strides, padding_mode):
+    return causal_conv3d(bparams, x, 3, strides, True, padding_mode)
+
+
+@partial(jax.jit, static_argnames=("config", "padding_mode"))
+def _encoder_tail(params, config: VideoVAEConfig, x, padding_mode):
+    x = jax.nn.silu(pixel_norm(x))
+    x = causal_conv3d(params["conv_out"], x, 3, 1, True, padding_mode)
+    means = x[..., : config.out_channels]
+    stats = params["per_channel_statistics"]
+    return ops.normalize_latents(means, stats["mean"], stats["std"])
+
+
+def video_encoder_apply_cl_chunked(
+    params: dict,
+    config: VideoVAEConfig,
+    sample_cl: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Channels-last encode with PER-BLOCK jits.
+
+    Numerically identical to :func:`video_encoder_apply_cl`, but each res
+    block / downsample / head / tail compiles as its own bounded graph —
+    same-shaped res blocks within a group share one compile — instead of
+    one monolithic encoder graph whose full-geometry XLA:TPU device-side
+    compile exceeds 25 minutes (PERF.md round 2; exactly the decoder's
+    video_decoder_apply_chunked treatment). Host-driven paths
+    (pipelines/generate i2v conditioning, trainer precompute) use this.
+    """
+    frames = sample_cl.shape[1]
+    if (frames - 1) % 8 != 0:
+        raise ValueError(
+            f"Encode input must have 1 + 8*k frames (e.g. 1, 9, 17, ...); got {frames}."
+        )
+    x = _encoder_head(params, config, sample_cl, padding_mode)
+    feat = config.out_channels
+    for i, (name, cfg) in enumerate(config.encoder_blocks):
+        cfg = dict(cfg)
+        bparams = params["down_blocks"][str(i)]
+        out_ch = _block_channels(name, cfg, feat)
+        if name == "res_x":
+            for j in range(cfg["num_layers"]):
+                x = _encoder_res_block(bparams["res_blocks"][str(j)], x, padding_mode)
+        elif name == "res_x_y":
+            x = _encoder_res_block(bparams, x, padding_mode)
+        elif name in ("compress_all_res", "compress_space_res", "compress_time_res"):
+            x = _encoder_downsample(bparams, x, out_ch, _STRIDES[name], padding_mode)
+        else:  # plain strided conv compress
+            x = _encoder_conv_compress(bparams, x, _STRIDES[name], padding_mode)
+        feat = out_ch
+    return _encoder_tail(params, config, x, padding_mode)
+
+
+def video_encoder_apply_chunked(
+    params: dict,
+    config: VideoVAEConfig,
+    sample: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Channels-first public API over :func:`video_encoder_apply_cl_chunked`
+    (layout transposes eager, outside the jits)."""
+    x = video_encoder_apply_cl_chunked(
+        params, config, ops.to_channels_last(sample), padding_mode
+    )
+    return ops.to_channels_first(x)
+
+
 def encode_image(
     params: dict, config: VideoVAEConfig, image: jax.Array, padding_mode: str = "zeros"
 ) -> jax.Array:

@@ -39,6 +39,7 @@ from mlx_video_tpu.models.ltx.video_vae.decoder import (
 from mlx_video_tpu.models.ltx.video_vae.encoder import (  # noqa: F401
     video_encoder_apply,
     video_encoder_apply_cl,
+    video_encoder_apply_cl_chunked,
 )
 from mlx_video_tpu.models.ltx.video_vae.tiling import TilingConfig, decode_with_tiling
 from mlx_video_tpu.pipelines import denoise as dn
@@ -168,13 +169,11 @@ def _encode_conditionings(
     if models.vae_encoder_params is None:
         raise ValueError("Image/video conditioning requires a loaded VAE encoder")
     conds = []
-    # Params as jit arguments (NOT closure constants — see upsample note).
-    # Channels-last core jitted; the layout transposes run EAGERLY outside
-    # (in-jit channel transposes device-compile pathologically — PERF.md r2).
-    enc_jit = jax.jit(video_encoder_apply_cl, static_argnames=("config",))
-
+    # Per-block jits with eager layout transposes (params are jit ARGUMENTS
+    # in every block call): the monolithic encoder graph device-compiles
+    # pathologically at full geometry — PERF.md round 2.
     def encode(v):
-        out_cl = enc_jit(
+        out_cl = video_encoder_apply_cl_chunked(
             models.vae_encoder_params, models.vae_encoder_config, vae_ops.to_channels_last(v)
         )
         return vae_ops.to_channels_first(out_cl)

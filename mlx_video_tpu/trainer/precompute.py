@@ -317,19 +317,18 @@ def main(argv=None) -> None:
     from mlx_video_tpu.io import vae_weights
     from mlx_video_tpu.loading import resolve_vae_file
     from mlx_video_tpu.models.ltx.text_encoder import LTX2TextEncoder
-    from mlx_video_tpu.models.ltx.video_vae import ops as vae_ops
-    from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder, video_encoder_apply_cl
+    from mlx_video_tpu.models.ltx.video_vae.encoder import (
+        init_video_encoder,
+        video_encoder_apply_chunked,
+    )
     from mlx_video_tpu.utils.hub import get_model_path
 
     model_path = get_model_path(args.model_repo)
     enc_cfg = VideoVAEConfig()
     enc_params = init_video_encoder(jax.random.key(0), enc_cfg, dtype=jnp.bfloat16)
     vae_weights.load_video_encoder_weights(resolve_vae_file(model_path), enc_params)
-    # Channels-last core jitted, layout transposes eager (PERF.md round 2).
-    _enc_jit = jax.jit(video_encoder_apply_cl, static_argnames=("config",))
-    encode_jit = lambda v: vae_ops.to_channels_first(
-        _enc_jit(enc_params, enc_cfg, vae_ops.to_channels_last(v))
-    )
+    # Per-block jits with eager layout transposes (PERF.md round 2).
+    encode_jit = lambda v: video_encoder_apply_chunked(enc_params, enc_cfg, v)
 
     te_path = get_model_path(args.text_encoder_repo) if args.text_encoder_repo else model_path
     text_encoder = LTX2TextEncoder.load(model_path, te_path)

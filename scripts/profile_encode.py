@@ -35,6 +35,7 @@ def main() -> None:
     from mlx_video_tpu.models.ltx.video_vae.encoder import (
         init_video_encoder,
         video_encoder_apply_cl,
+        video_encoder_apply_cl_chunked,
     )
 
     def sync(x) -> float:
@@ -47,18 +48,24 @@ def main() -> None:
     x_cl = ops.to_channels_last(video)  # eager, as the pipeline does
     sync(x_cl)
 
-    enc = jax.jit(video_encoder_apply_cl, static_argnames=("config",))
+    if "--mono" in sys.argv:
+        enc_mono = jax.jit(video_encoder_apply_cl, static_argnames=("config",))
+        fn = lambda: sync(enc_mono(params, cfg, x_cl))
+        label = "mono"
+    else:
+        fn = lambda: sync(video_encoder_apply_cl_chunked(params, cfg, x_cl))
+        label = "chunked"
+
     t0 = time.time()
-    out = enc(params, cfg, x_cl)
-    sync(out)
-    print(f"encode {f}x{h}x{w}: first(+compile) {time.time()-t0:.1f}s")
+    fn()
+    print(f"encode[{label}] {f}x{h}x{w}: first(+compile) {time.time()-t0:.1f}s")
     ts = []
     for _ in range(3):
         t0 = time.time()
-        sync(enc(params, cfg, x_cl))
+        fn()
         ts.append(time.time() - t0)
     frames_per_s = f / sorted(ts)[1]
-    print(f"encode steady: {sorted(ts)[1]*1e3:.1f} ms ({frames_per_s:.0f} frames/s), out {out.shape}")
+    print(f"encode[{label}] steady: {sorted(ts)[1]*1e3:.1f} ms ({frames_per_s:.0f} frames/s)")
 
 
 if __name__ == "__main__":

@@ -276,6 +276,16 @@ class TestVideoVAE:
         assert latents.shape == (1, 8, 3, 2, 2)
         assert np.all(np.isfinite(np.asarray(latents)))
 
+    def test_encoder_chunked_matches_monolithic(self, rng):
+        from mlx_video_tpu.models.ltx.video_vae.encoder import video_encoder_apply_chunked
+
+        cfg = tiny_vae_config()
+        params = init_video_encoder(jax.random.key(0), cfg)
+        video = jnp.asarray(rng.normal(size=(1, 3, 9, 32, 32)).astype(np.float32))
+        mono = video_encoder_apply(params, cfg, video)
+        chunked = video_encoder_apply_chunked(params, cfg, video)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=1e-5)
+
     def test_encoder_frame_validation(self, rng):
         cfg = tiny_vae_config()
         params = init_video_encoder(jax.random.key(0), cfg)
