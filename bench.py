@@ -133,7 +133,10 @@ def main() -> None:
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    flagship = "--proxy" not in sys.argv and "--tiny" not in sys.argv
+    # --dense / --w8a8 select the proxy-3B modes they always named; without
+    # them (or --proxy/--tiny) the default is the 19B flagship in w4a8.
+    proxy_mode = any(f in sys.argv for f in ("--proxy", "--dense", "--w8a8"))
+    flagship = not proxy_mode and "--tiny" not in sys.argv
     w4a8 = flagship and "--no-w4a8" not in sys.argv
     w8a8 = "--dense" not in sys.argv and not flagship
 

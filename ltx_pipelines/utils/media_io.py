@@ -114,7 +114,9 @@ def decode_image(image_path: str) -> np.ndarray:
     """(reference: media_io.py:109-112)."""
     from PIL import Image
 
-    return np.array(Image.open(image_path))[..., :3]
+    # convert() first: on a grayscale (H, W) array `[..., :3]` would slice
+    # the WIDTH axis, not channels.
+    return np.array(Image.open(image_path).convert("RGB"))
 
 
 def encode_video(
@@ -134,8 +136,13 @@ def encode_video(
 
     if isinstance(video, np.ndarray) or hasattr(video, "shape"):
         video = iter([_to_numpy(video)])
+    else:
+        video = iter(video)  # accept plain lists/tuples of chunks
 
-    first = _to_numpy(next(video))
+    try:
+        first = _to_numpy(next(video))
+    except StopIteration:
+        raise ValueError("encode_video got no frames") from None
     if first.ndim == 5:  # engine layout (B, 3, F, H, W) in [-1, 1]
         first = frames_to_uint8(first)
     _, height, width, _ = first.shape

@@ -225,7 +225,10 @@ def main(argv=None) -> None:
         jax.config.update(
             "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+        )
     except Exception:
         pass  # older jax without these config names
 
@@ -289,8 +292,25 @@ def main(argv=None) -> None:
             )
     if args.w4a8:
         from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+        from mlx_video_tpu.trainer.aux import read_quantization_metadata
 
-        bits = args.quantize_bits or 4
+        # The int8 requantization scales depend on the STORED grid width:
+        # assuming 4 when a pre-quantized repo is 8-bit silently mis-scales
+        # every matmul (saturated +127 bins). Resolve bits from, in order:
+        # explicit flag > quantization.json next to the weights > repo-name
+        # hint > 4 (the fresh-quantize default).
+        qmeta = read_quantization_metadata(model_path) or {}
+        bits = (
+            args.quantize_bits
+            or qmeta.get("bits")
+            or {"8bit": 8, "4bit": 4}.get(bits_hint)
+            or 4
+        )
+        if qmeta.get("bits") and args.quantize_bits and qmeta["bits"] != args.quantize_bits:
+            raise SystemExit(
+                f"--quantize-bits {args.quantize_bits} conflicts with the "
+                f"checkpoint's quantization.json bits={qmeta['bits']}"
+            )
 
         def _has_quant(node) -> bool:
             return isinstance(node, dict) and (

@@ -35,6 +35,8 @@ _STRIDES = {
     "compress_all": (2, 2, 2),
     "compress_space": (1, 2, 2),
     "compress_time": (2, 1, 1),
+    # compress_all with a channel multiplier (reference video_vae.py:108-118)
+    "compress_all_x_y": (2, 2, 2),
 }
 
 

@@ -141,9 +141,20 @@ class PreemptionGuard:
 
     # -- global agreement --------------------------------------------------
 
-    def should_checkpoint(self) -> bool:
+    def should_checkpoint(self, step: Optional[int] = None, sync_every: int = 8) -> bool:
+        """Global stop decision.
+
+        Single-process: the local flag, checked every call (free). Multi-
+        process: the OR-reduction is a cross-host collective, so it only
+        runs when ``step % sync_every == 0`` (deterministic across hosts —
+        every process must take the same branch) rather than adding a
+        barrier to every fast step; a preemption is therefore acted on
+        within ``sync_every`` steps. Pass ``step=None`` to force the check.
+        """
         if jax.process_count() == 1:
             return self.preempted
+        if step is not None and step % sync_every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(np.array([self.preempted], dtype=np.bool_))

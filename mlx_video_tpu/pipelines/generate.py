@@ -710,6 +710,11 @@ def generate_video(
                 video_file.unlink(missing_ok=True)
             else:
                 video_file.rename(output_path)
+    elif video_file != output_path and video_file.exists():
+        # audio was requested but could not be produced (no audio latents /
+        # no audio decoder): the video must still land at output_path, not
+        # be orphaned at *.temp.mp4.
+        video_file.rename(output_path)
 
     if profile:
         timer.report()

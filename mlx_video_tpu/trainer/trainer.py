@@ -307,7 +307,12 @@ class Trainer:
                 # Preemption (SIGTERM): every host agrees on the stop step,
                 # checkpoints it exactly, and exits cleanly — restart with
                 # cfg.resume picks up from here (parallel/distributed.py).
-                if cfg.handle_preemption and guard.should_checkpoint():
+                # Only honored at accumulation-window boundaries (accum is
+                # None): stopping mid-window would drop the partial gradient
+                # sum and break the exact-resume contract; the deferral is
+                # bounded by accum_steps-1 steps. should_checkpoint(step)
+                # also rate-limits the multi-host agreement collective.
+                if cfg.handle_preemption and accum is None and guard.should_checkpoint(step):
                     self.save_checkpoint(step)
                     ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
                     marker = Path(cfg.output_dir) / "PREEMPTED"
@@ -329,18 +334,32 @@ class Trainer:
 
     def save_checkpoint(self, step: int) -> None:
         """LoRA adapters / full weights + full resume state
-        (reference: trainer.py:650-660 + optimizer-state extension)."""
+        (reference: trainer.py:650-660 + optimizer-state extension).
+
+        Multi-host: every process must call this (the shard gathers are
+        collectives); only process 0 writes files.
+        """
         out_dir = Path(self.cfg.output_dir)
-        out_dir.mkdir(parents=True, exist_ok=True)
-        if self.cfg.training_mode == "lora":
-            save_lora(out_dir / f"lora_step_{step}.safetensors", self.params, self.model_config)
-        else:
-            flat = {k: np.asarray(v) for k, v in flatten_params(self.params).items()}
-            save_safetensors(
-                out_dir / f"transformer_step_{step}.safetensors",
-                flat,
-                metadata={"format": "mlx_video_tpu"},
-            )
+        # Gather non-addressable shards to full host arrays BEFORE the
+        # export writers call np.asarray (which raises on sharded leaves).
+        needs_gather = any(
+            isinstance(l, jax.Array) and not l.is_fully_addressable
+            for l in jax.tree.leaves(self.params)
+        )
+        params = (
+            jax.tree.map(ckpt._to_host, self.params) if needs_gather else self.params
+        )
+        if jax.process_index() == 0:
+            out_dir.mkdir(parents=True, exist_ok=True)
+            if self.cfg.training_mode == "lora":
+                save_lora(out_dir / f"lora_step_{step}.safetensors", params, self.model_config)
+            else:
+                flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+                save_safetensors(
+                    out_dir / f"transformer_step_{step}.safetensors",
+                    flat,
+                    metadata={"format": "mlx_video_tpu"},
+                )
         ckpt.save_train_checkpoint(
             out_dir / f"state_step_{step}.safetensors", self.params, self.opt_state, step
         )

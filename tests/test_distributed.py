@@ -113,6 +113,27 @@ class TestTrainerPreemption:
         assert ckpt.latest_checkpoint(tmp_path) is not None
         assert f"step_{stop_step + 2}" in ckpt.latest_checkpoint(tmp_path).name
 
+    def test_preemption_respects_accumulation_window(self, tmp_path):
+        """SIGTERM mid-window must defer to the next boundary: stopping with
+        a partial gradient sum would drop micro-batches and under-scale the
+        first post-resume update."""
+        tr, _, _ = _tiny_trainer(tmp_path, steps=500, grad_accum_steps=4)
+
+        def fire():
+            time.sleep(3.0)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        t = threading.Thread(target=fire, daemon=True)
+        t.start()
+        tr.train()
+        t.join()
+        marker = tmp_path / "PREEMPTED"
+        assert marker.exists()
+        stop_step = int(marker.read_text())
+        assert stop_step % 4 == 0, (
+            f"preempted at step {stop_step}, inside an accumulation window"
+        )
+
     def test_handler_disabled(self, tmp_path):
         tr, _, _ = _tiny_trainer(tmp_path, steps=2, handle_preemption=False)
         before = signal.getsignal(signal.SIGTERM)

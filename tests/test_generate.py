@@ -250,7 +250,24 @@ class TestJointAudioVideo:
     decode audio latents through the mel VAE + vocoder, write wav
     (reference: generate.py:1330-1703, 3928-4160)."""
 
-    def test_av_generate_writes_wav(self, tmp_path):
+    def test_audio_without_decoder_still_writes_video(self, tmp_path):
+        """audio=True but no audio decoder weights: the mux block is skipped,
+        and the video must still be renamed from *.temp.mp4 to output_path."""
+        from dataclasses import replace
+
+        models, text = self._make_av_models()
+        models = replace(models, audio_decoder_params=None)
+        out_path = tmp_path / "noadec.mp4"
+        result = generate_video(
+            models, text, pipeline=PipelineType.DEV, num_inference_steps=1,
+            height=128, width=128, num_frames=9, seed=3, audio=True,
+            output_path=out_path, dtype=jnp.float32,
+        )
+        assert out_path.exists(), "video orphaned at .temp.mp4"
+        assert not out_path.with_suffix(".temp.mp4").exists()
+        assert result.video_path == out_path
+
+    def _make_av_models(self):
         import dataclasses
 
         from mlx_video_tpu.config import LTXModelType, VideoVAEConfig, tiny_test_config
@@ -316,6 +333,10 @@ class TestJointAudioVideo:
                 rng.normal(size=(1, 8, cfg.audio_caption_channels)).astype(np.float32)
             ),
         )
+        return models, text
+
+    def test_av_generate_writes_wav(self, tmp_path):
+        models, text = self._make_av_models()
         out_path = tmp_path / "av.mp4"
         result = generate_video(
             models, text, pipeline=PipelineType.DEV, num_inference_steps=2,

@@ -568,6 +568,27 @@ class TestMediaIO:
         frames = list(media_io.decode_video_from_file(str(out), frame_cap=4))
         assert len(frames) == 4 and frames[0].shape == (1, 32, 32, 3)
 
+    def test_encode_video_plain_list_and_empty(self, tmp_path):
+        from ltx_pipelines.utils import media_io
+
+        rng = np.random.default_rng(0)
+        chunks = [rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8) for _ in range(2)]
+        out = tmp_path / "list.mp4"
+        media_io.encode_video(chunks, 8.0, None, None, str(out), 2)  # plain list
+        assert out.exists() and out.stat().st_size > 0
+        with pytest.raises(ValueError, match="no frames"):
+            media_io.encode_video(iter([]), 8.0, None, None, str(tmp_path / "e.mp4"), 0)
+
+    def test_decode_image_grayscale(self, tmp_path):
+        from PIL import Image
+
+        from ltx_pipelines.utils import media_io
+
+        p = tmp_path / "gray.png"
+        Image.fromarray(np.zeros((10, 20), dtype=np.uint8), mode="L").save(p)
+        out = media_io.decode_image(str(p))
+        assert out.shape == (10, 20, 3)
+
     def test_encode_video_with_audio_track(self, tmp_path):
         from ltx_pipelines.utils import media_io
 

@@ -286,6 +286,26 @@ class TestVideoVAE:
         chunked = video_encoder_apply_chunked(params, cfg, video)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=1e-5)
 
+    def test_encoder_compress_all_x_y_block(self, rng):
+        """compress_all_x_y = strided CausalConv3d with channel multiplier
+        (reference video_vae.py:108-118); must work in both apply paths."""
+        from mlx_video_tpu.models.ltx.video_vae.encoder import video_encoder_apply_chunked
+
+        cfg = VideoVAEConfig(
+            in_channels=3, out_channels=8, latent_channels=8, patch_size=4,
+            encoder_blocks=(
+                ("res_x", {"num_layers": 1}),
+                ("compress_all_x_y", {"multiplier": 2}),
+                ("compress_all_res", {"multiplier": 2}),
+            ),
+        )
+        params = init_video_encoder(jax.random.key(0), cfg)
+        video = jnp.asarray(rng.normal(size=(1, 3, 9, 32, 32)).astype(np.float32))
+        mono = video_encoder_apply(params, cfg, video)
+        chunked = video_encoder_apply_chunked(params, cfg, video)
+        assert mono.shape == (1, 8, 3, 2, 2)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono), atol=1e-5)
+
     def test_encoder_frame_validation(self, rng):
         cfg = tiny_vae_config()
         params = init_video_encoder(jax.random.key(0), cfg)
