@@ -188,7 +188,15 @@ def main() -> None:
             rope_type=LTXRopeType.SPLIT,
         )
 
-    b, f, h, w = 1, 5, 16, 16  # 512x512x33f distilled geometry -> 1280 tokens
+    # --dev: BASELINE config-3 geometry (dev single-stage CFG, 768^2 x 65f
+    # -> 9x24x24 = 5184 tokens) with the CFG-batched 2B forward.
+    dev_cfg = "--dev" in sys.argv
+    if dev_cfg:
+        # --tiny smoke only checks the CFG plumbing; full 5184-token
+        # geometry at 8 steps is minutes of CPU attention.
+        b, f, h, w = (1, 3, 8, 8) if "--tiny" in sys.argv else (1, 9, 24, 24)
+    else:
+        b, f, h, w = 1, 5, 16, 16  # 512x512x33f distilled geometry -> 1280 tokens
     if flagship:
         # Synthesized directly in quantized layout on the device — the dense
         # 19B pytree never exists anywhere.
@@ -228,8 +236,19 @@ def main() -> None:
     # computation finishes. A scalar-reduction fetch is the only honest sync.
     sum_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
 
+    neg_context = (
+        jax.random.normal(
+            jax.random.key(3), (b, 128, config.caption_channels), dtype=jnp.bfloat16
+        )
+        if dev_cfg
+        else None
+    )
+
     def run(sg):
-        v, _ = dn.denoise(params, config, latents, positions, context, sg)
+        v, _ = dn.denoise(
+            params, config, latents, positions, context, sg,
+            neg_context=neg_context, cfg_scale=4.5 if dev_cfg else 1.0,
+        )
         return v
 
     t0 = time.time()
@@ -252,13 +271,16 @@ def main() -> None:
     steps_per_sec = 1.0 / per_step
     print(f"t8 med {np.median(t8s):.3f}s t2 med {np.median(t2s):.3f}s", file=sys.stderr)
 
+    tokens = f * h * w
     if flagship:
         fmode = "w4a8" if w4a8 else "q4"
-        metric = f"dit_19b_{fmode}_denoise_steps_per_sec"
-        unit = f"steps/s (48L dim4096 19B-geometry DiT, 1280 tokens, {fmode}, 1 chip)"
+        kind = "dev_cfg_steps_per_sec" if dev_cfg else "denoise_steps_per_sec"
+        metric = f"dit_19b_{fmode}_{kind}"
+        cfg_note = "CFG batch-of-2 fwd, " if dev_cfg else ""
+        unit = f"steps/s (48L dim4096 19B-geometry DiT, {tokens} tokens, {cfg_note}{fmode}, 1 chip)"
     else:
         metric = "dit_proxy3b_denoise_steps_per_sec"
-        unit = f"steps/s (48L dim2048 DiT, 1280 tokens, {'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"
+        unit = f"steps/s (48L dim2048 DiT, {tokens} tokens, {'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"
     print(
         json.dumps(
             {

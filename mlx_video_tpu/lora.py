@@ -223,26 +223,57 @@ def inject_lora(
     dtype=jnp.float32,
 ) -> dict:
     """Add trainable (lora_A ~ N(0, 0.01), lora_B = 0) leaves to every
-    matching linear. Block linears get stacked (L, ...) factors."""
+    matching linear. Block linears get stacked (L, ...) factors.
+
+    Shapes come from the config's ``eval_shape`` skeleton (zero memory), not
+    from the stored leaves: quantized storage makes shape-only recovery
+    ambiguous (``group_size x bits`` is underdetermined — a q4/gs64 packed
+    tensor is indistinguishable from w8/gs32), and W8A8 nodes store
+    ``int8_weight`` rather than ``weight`` at all. Any linear the skeleton
+    knows gets exact (in, out) dims regardless of its storage format."""
     import copy
+
+    from mlx_video_tpu.models.ltx.model import init_ltx_params
 
     params = copy.deepcopy(jax.tree.map(lambda x: x, params))
     targets = lora_config.target_modules or DEFAULT_TARGET_MODULES
     rank = lora_config.rank
     scale = lora_config.alpha / rank if rank > 0 else 1.0
     counter = [0]
+    skeleton = jax.eval_shape(
+        lambda: init_ltx_params(jax.random.key(0), config, dtype=dtype)
+    )
+
+    def _skeleton_weight(path: Tuple[str, ...]):
+        node = skeleton
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return None
+            node = node[p]
+        w = node.get("weight") if isinstance(node, dict) else None
+        return w if w is not None and w.ndim in (2, 3) else None
 
     def walk(node: dict, path: Tuple[str, ...]):
-        if ("weight" in node or "quant_weight" in node) and _module_matches(path, targets):
+        if (
+            "weight" in node or "quant_weight" in node or "int8_weight" in node
+        ) and _module_matches(path, targets):
             w = node.get("weight")
-            if w is not None and w.ndim in (2, 3):
+            sw = _skeleton_weight(path)
+            if sw is not None:
+                stacked = sw.ndim == 3
+                in_dim, out_dim = sw.shape[-2], sw.shape[-1]
+            elif w is not None and w.ndim in (2, 3):
                 stacked = w.ndim == 3
                 in_dim, out_dim = w.shape[-2], w.shape[-1]
+            elif "int8_weight" in node and node["int8_weight"].ndim in (2, 3):
+                iw = node["int8_weight"]  # dense layout (in, out)
+                stacked = iw.ndim == 3
+                in_dim, out_dim = iw.shape[-2], iw.shape[-1]
             elif "quant_weight" in node:
+                # Last-resort packed-shape heuristic (ambiguous — see above).
                 sc = node["scales"]
                 stacked = sc.ndim == 3
                 out_dim = sc.shape[-2]
-                # in = packed_words * 32/bits; recover via scales groups x group
                 in_dim = None
                 for b in (8, 6, 4, 3, 2):
                     if 32 % b:

@@ -465,6 +465,9 @@ def generate_video(
                 s2_conds = _encode_conditionings(
                     models, images, (), height, width, num_frames, conditioning_mode, dtype
                 )
+            # The encoder is done for good; under low_memory retire it to the
+            # host before the 19B denoise arena claims the HBM it occupies.
+            models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=True)
 
         positions1 = jnp.asarray(create_position_grid(1, latent_frames, stage1_h, stage1_w))
         shape1 = (1, latent_channels, latent_frames, stage1_h, stage1_w)
@@ -559,6 +562,7 @@ def generate_video(
                 dev_conds = _encode_conditionings(
                     models, images, (), height, width, num_frames, conditioning_mode, dtype
                 )
+            models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=True)
         num_tokens = latent_frames * latent_h * latent_w
         sigmas = ltx2_scheduler(steps=num_inference_steps, num_tokens=num_tokens)
         positions = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))

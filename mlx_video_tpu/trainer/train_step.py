@@ -75,8 +75,14 @@ def grad_step(
     sp=None,
 ) -> Tuple[jax.Array, dict]:
     """One microbatch: loss + grads (no update). ``sp``: optional
-    (Mesh, axis) sequence-parallel setting for long-video training."""
-    return jax.value_and_grad(strategy_loss_fn)(
+    (Mesh, axis) sequence-parallel setting for long-video training.
+
+    ``allow_int``: quantized bases (q4 ``quant_weight`` uint32 / W8A8
+    ``int8_weight``) are frozen integer leaves under LoRA training — their
+    "grads" come back as zero-size float0 tangents, which ``optax``'s
+    masked ``set_to_zero`` branch and ``apply_updates`` both pass through
+    (no dense zero buffers are ever allocated for the 19B base)."""
+    return jax.value_and_grad(strategy_loss_fn, allow_int=True)(
         params, config, sb, key,
         first_frame_conditioning_p=first_frame_conditioning_p,
         timestep_sampling_mode=timestep_sampling_mode,
@@ -85,9 +91,25 @@ def grad_step(
     )
 
 
+def _is_float0(x) -> bool:
+    return getattr(x, "dtype", None) == jax.dtypes.float0
+
+
+def _merge_updates(params: dict, updates: dict) -> dict:
+    """optax.apply_updates, except float0 updates (frozen integer leaves of
+    a quantized base under LoRA) leave the param untouched."""
+    return jax.tree.map(
+        lambda p, u: p if _is_float0(u) else (p + u.astype(p.dtype)),
+        params,
+        updates,
+    )
+
+
 @jax.jit
 def accumulate_grads(acc: dict, grads: dict) -> dict:
-    return jax.tree.map(jnp.add, acc, grads)
+    # float0 = frozen integer leaf (quantized base under LoRA): no storage,
+    # nothing to sum.
+    return jax.tree.map(lambda a, g: a if _is_float0(a) else jnp.add(a, g), acc, grads)
 
 
 @partial(jax.jit, static_argnames=("optimizer", "accum_steps"), donate_argnums=(0, 1, 2))
@@ -100,9 +122,9 @@ def apply_updates(
 ):
     """Scale accumulated grads, clip (inside the optimizer chain), update."""
     if accum_steps > 1:
-        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+        grads = jax.tree.map(lambda g: g if _is_float0(g) else g / accum_steps, grads)
     updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    params = _merge_updates(params, updates)
     return params, opt_state
 
 
@@ -142,5 +164,5 @@ def train_step(
     )
     loss, grads = jax.value_and_grad(strategy_loss_fn)(params, config, sb, key)
     updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    params = _merge_updates(params, updates)
     return params, opt_state, loss

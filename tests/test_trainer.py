@@ -267,6 +267,35 @@ class TestTrainer:
         with pytest.raises(ValueError, match="LoRA"):
             Trainer(cfg, model_config=mcfg, params=qparams, dataset=tiny_dataset())
 
+    @pytest.mark.parametrize("fmt", ["q4", "w8a8"])
+    def test_lora_trains_over_quantized_base(self, tmp_path, fmt):
+        """LoRA over a frozen quantized base is the only way to finetune the
+        19B on one chip: integer base leaves must yield float0 grads
+        (allow_int) that survive accumulation and the masked optimizer."""
+        mcfg, params = tiny_model()
+        if fmt == "q4":
+            from mlx_video_tpu.ops.quant import quantize_dit_params
+
+            qparams = quantize_dit_params(params, group_size=16, bits=4)
+        else:
+            from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+            qparams = quantize_params_w8a8(params)
+        cfg = tiny_cfg(
+            training_mode="lora", lora_rank=2, output_dir=str(tmp_path),
+            steps=3, grad_accum_steps=2,
+        )
+        tr = Trainer(cfg, model_config=mcfg, params=qparams, dataset=tiny_dataset())
+        # shapes must come from the config skeleton, not the (ambiguous)
+        # packed layout: rank x model-dim regardless of storage format
+        lora_a = tr.params["blocks"]["attn1"]["to_q"]["lora_A"]
+        dim = mcfg.num_attention_heads * mcfg.attention_head_dim
+        assert lora_a.shape == (mcfg.num_layers, 2, dim)
+        before = np.asarray(lora_a).copy()
+        assert np.isfinite(tr.train())
+        after = np.asarray(tr.params["blocks"]["attn1"]["to_q"]["lora_A"])
+        assert np.max(np.abs(after - before)) > 0, "LoRA leaves did not update"
+
     def test_validation_callback(self, tmp_path):
         mcfg, params = tiny_model()
         calls = []
