@@ -16,10 +16,12 @@ mirrors the reference's quantize scopes: transformer-block linears only
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_weight_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -37,6 +39,57 @@ def quantize_weight_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return w_q, scale
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_act_matmul(xf: jax.Array, w_q: jax.Array, w_scale: jax.Array, w_in_axis: int = 0):
+    """fp32 y = dequant(quant(xf) @ w_q): per-token dynamic activation int8
+    quantization, ``int8 x int8 -> int32`` on the MXU, fused fp32 rescale.
+
+    ``w_in_axis`` selects the weight layout: 0 -> w_q (in, out) (W8A8
+    storage), 1 -> w_q (out, in) (the in-graph W4A8 requantization).
+    ``w_scale`` is per-output-channel (out,) either way.
+
+    Differentiable w.r.t. ``xf`` by a straight-through estimator: the
+    backward is one bf16-rate matmul against the exactly-dequantized weight
+    (``g @ (w_q * w_scale)^T``). Without this, ``round()``/int casts give the
+    activation path zero gradient and LoRA adapters behind any frozen int8
+    matmul train on residual-stream gradients only.
+    """
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q,
+        w_q,
+        dimension_numbers=(((xf.ndim - 1,), (w_in_axis,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
+
+
+def _int8_act_matmul_fwd(xf, w_q, w_scale, w_in_axis):
+    return int8_act_matmul(xf, w_q, w_scale, w_in_axis), (w_q, w_scale)
+
+
+def _int8_act_matmul_bwd(w_in_axis, res, g):
+    w_q, w_scale = res
+    gf = g.astype(jnp.float32)
+    wf = w_q.astype(jnp.float32)
+    if w_in_axis == 0:  # w (in, out)
+        wd = wf * w_scale[None, :].astype(jnp.float32)  # (in, out)
+        gx = jnp.dot(gf, wd.T)
+    else:  # w (out, in)
+        wd = wf * w_scale[:, None].astype(jnp.float32)  # (out, in)
+        gx = jnp.dot(gf, wd)
+    return (
+        gx,
+        np.zeros(w_q.shape, jax.dtypes.float0),  # frozen int weight
+        jnp.zeros_like(w_scale),
+    )
+
+
+int8_act_matmul.defvjp(_int8_act_matmul_fwd, _int8_act_matmul_bwd)
+
+
 def int8_linear(
     x: jax.Array,
     w_q: jax.Array,
@@ -48,18 +101,10 @@ def int8_linear(
     ``x``: (..., in); ``w_q``: (in, out) int8; ``w_scale``: (out,) fp32.
     The int8 dot accumulates in int32 on the MXU; the rescale
     ``int32 * x_scale * w_scale`` happens in fp32 and casts back to x.dtype.
+    Gradients w.r.t. ``x`` flow via the STE backward of
+    :func:`int8_act_matmul`.
     """
-    xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(absmax / 127.0, 1e-12)
-    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        x_q,
-        w_q,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
+    y = int8_act_matmul(x.astype(jnp.float32), w_q, w_scale, 0)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

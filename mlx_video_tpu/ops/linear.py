@@ -81,20 +81,14 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
             # ops/quant.py prepare_w4a8). XLA fuses the unpack/affine/round
             # chain into the int8 operand producer, so the only transient is
             # this layer's int8 block, not the whole model.
+            from mlx_video_tpu.ops.int8 import int8_act_matmul
+
             w_scale = params["int8_scale"].astype(jnp.float32)  # (out,)
             wf = dequantize_affine(qw, sc, bi, dtype=jnp.float32, in_dim=in_dim)
             w_q8 = jnp.clip(jnp.round(wf / w_scale[:, None]), -127, 127).astype(jnp.int8)
-            xf = x.astype(jnp.float32)
-            absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            x_scale = jnp.maximum(absmax / 127.0, 1e-12)
-            x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-            y = jax.lax.dot_general(
-                x_q,
-                w_q8,  # (out, in): contract x's last dim with w's in dim
-                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = y.astype(jnp.float32) * x_scale * w_scale
+            # (out, in) layout; STE backward (LoRA training over the frozen
+            # W4A8 base needs dL/dx through the int8 matmul).
+            y = int8_act_matmul(x.astype(jnp.float32), w_q8, w_scale, 1)
             b = params.get("bias")
             if b is not None:
                 y = y + b.astype(jnp.float32)

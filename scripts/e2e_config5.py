@@ -1,0 +1,199 @@
+"""BASELINE config 5: LoRA finetune (text_to_video / video_to_video) on
+precomputed latents with resolution buckets, on ONE chip.
+
+Synthesizes a precomputed dataset in the trainer's on-disk layout
+(latents/ + conditions/ [+ reference_latents/]) across TWO resolution
+buckets, then times LoRA training steps of the 19B-geometry transformer
+with a frozen W4A8 base (q4 storage synthesized by bench.synth_q4_params
+— random weights in the real quantized layout; step time depends on
+shapes/dtypes only) and gradient checkpointing (remat) through the
+48-layer scan.
+
+Buckets (latent shapes after 32x spatial / 8x temporal VAE compression):
+  A: 256x256x33f -> (128, 5, 8, 8)   = 320 tokens
+  B: 512x512x33f -> (128, 5, 16, 16) = 1280 tokens
+
+Legs: text_to_video over both buckets; video_to_video (IC-LoRA) over
+bucket A (reference latents prepend on the token axis -> 640 tokens).
+
+Per-step wall time is measured with an honest device sync (float(loss));
+the first step per latent shape carries that shape's compile and is
+reported separately from the warm median.
+
+    python scripts/e2e_config5.py            # full, on the TPU
+    python scripts/e2e_config5.py --tiny --cpu   # plumbing smoke
+
+Prints one JSON line per leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_dataset(root, buckets, caption_channels, with_reference, n_per_bucket=3):
+    """Write per-clip safetensors in the precompute tool's exact layout
+    (trainer/precompute.py:132-179): latents/latent_<stem>.safetensors with
+    latents+num_frames/height/width/fps, conditions/condition_<stem> with
+    prompt embeds, reference_latents/latent_<stem> for V2V."""
+    import numpy as np
+
+    from mlx_video_tpu.io.safetensors import save_safetensors
+
+    shutil.rmtree(root, ignore_errors=True)
+    for d in ("latents", "conditions") + (("reference_latents",) if with_reference else ()):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for bi, (c, f, h, w) in enumerate(buckets):
+        for i in range(n_per_bucket):
+            stem = f"clip_b{bi}_{i}"
+            lat = {
+                "latents": rng.normal(size=(c, f, h, w)).astype(np.float32),
+                "num_frames": np.array([f], np.int32),
+                "height": np.array([h], np.int32),
+                "width": np.array([w], np.int32),
+                "fps": np.array([24.0], np.float32),
+            }
+            save_safetensors(
+                os.path.join(root, "latents", f"latent_{stem}.safetensors"), lat
+            )
+            save_safetensors(
+                os.path.join(root, "conditions", f"condition_{stem}.safetensors"),
+                {
+                    "video_prompt_embeds": rng.normal(size=(128, caption_channels)).astype(
+                        np.float32
+                    )
+                },
+            )
+            if with_reference:
+                save_safetensors(
+                    os.path.join(root, "reference_latents", f"latent_{stem}.safetensors"),
+                    dict(lat, latents=rng.normal(size=(c, f, h, w)).astype(np.float32)),
+                )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench import synth_q4_params
+    from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType, tiny_test_config
+    from mlx_video_tpu.trainer.config import TrainingConfig
+    from mlx_video_tpu.trainer.datasets import iter_batches
+    from mlx_video_tpu.trainer.train_step import apply_updates, grad_step
+    from mlx_video_tpu.trainer.trainer import Trainer
+
+    tiny = "--tiny" in sys.argv
+    t0 = time.time()
+    if tiny:
+        config = tiny_test_config(LTXModelType.VideoOnly)
+        buckets = [(config.in_channels, 2, 2, 2), (config.in_channels, 2, 4, 2)]
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        base = quantize_dit_params(
+            init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16), group_size=16
+        )
+    else:
+        config = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly,
+            num_attention_heads=32, attention_head_dim=128,
+            in_channels=128, out_channels=128, num_layers=48,
+            cross_attention_dim=4096, caption_channels=3840,
+            rope_type=LTXRopeType.SPLIT,
+        )
+        buckets = [(128, 5, 8, 8), (128, 5, 16, 16)]  # 256^2 and 512^2 x33f
+        from mlx_video_tpu.ops.quant import prepare_w4a8
+
+        base = prepare_w4a8(synth_q4_params(config), bits=4)
+    jax.block_until_ready(base)
+    print(f"base params ready {time.time() - t0:.1f}s", file=sys.stderr)
+
+    steps_per_shape = 3 if tiny else 5
+    for leg, strategy, leg_buckets in (
+        ("t2v", "text_to_video", buckets),
+        ("v2v", "video_to_video", buckets[:1]),
+    ):
+        root = f"/tmp/e2e_c5/{leg}"
+        synth_dataset(
+            root, leg_buckets, config.caption_channels,
+            with_reference=strategy == "video_to_video",
+        )
+        cfg = TrainingConfig(
+            model_repo="", training_mode="lora", strategy=strategy,
+            lora_rank=8 if tiny else 64, lora_alpha=16.0,
+            data_root=root, batch_size=1,
+            steps=steps_per_shape * len(leg_buckets) * 2,
+            lr=1e-4, seed=0, log_every=10_000, progress=False,
+            output_dir=f"/tmp/e2e_c5/ckpt_{leg}", save_every=0,
+            enable_gradient_checkpointing=not tiny,
+            handle_preemption=False,
+        )
+        tr = Trainer(cfg, model_config=config, params=base, dataset=tr_ds(root, cfg))
+        key = jax.random.key(0)
+        times: dict = {}
+        step = 0
+        epoch = 0
+        while step < cfg.steps:
+            for batch in iter_batches(tr.dataset, 1, shuffle=True, seed=epoch):
+                if step >= cfg.steps:
+                    break
+                ts = time.time()
+                sb = tr._prepare(batch)
+                key, sub = jax.random.split(key)
+                loss, grads = grad_step(
+                    tr.params, sb, sub, tr.model_config,
+                    first_frame_conditioning_p=cfg.first_frame_conditioning_p,
+                )
+                tr.params, tr.opt_state = apply_updates(
+                    tr.params, tr.opt_state, grads, tr.optimizer, 1
+                )
+                lv = float(loss)  # honest sync
+                assert np.isfinite(lv), f"non-finite loss at step {step}"
+                shape = tuple(np.asarray(sb.video_latents).shape)
+                times.setdefault(shape, []).append(time.time() - ts)
+                step += 1
+            epoch += 1
+
+        report = {}
+        for shape, ts_list in times.items():
+            warm = ts_list[1:] or ts_list
+            report[str(shape)] = {
+                "first_s": round(ts_list[0], 2),
+                "warm_median_s": round(float(np.median(warm)), 3),
+                "warm_steps_per_sec": round(1.0 / float(np.median(warm)), 3),
+                "n": len(ts_list),
+            }
+        print(json.dumps({
+            "metric": f"config5_lora_{leg}_train_step",
+            "mode": "tiny" if tiny else "19b-w4a8 base, lora r64, remat, 1 chip",
+            "per_shape": report,
+        }))
+        del tr
+
+
+def tr_ds(root, cfg):
+    """PrecomputedDataset with the sources the Trainer would build."""
+    from mlx_video_tpu.trainer.datasets import PrecomputedDataset
+
+    sources = {"latents": "latents", "conditions": "conditions"}
+    if cfg.strategy == "video_to_video":
+        sources["reference_latents"] = "ref_latents"
+    return PrecomputedDataset(root, sources)
+
+
+if __name__ == "__main__":
+    main()

@@ -276,6 +276,42 @@ class TestW8A8:
         rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02
 
+    def test_int8_linear_grad_is_dequant_matmul(self, rng):
+        """STE backward: dL/dx through the int8 matmul must equal the exact
+        dequantized-weight matmul (without it, round()/int casts zero the
+        activation gradient and LoRA behind frozen int8 bases mistrains)."""
+        from mlx_video_tpu.ops.int8 import int8_linear, quantize_weight_int8
+
+        x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32)) * 0.05
+        wq, ws = quantize_weight_int8(w)
+        g = jax.grad(lambda xx: jnp.sum(jnp.sin(int8_linear(xx, wq, ws))))(x)
+        wd = np.asarray(wq, np.float32) * np.asarray(ws, np.float32)[None, :]
+        y = int8_linear(x, wq, ws)
+        g_ref = np.asarray(jnp.cos(y)) @ wd.T
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4, atol=1e-5)
+
+    def test_w4a8_linear_grad_flows(self, rng):
+        """Same through the in-graph W4A8 requantization branch of linear()."""
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_linear_params
+
+        w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32)) * 0.05
+        qp = prepare_w4a8(quantize_linear_params({"weight": w}, group_size=32, bits=4))
+        x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        from mlx_video_tpu.ops.linear import linear
+
+        g = jax.grad(lambda xx: jnp.sum(linear(qp, xx)))(x)
+        assert float(np.abs(np.asarray(g)).sum()) > 0, "zero gradient"
+        # backward must be exactly the int8-requantized weight matmul
+        from mlx_video_tpu.ops.quant import dequantize_affine
+
+        wf = np.asarray(dequantize_affine(qp["quant_weight"], qp["scales"], qp["biases"],
+                                          dtype=jnp.float32, in_dim=128))
+        ws = np.asarray(qp["int8_scale"], np.float32)
+        wq8 = np.clip(np.round(wf / ws[:, None]), -127, 127)
+        g_ref = np.ones((4, 64), np.float32) @ (wq8 * ws[:, None])
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4, atol=1e-5)
+
     def test_stacked_layer_quantization(self, rng):
         """Scan-stacked (L, in, out) weights quantize per layer."""
         from mlx_video_tpu.ops.int8 import quantize_weight_int8
