@@ -135,6 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --mesh: also shard the token axis over the fsdp "
                         "mesh axis and run self-attention as ring attention "
                         "(long-video sequence parallelism)")
+    p.add_argument("--low-memory", action="store_true",
+                   help="Single-chip HBM staging: keep the VAE decoder/"
+                        "upsampler/audio weights on the host during denoise "
+                        "and free the transformer before decode (the "
+                        "reference's serial load/free choreography as "
+                        "host<->HBM swaps). Needed to fit 19B W4A8 + the "
+                        "full 1024-channel decoder on one 16 GB chip.")
     # Reference-CLI flags that are no-ops under the TPU execution model:
     # the whole sigma loop is one compiled lax.scan (always "compiled",
     # always batched CFG, always fp32 Euler, no lazy-eval cache to tune).
@@ -425,6 +432,7 @@ def main(argv=None) -> None:
             profile=args.profile,
             mesh=mesh,
             sequence_parallel=args.sequence_parallel,
+            low_memory=args.low_memory,
         )
 
     if args.save_frames and result.video is not None:

@@ -388,6 +388,8 @@ class TestCLIParsers:
         assert args.height == 480 and args.width == 832
         assert args.image == [["img.png", "0", "0.9"]]
         assert args.audio and args.stream
+        assert args.low_memory is False
+        assert build_parser().parse_args(["--prompt", "x", "--low-memory"]).low_memory
 
     def test_train_parser(self):
         from mlx_video_tpu.cli.train import build_parser
