@@ -86,14 +86,28 @@ def spec_for_path(path_str: str, ndim: int) -> P:
     None for the scanned layer axis."""
     # W8A8 leaves (ops/int8.py): int8_weight has the weight's (in, out)
     # layout; int8_scale is (out,) like a bias.
+    transpose = False
     if path_str.endswith("int8_weight"):
         path_str = path_str[: -len("int8_weight")] + "weight"
     elif path_str.endswith("int8_scale"):
         path_str = path_str[: -len("int8_scale")] + "bias"
+    else:
+        # Affine-quantized leaves (ops/quant.py, MLX layout): quant_weight is
+        # (out, in*bits/32) and scales/biases are (out, in/group) — the dense
+        # (in, out) spec with its matrix axes swapped. The packed/group axis
+        # shards like ``in`` (unpack is elementwise along it; the contraction
+        # partial-sums reduce over it exactly as over the dense in axis).
+        for leaf in ("quant_weight", "scales", "biases"):
+            if path_str.endswith("/" + leaf):
+                path_str = path_str[: -len(leaf)] + "weight"
+                transpose = True
+                break
     stacked = path_str.startswith("blocks/") or "/blocks/" in path_str
     for pattern, spec in _RULES:
         if re.search(pattern, path_str):
             base = tuple(spec)
+            if transpose and len(base) == 2:
+                base = (base[1], base[0])
             if stacked:
                 base = (None,) + base
             # pad/truncate to ndim

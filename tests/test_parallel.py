@@ -302,3 +302,61 @@ class TestW8A8Sharding:
             )
             out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+class TestQuantSharding:
+    """Affine-quantized (MLX layout) leaves shard as the dense spec with the
+    matrix axes swapped: quant_weight is (out, in*bits/32) and scales/biases
+    are (out, in/group) vs dense (in, out) — so `--w4a8 --mesh` gets real
+    TP/FSDP instead of silent replication."""
+
+    def test_quant_specs_are_transposed_dense(self):
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        cfg = tp_config()
+        params = quantize_dit_params(
+            init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32), group_size=32
+        )
+        specs = param_specs(params)
+        # dense to_q weight is (fsdp, tensor) over (in, out) -> quant (out, in')
+        assert specs["blocks"]["attn1"]["to_q"]["quant_weight"] == P(None, "tensor", "fsdp")
+        assert specs["blocks"]["attn1"]["to_q"]["scales"] == P(None, "tensor", "fsdp")
+        assert specs["blocks"]["attn1"]["to_q"]["biases"] == P(None, "tensor", "fsdp")
+        # dense proj_out weight is (tensor, fsdp) -> quant (fsdp, tensor)
+        assert specs["blocks"]["ff"]["proj_out"]["quant_weight"] == P(None, "fsdp", "tensor")
+
+    @pytest.mark.parametrize("w4a8", [False, True])
+    def test_sharded_quant_forward_matches_single_device(self, w4a8):
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+
+        cfg = tp_config()
+        params = quantize_dit_params(
+            init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32), group_size=32
+        )
+        if w4a8:
+            params = prepare_w4a8(params, bits=4)
+        rng = np.random.default_rng(0)
+        b, f, h, w = 2, 2, 2, 2
+        latents = jnp.asarray(
+            rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)
+        )
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 4, cfg.caption_channels)).astype(np.float32))
+        ts = jnp.full((b, f * h * w), 0.7)
+
+        ref, _ = ltx_apply(
+            params, cfg,
+            video=Modality(latent=latents, timesteps=ts, context=context, positions=positions),
+        )
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            sp = shard_params(params, mesh)
+            lat_s, pos_s, ctx_s, ts_s = shard_batch((latents, positions, context, ts), mesh)
+            fn = jax.jit(
+                lambda p, l, po, c, t: ltx_apply(
+                    p, cfg, video=Modality(latent=l, timesteps=t, context=c, positions=po)
+                )[0]
+            )
+            out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
