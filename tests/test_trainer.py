@@ -203,6 +203,31 @@ class TestTrainer:
         assert sp.sp is not None
         np.testing.assert_allclose(sp.train(), ref_loss, rtol=1e-4)
 
+    def test_mesh_sharded_lora_over_quant_matches_single_device(self, tmp_path):
+        """The single-chip 19B recipe (LoRA over a frozen quantized base)
+        must also train under TP/FSDP sharding with identical losses —
+        float0 grads for the int base + the STE backward, under GSPMD."""
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+
+        mcfg, params = tiny_model()
+        qparams = prepare_w4a8(quantize_dit_params(params, group_size=16, bits=4))
+        kw = dict(training_mode="lora", lora_rank=2, steps=2, seed=5)
+
+        def fresh():
+            return jax.tree.map(jnp.copy, qparams)
+
+        ref = Trainer(
+            tiny_cfg(output_dir=str(tmp_path / "a"), **kw),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        ref_loss = ref.train()
+        sharded = Trainer(
+            tiny_cfg(output_dir=str(tmp_path / "b"), mesh_shape=(1, 2, 4), **kw),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert sharded.mesh is not None
+        np.testing.assert_allclose(sharded.train(), ref_loss, rtol=1e-4)
+
     def test_lora_only_updates_lora_leaves(self, tmp_path):
         mcfg, params = tiny_model()
         cfg = tiny_cfg(training_mode="lora", output_dir=str(tmp_path), steps=2)
