@@ -142,7 +142,9 @@ def main() -> None:
             enable_gradient_checkpointing=not tiny,
             handle_preemption=False,
         )
-        tr = Trainer(cfg, model_config=config, params=base, dataset=tr_ds(root, cfg))
+        # dataset=None: the Trainer builds the PrecomputedDataset from
+        # cfg.data_root/strategy exactly as a user run would.
+        tr = Trainer(cfg, model_config=config, params=base, dataset=None)
         key = jax.random.key(0)
         times: dict = {}
         step = 0
@@ -183,16 +185,6 @@ def main() -> None:
             "per_shape": report,
         }))
         del tr
-
-
-def tr_ds(root, cfg):
-    """PrecomputedDataset with the sources the Trainer would build."""
-    from mlx_video_tpu.trainer.datasets import PrecomputedDataset
-
-    sources = {"latents": "latents", "conditions": "conditions"}
-    if cfg.strategy == "video_to_video":
-        sources["reference_latents"] = "ref_latents"
-    return PrecomputedDataset(root, sources)
 
 
 if __name__ == "__main__":
