@@ -162,7 +162,9 @@ def train_step(
         first_frame_token_mask=jnp.asarray(_first_frame_token_mask(b, f, h, w)),
         always_conditioned_mask=jnp.zeros((b, f * h * w), dtype=bool),
     )
-    loss, grads = jax.value_and_grad(strategy_loss_fn)(params, config, sb, key)
+    loss, grads = jax.value_and_grad(strategy_loss_fn, allow_int=True)(
+        params, config, sb, key
+    )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = _merge_updates(params, updates)
     return params, opt_state, loss
