@@ -66,6 +66,24 @@ _RULES = [
     (r"adaln[a-z_]*/emb/timestep_embedder/linear2/bias$", P(None)),
     (r"adaln[a-z_]*/linear/weight$", P("fsdp", "tensor")),
     (r"adaln[a-z_]*/linear/bias$", P("tensor")),
+    # Gemma-3 text encoder (models/gemma3.py; layer stack scanned under
+    # "layers/"). Megatron TP: column-split q/k/v + gate/up, row-split
+    # o_proj/down_proj; vocab embedding fsdp-sharded for memory. Holding
+    # the 12B LM sharded NEXT TO the sharded 19B DiT (instead of the
+    # reference's serial load/free) is the multi-chip memory plan
+    # (SURVEY §7 "19B + Gemma-12B memory choreography").
+    (r"self_attn/(q|k|v)_proj/weight$", P("fsdp", "tensor")),
+    (r"self_attn/(q|k|v)_proj/bias$", P("tensor")),
+    (r"self_attn/o_proj/weight$", P("tensor", "fsdp")),
+    (r"self_attn/o_proj/bias$", P(None)),
+    (r"mlp/(gate|up)_proj/weight$", P("fsdp", "tensor")),
+    (r"mlp/(gate|up)_proj/bias$", P("tensor")),
+    (r"mlp/down_proj/weight$", P("tensor", "fsdp")),
+    (r"mlp/down_proj/bias$", P(None)),
+    (r"embed_tokens/weight$", P("fsdp", None)),
+    # 49-state aggregation matmul (188160 x 3840 — the largest single
+    # weight in the system, text_encoder.py)
+    (r"feature_extractor/aggregate_embed/weight$", P("fsdp", "tensor")),
 ]
 
 
@@ -102,7 +120,13 @@ def spec_for_path(path_str: str, ndim: int) -> P:
                 path_str = path_str[: -len(leaf)] + "weight"
                 transpose = True
                 break
-    stacked = path_str.startswith("blocks/") or "/blocks/" in path_str
+    stacked = (
+        path_str.startswith("blocks/")
+        or "/blocks/" in path_str
+        # Gemma layer stack (models/gemma3.py init: scanned under "layers")
+        or path_str.startswith("layers/")
+        or "/layers/" in path_str
+    )
     for pattern, spec in _RULES:
         if re.search(pattern, path_str):
             base = tuple(spec)

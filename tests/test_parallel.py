@@ -360,3 +360,65 @@ class TestQuantSharding:
             )
             out = fn(sp, lat_s, pos_s, ctx_s, ts_s)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+class TestGemmaSharding:
+    """Gemma-3 text-encoder params shard with megatron TP/FSDP rules so the
+    12B LM can live on the mesh next to the sharded 19B DiT (SURVEY §7
+    memory choreography), in bf16 and W8A8."""
+
+    @staticmethod
+    def _tiny_gemma():
+        from mlx_video_tpu.models.gemma3 import Gemma3TextConfig, init_gemma3_params
+
+        cfg = Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=128, sliding_window=8, sliding_window_pattern=2,
+            query_pre_attn_scalar=16.0,
+        )
+        params = init_gemma3_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        # zero-init norms make the forward degenerate; give them real values
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, x: x + 0.5 if "layernorm" in _pstr(path) or _pstr(path).endswith("norm/weight") else x,
+            params,
+        )
+        return cfg, params
+
+    def test_gemma_specs(self):
+        cfg, params = self._tiny_gemma()
+        specs = param_specs(params)
+        assert specs["layers"]["self_attn"]["q_proj"]["weight"] == P(None, "fsdp", "tensor")
+        assert specs["layers"]["self_attn"]["o_proj"]["weight"] == P(None, "tensor", "fsdp")
+        assert specs["layers"]["mlp"]["gate_proj"]["weight"] == P(None, "fsdp", "tensor")
+        assert specs["layers"]["mlp"]["down_proj"]["weight"] == P(None, "tensor", "fsdp")
+        assert specs["embed_tokens"]["weight"] == P("fsdp", None)
+
+    @pytest.mark.parametrize("w8a8", [False, True])
+    def test_sharded_hidden_states_match_single_device(self, w8a8):
+        from mlx_video_tpu.models.gemma3 import gemma3_hidden_states
+
+        cfg, params = self._tiny_gemma()
+        if w8a8:
+            from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+            params = quantize_params_w8a8({"language_model": params})["language_model"]
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, 256, (2, 16)), jnp.int32)
+        mask = jnp.ones((2, 16), jnp.int32)
+
+        ref = gemma3_hidden_states(params, cfg, ids, mask)
+        ref_last = np.asarray(ref[-1])
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            sp = shard_params(params, mesh)
+            ids_s, mask_s = shard_batch((ids, mask), mesh)
+            out = jax.jit(
+                lambda p, i, m: gemma3_hidden_states(p, cfg, i, m)[-1]
+            )(sp, ids_s, mask_s)
+        np.testing.assert_allclose(np.asarray(out), ref_last, atol=2e-3)
+
+
+def _pstr(path):
+    return "/".join(str(getattr(k, "key", k)) for k in path)
