@@ -370,6 +370,12 @@ def main(argv=None) -> None:
             model_path, args.text_encoder_path or model_path, dtype=jnp.bfloat16,
             w8a8=args.w8a8,
         )
+        if mesh is not None:
+            # Hold the 12B LM sharded next to the sharded DiT (TP/FSDP rules
+            # in parallel/sharding.py) instead of serial load/free.
+            from mlx_video_tpu.parallel.sharding import shard_params as _shard
+
+            encoder.params = _shard(encoder.params, mesh)
         if args.enhance_prompt:
             enhance_kwargs = dict(temperature=args.temperature, max_new_tokens=args.max_tokens)
             prompt = (

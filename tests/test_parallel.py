@@ -422,3 +422,40 @@ class TestGemmaSharding:
 
 def _pstr(path):
     return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+class TestFullTextEncoderSharding:
+    def test_sharded_encode_tokens_matches_single_device(self):
+        """The whole text-encoder tree (Gemma + aggregation + connectors)
+        shard_params cleanly and encode_tokens reproduces single-device
+        embeddings under the mesh (the CLI's --mesh text-encode path)."""
+        from mlx_video_tpu.models.gemma3 import Gemma3TextConfig
+        from mlx_video_tpu.models.ltx.text_encoder import (
+            encode_tokens,
+            init_text_encoder_params,
+        )
+
+        cfg = Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=128, sliding_window=8, sliding_window_pattern=2,
+            query_pre_attn_scalar=16.0,
+        )
+        params = init_text_encoder_params(
+            jax.random.key(0), cfg, hidden_dim=64, dtype=jnp.float32
+        )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, 256, (1, 16)), jnp.int32)
+        mask = jnp.ones((1, 16), jnp.int32)
+        # connectors keep their real 30x128 head geometry (init_connector
+        # defaults) regardless of the tiny gemma hidden size
+        ref_v, ref_a = encode_tokens(params, cfg, ids, mask)
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            sp = shard_params(params, mesh)
+            out_v, out_a = jax.jit(
+                lambda p, i, m: encode_tokens(p, cfg, i, m)
+            )(sp, ids, mask)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=2e-3)
