@@ -1,0 +1,279 @@
+"""Persistent generation server: load once, generate many.
+
+The reference is a one-shot CLI (mlx_video/generate.py main()); on TPU the
+dominant per-run cost is compilation (denoise scan + chunked decoder —
+minutes cold, PERF.md), which a resident process pays once per shape and
+then never again: within one process a repeat 512^2x33 decode costs 0.31 s
+and a denoise step its roofline time. This server is the deployment shape
+that exploits that: models load once, stay on device (optionally
+mesh-sharded), and every request reuses the compiled programs.
+
+HTTP (stdlib only):
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /generate {json}    -> {"path", "wall_seconds", "phases", ...}
+
+Request fields (all optional except prompt unless --embeddings is given):
+  prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
+  ("distilled" | "dev"), stage1_steps, stage2_steps, num_inference_steps,
+  cfg_scale, tiling.
+
+Generation is serialized with a lock (one device); requests queue.
+`low_memory` is rejected: it frees the transformer after each run, which
+defeats a resident server — shard over a mesh instead.
+
+    python -m mlx_video_tpu.cli.serve --model-repo /path/to/snapshot \
+        --embeddings emb.safetensors --port 8787 --warmup 512x512x33
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+
+_PIPELINES = ("distilled", "dev")
+
+
+class GenerationService:
+    """Owns the resident models and serializes generation requests."""
+
+    def __init__(
+        self,
+        models,
+        text_encoder=None,
+        default_text=None,
+        output_dir: Path = Path("/tmp/mlx_video_tpu_serve"),
+        mesh=None,
+        dtype=None,
+    ) -> None:
+        import jax.numpy as jnp
+
+        self.models = models
+        self.text_encoder = text_encoder
+        self.default_text = default_text
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self.dtype = dtype if dtype is not None else jnp.bfloat16
+        self.lock = threading.Lock()
+        self.requests_served = 0
+        self.started = time.time()
+
+    def _text_for(self, req: dict):
+        from mlx_video_tpu.pipelines.generate import TextConditioning
+
+        prompt = req.get("prompt", "")
+        if self.text_encoder is not None:
+            video, audio = self.text_encoder.encode(prompt)
+            neg = req.get("negative_prompt")
+            video_neg = audio_neg = None
+            if neg:
+                video_neg, audio_neg = self.text_encoder.encode(neg)
+            return TextConditioning(
+                video_embeddings=video,
+                video_neg_embeddings=video_neg,
+                audio_embeddings=audio,
+                audio_neg_embeddings=audio_neg,
+            )
+        if self.default_text is None:
+            raise ValueError(
+                "No text encoder loaded and no --embeddings default; "
+                "pass --embeddings or a text-encoder snapshot."
+            )
+        return self.default_text
+
+    def generate(self, req: dict) -> dict:
+        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
+
+        pipeline = str(req.get("pipeline", "distilled")).lower()
+        if pipeline not in _PIPELINES:
+            raise ValueError(f"pipeline must be one of {_PIPELINES}")
+        seed = int(req.get("seed", 0))
+        out = self.output_dir / f"gen_{int(time.time() * 1000)}_{seed}.mp4"
+        kwargs = dict(
+            height=int(req.get("height", 512)),
+            width=int(req.get("width", 512)),
+            num_frames=int(req.get("num_frames", 33)),
+            fps=float(req.get("fps", 24.0)),
+            seed=seed,
+            pipeline=PipelineType.DEV if pipeline == "dev" else PipelineType.DISTILLED,
+            stage1_steps=int(req.get("stage1_steps", 8)),
+            stage2_steps=int(req.get("stage2_steps", 3)),
+            num_inference_steps=int(req.get("num_inference_steps", 40)),
+            cfg_scale=float(req.get("cfg_scale", 4.0)),
+            tiling=str(req.get("tiling", "auto")),
+            output_path=out,
+            dtype=self.dtype,
+            mesh=self.mesh,
+            profile=True,
+        )
+        text = self._text_for(req)
+        with self.lock:
+            t0 = time.time()
+            result = generate_video(self.models, text, prompt=req.get("prompt", ""), **kwargs)
+            wall = time.time() - t0
+            self.requests_served += 1
+        return {
+            "path": str(result.video_path or out),
+            "wall_seconds": round(wall, 3),
+            "phases": {k: round(v, 3) for k, v in result.phase_timer.phases.items()},
+            "requests_served": self.requests_served,
+        }
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "requests_served": self.requests_served,
+            "uptime_seconds": round(time.time() - self.started, 1),
+        }
+
+
+def make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send(200, service.health())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/generate":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                self._send(200, service.generate(req))
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the server
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+    return Handler
+
+
+def serve(service: GenerationService, host: str = "127.0.0.1", port: int = 8787):
+    """Build the HTTP server (returned so tests can drive it on port 0)."""
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Resident LTX-2 generation server")
+    p.add_argument("--model-repo", required=True, help="local snapshot path")
+    p.add_argument("--text-encoder-path", default=None)
+    p.add_argument("--embeddings", default=None,
+                   help="precomputed text-embeddings safetensors used for every "
+                        "request (skips the text encoder)")
+    p.add_argument("--pipeline", choices=_PIPELINES, default="distilled",
+                   help="pipeline whose weights to load")
+    p.add_argument("--audio", action="store_true")
+    p.add_argument("--w8a8", action="store_true")
+    p.add_argument("--w4a8", action="store_true")
+    p.add_argument("--mesh", default=None, help="data,fsdp,tensor or 'auto'")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--output-dir", default="/tmp/mlx_video_tpu_serve")
+    p.add_argument("--warmup", default=None,
+                   help="WxHxF to precompile at startup, e.g. 512x512x33 "
+                        "(first request then runs at steady-state latency)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mlx_video_tpu", "jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax.numpy as jnp
+
+    from mlx_video_tpu.cli.generate import load_embeddings
+    from mlx_video_tpu.loading import load_model_bundle
+    from mlx_video_tpu.pipelines.generate import PipelineType
+
+    pipeline = PipelineType.DEV if args.pipeline == "dev" else PipelineType.DISTILLED
+    models = load_model_bundle(
+        Path(args.model_repo), pipeline=pipeline, audio=args.audio, dtype=jnp.bfloat16
+    )
+    if args.w8a8 and args.w4a8:
+        raise SystemExit("--w8a8 and --w4a8 are mutually exclusive")
+    if args.w8a8:
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        models.transformer_params = quantize_params_w8a8(models.transformer_params)
+    if args.w4a8:
+        from mlx_video_tpu.ops.quant import prepare_w4a8
+
+        models.transformer_params = prepare_w4a8(models.transformer_params)
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
+        from mlx_video_tpu.parallel.sharding import shard_params
+
+        shape = (
+            factor_devices(len(jax.devices()))
+            if args.mesh == "auto"
+            else tuple(int(x) for x in args.mesh.split(","))
+        )
+        mesh = create_mesh(shape)
+        models.transformer_params = shard_params(models.transformer_params, mesh)
+
+    text_encoder = default_text = None
+    if args.embeddings:
+        default_text = load_embeddings(args.embeddings)
+    else:
+        from mlx_video_tpu.models.ltx.text_encoder import LTX2TextEncoder
+
+        text_encoder = LTX2TextEncoder.load(
+            args.model_repo, args.text_encoder_path or args.model_repo,
+            dtype=jnp.bfloat16, w8a8=args.w8a8,
+        )
+        if mesh is not None:
+            from mlx_video_tpu.parallel.sharding import shard_params
+
+            text_encoder.params = shard_params(text_encoder.params, mesh)
+
+    service = GenerationService(
+        models, text_encoder=text_encoder, default_text=default_text,
+        output_dir=Path(args.output_dir), mesh=mesh,
+    )
+
+    if args.warmup:
+        w, h, f = (int(x) for x in args.warmup.lower().split("x"))
+        print(f"[serve] warmup {w}x{h}x{f} (compiles cache in-process)...")
+        t0 = time.time()
+        service.generate({"prompt": "warmup", "width": w, "height": h, "num_frames": f})
+        print(f"[serve] warmup done in {time.time() - t0:.1f}s")
+
+    httpd = serve(service, args.host, args.port)
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"(POST /generate, GET /healthz)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

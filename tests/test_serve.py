@@ -1,0 +1,128 @@
+"""Generation server (cli/serve.py): resident models, HTTP surface,
+request serialization, warm-request speedup from in-process compile reuse."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.cli.serve import GenerationService, serve
+from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.models.ltx.model import init_ltx_params
+from mlx_video_tpu.models.ltx.upsampler import init_latent_upsampler
+from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+from mlx_video_tpu.pipelines.generate import ModelBundle, TextConditioning
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    cfg = tiny_test_config(LTXModelType.VideoOnly)
+    dec_cfg = DecoderConfig(
+        in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+        num_upsamples=3, patch_size=4,
+    )
+    models = ModelBundle(
+        transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+        transformer_config=cfg,
+        vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+        vae_decoder_config=dec_cfg,
+        upsampler_params=init_latent_upsampler(
+            jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+        ),
+    )
+    rng = np.random.default_rng(0)
+    text = TextConditioning(
+        video_embeddings=jnp.asarray(
+            rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+        )
+    )
+    return GenerationService(
+        models, default_text=text,
+        output_dir=tmp_path_factory.mktemp("serve_out"),
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def server_url(service):
+    httpd = serve(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServe:
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 1, "stage2_steps": 1, "tiling": "none"}
+
+    def test_healthz(self, server_url):
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            body = json.loads(r.read())
+        assert r.status == 200 and body["status"] == "ok"
+
+    def test_generate_and_warm_reuse(self, server_url, service):
+        import os
+        import time
+
+        t0 = time.time()
+        code, out = _post(server_url, dict(self.REQ, seed=1))
+        cold = time.time() - t0
+        assert code == 200, out
+        assert os.path.exists(out["path"]) and out["wall_seconds"] > 0
+        assert "stage1_denoise" in out["phases"]
+
+        t0 = time.time()
+        code, out2 = _post(server_url, dict(self.REQ, seed=2))
+        warm = time.time() - t0
+        assert code == 200 and out2["path"] != out["path"]
+        assert out2["requests_served"] == service.requests_served
+        # same shapes -> compiled programs reused; warm must be much faster
+        assert warm < cold / 2, (cold, warm)
+
+    def test_bad_pipeline_is_400(self, server_url):
+        code, out = _post(server_url, dict(self.REQ, pipeline="nope"))
+        assert code == 400 and "pipeline" in out["error"]
+
+    def test_unknown_path_404(self, server_url):
+        try:
+            urllib.request.urlopen(server_url + "/nope")
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 404
+
+    def test_missing_text_encoder_is_400(self, server_url, service):
+        saved = service.default_text
+        service.default_text = None
+        try:
+            code, out = _post(server_url, dict(self.REQ))
+            assert code == 400 and "embeddings" in out["error"]
+        finally:
+            service.default_text = saved
+
+
+class TestServeParser:
+    def test_parser(self):
+        from mlx_video_tpu.cli.serve import build_parser
+
+        a = build_parser().parse_args(
+            ["--model-repo", "/x", "--port", "9", "--warmup", "512x512x33", "--w4a8"]
+        )
+        assert a.port == 9 and a.warmup == "512x512x33" and a.w4a8
