@@ -15,7 +15,7 @@ HTTP (stdlib only):
 Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
   ("distilled" | "dev"), stage1_steps, stage2_steps, num_inference_steps,
-  cfg_scale, tiling.
+  cfg_scale, audio, audio_mode, tiling.
 
 Generation is serialized with a lock (one device); requests queue.
 `low_memory` is rejected: it frees the transformer after each run, which
@@ -106,6 +106,8 @@ class GenerationService:
             stage2_steps=int(req.get("stage2_steps", 3)),
             num_inference_steps=int(req.get("num_inference_steps", 40)),
             cfg_scale=float(req.get("cfg_scale", 4.0)),
+            audio=bool(req.get("audio", False)),
+            audio_mode=str(req.get("audio_mode", "auto")),
             tiling=str(req.get("tiling", "auto")),
             output_path=out,
             dtype=self.dtype,
