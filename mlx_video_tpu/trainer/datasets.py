@@ -193,6 +193,22 @@ class PrecomputedDataset:
             for dir_name, out_key in self.data_sources.items()
         ]
 
+    def latent_shape(self, index: int) -> Tuple[int, ...]:
+        """Header-only latent shape of one sample — cheap (no tensor data
+        read for safetensors), used to group resolution buckets into
+        same-shape batches."""
+        data_key = "latents" if "latents" in self.data_sources else next(iter(self.data_sources))
+        out_key = self.data_sources[data_key]
+        path = self.source_paths[data_key] / self.sample_files[out_key][index]
+        if path.suffix == ".safetensors":
+            from mlx_video_tpu.io.safetensors import SafetensorsReader
+
+            with SafetensorsReader(path) as r:
+                key = "latents" if "latents" in r else r.keys()[0]
+                return r.shape(key)
+        data = _load_any(path)
+        return tuple(np.asarray(data.get("latents", next(iter(data.values())))).shape)
+
     def __getitem__(self, index: int) -> Batch:
         result: Dict[str, Dict[str, Any]] = {}
         for dir_name, out_key in self.data_sources.items():
@@ -257,11 +273,34 @@ def iter_batches(
     When the dataset exposes ``sample_paths`` (PrecomputedDataset), the next
     ``prefetch`` batches' files are read on background threads (native C++
     pool when available) so disk IO overlaps the on-device train step.
+
+    With ``batch_size > 1`` on a dataset that exposes ``latent_shape``
+    (PrecomputedDataset), samples are grouped into same-shape batches so a
+    resolution-bucketed dataset (precompute ``--resolution-buckets``)
+    collates cleanly — mixed shapes in one batch cannot be stacked, and
+    each distinct shape is one compiled program on TPU anyway. Batch order
+    interleaves buckets (shuffled); a trailing partial batch per bucket is
+    yielded as-is.
     """
     idxs = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idxs)
-    starts = list(range(0, len(dataset), batch_size))
+    if batch_size > 1 and hasattr(dataset, "latent_shape"):
+        buckets: dict = {}
+        for i in idxs:
+            buckets.setdefault(dataset.latent_shape(int(i)), []).append(int(i))
+        batches = [
+            members[j : j + batch_size]
+            for members in buckets.values()
+            for j in range(0, len(members), batch_size)
+        ]
+        if shuffle:
+            np.random.default_rng(seed + 1).shuffle(batches)
+    else:
+        batches = [
+            [int(j) for j in idxs[i : i + batch_size]]
+            for i in range(0, len(dataset), batch_size)
+        ]
 
     if prefetch > 0 and hasattr(dataset, "sample_paths"):
         from mlx_video_tpu.io.prefetch import FilePrefetcher
@@ -269,17 +308,15 @@ def iter_batches(
         with FilePrefetcher(prefetch_threads) as fetcher:
             dataset._fetcher = fetcher
             try:
-                for bi, i in enumerate(starts):
-                    for j in starts[bi : bi + 1 + prefetch]:
-                        for idx in idxs[j : j + batch_size]:
-                            for p in dataset.sample_paths(int(idx)):
+                for bi, chunk in enumerate(batches):
+                    for ahead in batches[bi : bi + 1 + prefetch]:
+                        for idx in ahead:
+                            for p in dataset.sample_paths(idx):
                                 fetcher.submit(p)
-                    chunk = idxs[i : i + batch_size]
-                    yield collate_batches([dataset[int(j)] for j in chunk])
+                    yield collate_batches([dataset[j] for j in chunk])
             finally:
                 dataset._fetcher = None
         return
 
-    for i in starts:
-        chunk = idxs[i : i + batch_size]
-        yield collate_batches([dataset[int(j)] for j in chunk])
+    for chunk in batches:
+        yield collate_batches([dataset[j] for j in chunk])

@@ -90,6 +90,44 @@ class TestDatasets:
         assert b.latents["latents"].shape == (16, 2, 2, 2)
         assert "prompt_embeds" in b.conditions
 
+    def test_bucketed_batching_groups_same_shape(self, tmp_path, rng):
+        """batch_size > 1 over a resolution-bucketed dataset: every batch is
+        one bucket (mixed shapes cannot stack), every sample appears once,
+        partial per-bucket tails are yielded as-is."""
+        from mlx_video_tpu.io.safetensors import save_safetensors
+        from mlx_video_tpu.trainer.datasets import PrecomputedDataset
+
+        (tmp_path / "latents").mkdir()
+        (tmp_path / "conditions").mkdir()
+        shapes = [(16, 2, 2, 2)] * 3 + [(16, 2, 4, 2)] * 2  # bucket sizes 3+2
+        for i, shp in enumerate(shapes):
+            save_safetensors(
+                tmp_path / "latents" / f"latent_{i:03d}.safetensors",
+                {
+                    "latents": rng.normal(size=shp).astype(np.float32),
+                    "num_frames": np.array([shp[1]], np.int32),
+                    "height": np.array([shp[2]], np.int32),
+                    "width": np.array([shp[3]], np.int32),
+                },
+            )
+            save_safetensors(
+                tmp_path / "conditions" / f"condition_{i:03d}.safetensors",
+                {"prompt_embeds": rng.normal(size=(8, 48)).astype(np.float32)},
+            )
+        ds = PrecomputedDataset(tmp_path)
+        assert ds.latent_shape(0) == (16, 2, 2, 2)
+        seen = 0
+        batch_shapes = []
+        for b in iter_batches(ds, batch_size=2, shuffle=True, seed=3):
+            lat = b.latents["latents"]
+            seen += lat.shape[0]
+            batch_shapes.append(lat.shape)
+        assert seen == len(ds) == 5
+        # bucket of 3 -> batches of 2+1; bucket of 2 -> one batch of 2
+        assert sorted(s[0] for s in batch_shapes) == [1, 2, 2]
+        for s in batch_shapes:  # never mixed within a batch
+            assert s[1:] in ((16, 2, 2, 2), (16, 2, 4, 2))
+
     def test_legacy_patchified_normalization(self, rng):
         from mlx_video_tpu.trainer.datasets import normalize_video_latents
 
