@@ -49,6 +49,7 @@ class GenerationService:
         default_text=None,
         output_dir: Path = Path("/tmp/mlx_video_tpu_serve"),
         mesh=None,
+        sequence_parallel: bool = False,
         dtype=None,
     ) -> None:
         import jax.numpy as jnp
@@ -59,6 +60,7 @@ class GenerationService:
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh
+        self.sequence_parallel = sequence_parallel
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.lock = threading.Lock()
         self.requests_served = 0
@@ -112,6 +114,7 @@ class GenerationService:
             output_path=out,
             dtype=self.dtype,
             mesh=self.mesh,
+            sequence_parallel=self.sequence_parallel,
             profile=True,
         )
         text = self._text_for(req)
@@ -188,6 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w8a8", action="store_true")
     p.add_argument("--w4a8", action="store_true")
     p.add_argument("--mesh", default=None, help="data,fsdp,tensor or 'auto'")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="With --mesh: ring-attention token sharding over fsdp")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--output-dir", default="/tmp/mlx_video_tpu_serve")
@@ -262,6 +267,7 @@ def main(argv=None) -> None:
     service = GenerationService(
         models, text_encoder=text_encoder, default_text=default_text,
         output_dir=Path(args.output_dir), mesh=mesh,
+        sequence_parallel=args.sequence_parallel,
     )
 
     if args.warmup:
