@@ -457,6 +457,9 @@ def generate_video(
         # Conditionings at both stage resolutions (reference: generate.py:3059-3124).
         s1_conds = s2_conds = []
         if images or video_conditionings:
+            # A prior low_memory run leaves the encoder host-staged; bring it
+            # back before encoding (mixed host/device jit args don't mix).
+            models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=False)
             with timer.phase("cond_encode"):
                 s1_conds = _encode_conditionings(
                     models, images, video_conditionings, height // 2, width // 2,
@@ -558,6 +561,7 @@ def generate_video(
         _check_params_dtype(models, dtype)
         dev_conds = []
         if images:
+            models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=False)
             with timer.phase("cond_encode"):
                 dev_conds = _encode_conditionings(
                     models, images, (), height, width, num_frames, conditioning_mode, dtype

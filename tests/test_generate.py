@@ -128,6 +128,52 @@ class TestDistilledPipeline:
         assert out.exists() and np.all(np.isfinite(result.video))
         assert bundle.transformer_params is None
 
+    def test_low_memory_repeat_run_with_images(self, tmp_path):
+        """A second low_memory run on the same bundle must restage the
+        host-parked VAE encoder back on-device before cond_encode (a prior
+        run leaves it host-staged)."""
+        from dataclasses import replace
+
+        from mlx_video_tpu.config import LTXModelType, VideoVAEConfig, tiny_test_config
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig, init_video_decoder
+        from mlx_video_tpu.models.ltx.video_vae.encoder import init_video_encoder
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        enc_cfg = VideoVAEConfig(
+            in_channels=3, out_channels=cfg.in_channels, latent_channels=cfg.in_channels,
+            patch_size=4, encoder_blocks=REAL_GEOM_ENCODER_BLOCKS,
+        )
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        bundle = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            vae_encoder_params=init_video_encoder(jax.random.key(2), enc_cfg),
+            vae_encoder_config=enc_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(3), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        import cv2
+
+        img = tmp_path / "cond.png"
+        cv2.imwrite(str(img), np.zeros((64, 64, 3), np.uint8))
+        kw = dict(
+            height=64, width=64, num_frames=9, seed=0, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, images=[(str(img), 0, 1.0)],
+            tiling="none", dtype=jnp.float32, low_memory=True,
+        )
+        t_params = bundle.transformer_params
+        generate_video(bundle, _text(cfg), output_path=tmp_path / "a.mp4", **kw)
+        # low_memory freed the transformer; restore for the second run
+        bundle2 = replace(bundle, transformer_params=t_params)
+        r2 = generate_video(bundle2, _text(cfg), output_path=tmp_path / "b.mp4", **kw)
+        assert (tmp_path / "b.mp4").exists() and np.all(np.isfinite(r2.video))
+
     def test_latents_only(self, models):
         result = generate_video(
             models, _text(models.transformer_config),
