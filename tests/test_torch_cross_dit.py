@@ -94,7 +94,16 @@ def t_apply_split_rope(x, cos_f, sin_f):
     return out.swapaxes(1, 2).reshape(b, t, h * d)
 
 
-def t_attention(p, x, heads, pe=None, context=None, eps=1e-6):
+def t_apply_interleaved_rope(x, cos_f, sin_f):
+    # rope.py:33-88; x: (B, T, dim), cos/sin: (B, T, dim)
+    x = x.float()
+    pairs = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    t1, t2 = pairs[..., 0], pairs[..., 1]
+    t_rot = torch.stack([-t2, t1], -1).reshape(x.shape)
+    return x * cos_f + t_rot * sin_f
+
+
+def t_attention(p, x, heads, pe=None, context=None, eps=1e-6, rope="split"):
     # attention.py:102-142
     q = t_lin(p["to_q"], x)
     ctx = x if context is None else context
@@ -103,8 +112,9 @@ def t_attention(p, x, heads, pe=None, context=None, eps=1e-6):
     q = t_rms(q, p["q_norm"]["weight"], eps)
     k = t_rms(k, p["k_norm"]["weight"], eps)
     if pe is not None:
-        q = t_apply_split_rope(q, *pe)
-        k = t_apply_split_rope(k, *pe)
+        apply = t_apply_split_rope if rope == "split" else t_apply_interleaved_rope
+        q = apply(q, *pe)
+        k = apply(k, *pe)
     b, tq, dim = q.shape
     dh = dim // heads
     qh = q.reshape(b, tq, heads, dh).swapaxes(1, 2)
@@ -124,11 +134,11 @@ def t_get_ada(table, modulation, lo, hi, n=6):
     return tuple(vals[:, :, i, :] for i in range(hi - lo))
 
 
-def t_block(bp, x, modulation, ctx, heads, pe, eps):
+def t_block(bp, x, modulation, ctx, heads, pe, eps, rope="split"):
     # transformer.py:221-361 (video-only path)
     shift_msa, scale_msa, gate_msa = t_get_ada(bp["scale_shift_table"], modulation, 0, 3)
     norm_x = t_rms(x, eps=eps) * (1 + scale_msa) + shift_msa
-    x = x + t_attention(bp["attn1"], norm_x, heads, pe=pe, eps=eps) * gate_msa
+    x = x + t_attention(bp["attn1"], norm_x, heads, pe=pe, eps=eps, rope=rope) * gate_msa
     x = x + t_attention(bp["attn2"], t_rms(x, eps=eps), heads, context=ctx, eps=eps)
     shift_mlp, scale_mlp, gate_mlp = t_get_ada(bp["scale_shift_table"], modulation, 3, 6)
     x_scaled = t_rms(x, eps=eps) * (1 + scale_mlp) + shift_mlp
@@ -153,19 +163,20 @@ def t_ltx_forward(params, cfg, tokens, timesteps, context, positions):
         t_gelu_tanh(t_lin(vp["caption_projection"]["linear1"], context)),
     )
 
+    rope = "split" if cfg.rope_type.value == "split" else "interleaved"
     cos_f, sin_f = _ref_precompute_freqs_cis(
         np.asarray(positions, np.float32), dim=dim,
         theta=cfg.positional_embedding_theta,
         max_pos=list(cfg.positional_embedding_max_pos),
         use_middle=cfg.use_middle_indices_grid,
-        num_heads=cfg.num_attention_heads, rope_type="split",
+        num_heads=cfg.num_attention_heads, rope_type=rope,
     )
     pe = (torch.as_tensor(cos_f.astype(np.float32)), torch.as_tensor(sin_f.astype(np.float32)))
 
     n_layers = cfg.num_layers
     for layer in range(n_layers):
         bp = jax.tree.map(lambda leaf: leaf[layer], params["blocks"])
-        x = t_block(bp, x, modulation, ctx, cfg.num_attention_heads, pe, eps)
+        x = t_block(bp, x, modulation, ctx, cfg.num_attention_heads, pe, eps, rope=rope)
 
     # output head (ltx.py:432-457)
     table = torch.as_tensor(np.asarray(vp["scale_shift_table"], np.float32))
@@ -182,9 +193,9 @@ def t_ltx_forward(params, cfg, tokens, timesteps, context, positions):
 
 
 class TestTorchCrossDiT:
-    @pytest.fixture(scope="class")
-    def setup(self):
-        cfg = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT)
+    @pytest.fixture(scope="class", params=[LTXRopeType.SPLIT, LTXRopeType.INTERLEAVED])
+    def setup(self, request):
+        cfg = tiny_test_config(LTXModelType.VideoOnly, rope_type=request.param)
         params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
         rng = np.random.default_rng(0)
         b, f, h, w = 1, 2, 4, 4
