@@ -231,3 +231,185 @@ class TestTorchCrossDiT:
         cfg, params, tokens, timesteps, context, positions = setup
         ref = _ref_position_grid(1, 2, 4, 4)
         np.testing.assert_allclose(positions, np.asarray(ref, np.float32), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# AudioVideo: bidirectional cross-modal attention (transformer.py:283-344,
+# MultiModalTransformerArgsPreprocessor ltx.py:163-247)
+# ---------------------------------------------------------------------------
+
+
+def t_prepare_simple(mp, cfg, tokens, timesteps, context, positions, dim, heads, max_pos):
+    x = t_lin(mp["patchify_proj"], tokens)
+    b = x.shape[0]
+    t_flat = (timesteps * cfg.timestep_scale_multiplier).reshape(-1)
+    modulation, embedded = t_adaln(mp["adaln_single"], t_flat)
+    modulation = modulation.reshape(b, -1, modulation.shape[-1])
+    embedded = embedded.reshape(b, -1, embedded.shape[-1])
+    ctx = t_lin(
+        mp["caption_projection"]["linear2"],
+        t_gelu_tanh(t_lin(mp["caption_projection"]["linear1"], context)),
+    )
+    cos_f, sin_f = _ref_precompute_freqs_cis(
+        np.asarray(positions, np.float32), dim=dim,
+        theta=cfg.positional_embedding_theta, max_pos=max_pos,
+        use_middle=cfg.use_middle_indices_grid, num_heads=heads, rope_type="split",
+    )
+    pe = (torch.as_tensor(cos_f.astype(np.float32)), torch.as_tensor(sin_f.astype(np.float32)))
+    return x, modulation, embedded, ctx, pe
+
+
+def t_prepare_cross(av, ss_key, gate_key, cfg, timesteps, positions, cross_dim, heads, cross_max_pos):
+    # ltx.py:203-247: cross pe over the time axis only + two extra adalns
+    b = timesteps.shape[0]
+    cos_f, sin_f = _ref_precompute_freqs_cis(
+        np.asarray(positions, np.float32)[:, 0:1, :], dim=cross_dim,
+        theta=cfg.positional_embedding_theta, max_pos=[cross_max_pos],
+        use_middle=True, num_heads=heads, rope_type="split",
+    )
+    cross_pe = (torch.as_tensor(cos_f.astype(np.float32)), torch.as_tensor(sin_f.astype(np.float32)))
+    t_scaled = (timesteps * cfg.timestep_scale_multiplier).reshape(-1)
+    factor = cfg.av_ca_timestep_scale_multiplier / cfg.timestep_scale_multiplier
+    ss_mod, _ = t_adaln(av[ss_key], t_scaled)
+    ss_t = ss_mod.reshape(b, -1, ss_mod.shape[-1])
+    gate_mod, _ = t_adaln(av[gate_key], t_scaled * factor)
+    gate_t = gate_mod.reshape(b, -1, gate_mod.shape[-1])
+    return cross_pe, ss_t, gate_t
+
+
+def t_get_av_ca_ada(table, ss_timestep, gate_timestep):
+    # transformer.py:178-218: rows [scale1, shift1, scale2, shift2, gate]
+    s1, sh1, s2, sh2 = t_get_ada(table[:4], ss_timestep, 0, 4, n=4)
+    (g,) = t_get_ada(table[4:], gate_timestep, 0, 1, n=1)
+    return s1, sh1, s2, sh2, g
+
+
+def t_av_block(bp, vx, ax, v_mod, a_mod, v_ctx, a_ctx, v_pe, a_pe,
+               v_cross, a_cross, heads_v, heads_a, eps):
+    # video self + text
+    shift, scale, gate = t_get_ada(bp["scale_shift_table"], v_mod, 0, 3)
+    norm_vx = t_rms(vx, eps=eps) * (1 + scale) + shift
+    vx = vx + t_attention(bp["attn1"], norm_vx, heads_v, pe=v_pe, eps=eps) * gate
+    vx = vx + t_attention(bp["attn2"], t_rms(vx, eps=eps), heads_v, context=v_ctx, eps=eps)
+    # audio self + text
+    shift, scale, gate = t_get_ada(bp["audio_scale_shift_table"], a_mod, 0, 3)
+    norm_ax = t_rms(ax, eps=eps) * (1 + scale) + shift
+    ax = ax + t_attention(bp["audio_attn1"], norm_ax, heads_a, pe=a_pe, eps=eps) * gate
+    ax = ax + t_attention(bp["audio_attn2"], t_rms(ax, eps=eps), heads_a, context=a_ctx, eps=eps)
+    # bidirectional cross-modal (transformer.py:283-344)
+    v_cross_pe, v_ss, v_gate = v_cross
+    a_cross_pe, a_ss, a_gate = a_cross
+    vx_n3, ax_n3 = t_rms(vx, eps=eps), t_rms(ax, eps=eps)
+    (sc_a_a2v, sh_a_a2v, sc_a_v2a, sh_a_v2a, gate_v2a) = t_get_av_ca_ada(
+        torch.as_tensor(np.asarray(bp["scale_shift_table_a2v_ca_audio"], np.float32)), a_ss, a_gate
+    )
+    (sc_v_a2v, sh_v_a2v, sc_v_v2a, sh_v_v2a, gate_a2v) = t_get_av_ca_ada(
+        torch.as_tensor(np.asarray(bp["scale_shift_table_a2v_ca_video"], np.float32)), v_ss, v_gate
+    )
+    vx_s = vx_n3 * (1 + sc_v_a2v) + sh_v_a2v
+    ax_s = ax_n3 * (1 + sc_a_a2v) + sh_a_a2v
+    vx = vx + t_attention_kpe(bp["audio_to_video_attn"], vx_s, heads_a, v_cross_pe, a_cross_pe, ax_s, eps) * gate_a2v
+    ax_s = ax_n3 * (1 + sc_a_v2a) + sh_a_v2a
+    vx_s = vx_n3 * (1 + sc_v_v2a) + sh_v_v2a
+    ax = ax + t_attention_kpe(bp["video_to_audio_attn"], ax_s, heads_a, a_cross_pe, v_cross_pe, vx_s, eps) * gate_v2a
+    # FFNs
+    shift, scale, gate = t_get_ada(bp["scale_shift_table"], v_mod, 3, 6)
+    vx_s = t_rms(vx, eps=eps) * (1 + scale) + shift
+    vx = vx + t_lin(bp["ff"]["proj_out"], t_gelu_tanh(t_lin(bp["ff"]["proj_in"], vx_s))) * gate
+    shift, scale, gate = t_get_ada(bp["audio_scale_shift_table"], a_mod, 3, 6)
+    ax_s = t_rms(ax, eps=eps) * (1 + scale) + shift
+    ax = ax + t_lin(bp["audio_ff"]["proj_out"], t_gelu_tanh(t_lin(bp["audio_ff"]["proj_in"], ax_s))) * gate
+    return vx, ax
+
+
+def t_attention_kpe(p, x, heads, pe, k_pe, context, eps):
+    # attention.py:122-138 with distinct q/k positional embeddings
+    q = t_lin(p["to_q"], x)
+    k = t_lin(p["to_k"], context)
+    v = t_lin(p["to_v"], context)
+    q = t_rms(q, p["q_norm"]["weight"], eps)
+    k = t_rms(k, p["k_norm"]["weight"], eps)
+    q = t_apply_split_rope(q, *pe)
+    k = t_apply_split_rope(k, *k_pe)
+    b, tq, dim = q.shape
+    dh = dim // heads
+    qh = q.reshape(b, tq, heads, dh).swapaxes(1, 2)
+    kh = k.reshape(b, -1, heads, dh).swapaxes(1, 2)
+    vh = v.reshape(b, -1, heads, dh).swapaxes(1, 2)
+    out = torch.nn.functional.scaled_dot_product_attention(qh, kh, vh)
+    return t_lin(p["to_out"], out.swapaxes(1, 2).reshape(b, tq, dim))
+
+
+def t_output_head(mp, x, embedded, eps):
+    table = torch.as_tensor(np.asarray(mp["scale_shift_table"], np.float32))
+    shift = table[0][None, None, :] + embedded
+    scale = table[1][None, None, :] + embedded
+    mean = x.float().mean(-1, keepdim=True)
+    var = x.float().var(-1, keepdim=True, unbiased=False)
+    x = (x - mean) * torch.rsqrt(var + eps)
+    return t_lin(mp["proj_out"], x * (1 + scale) + shift)
+
+
+class TestTorchCrossAV:
+    def test_av_forward_matches(self):
+        from mlx_video_tpu.pipelines.positions import create_audio_position_grid
+
+        cfg = tiny_test_config(LTXModelType.AudioVideo, rope_type=LTXRopeType.SPLIT)
+        params = init_ltx_params(jax.random.key(1), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        b, f, h, w, s_a = 1, 2, 2, 2, 6
+        s_v = f * h * w
+        v_tokens = rng.normal(size=(b, s_v, cfg.in_channels)).astype(np.float32)
+        a_tokens = rng.normal(size=(b, s_a, cfg.audio_in_channels)).astype(np.float32)
+        v_ts = np.full((b, s_v), 0.6, np.float32)
+        a_ts = np.full((b, s_a), 0.6, np.float32)
+        v_ctx = rng.normal(size=(b, 6, cfg.caption_channels)).astype(np.float32)
+        a_ctx = rng.normal(size=(b, 6, cfg.audio_caption_channels)).astype(np.float32)
+        v_pos = np.asarray(create_position_grid(b, f, h, w), np.float32)
+        a_pos = np.asarray(create_audio_position_grid(b, s_a), np.float32)
+
+        jv, ja = ltx_apply(
+            params, cfg,
+            video=Modality(latent=jnp.asarray(v_tokens), timesteps=jnp.asarray(v_ts),
+                           context=jnp.asarray(v_ctx), positions=jnp.asarray(v_pos)),
+            audio=Modality(latent=jnp.asarray(a_tokens), timesteps=jnp.asarray(a_ts),
+                           context=jnp.asarray(a_ctx), positions=jnp.asarray(a_pos)),
+        )
+
+        cross_max = max(cfg.positional_embedding_max_pos[0],
+                        cfg.audio_positional_embedding_max_pos[0])
+        vx, v_mod, v_emb, v_ctx_t, v_pe = t_prepare_simple(
+            params["video"], cfg, torch.as_tensor(v_tokens), torch.as_tensor(v_ts),
+            torch.as_tensor(v_ctx), v_pos, cfg.inner_dim, cfg.num_attention_heads,
+            list(cfg.positional_embedding_max_pos),
+        )
+        ax, a_mod, a_emb, a_ctx_t, a_pe = t_prepare_simple(
+            params["audio"], cfg, torch.as_tensor(a_tokens), torch.as_tensor(a_ts),
+            torch.as_tensor(a_ctx), a_pos, cfg.audio_inner_dim,
+            cfg.audio_num_attention_heads, list(cfg.audio_positional_embedding_max_pos),
+        )
+        v_cpe, v_ss, v_gate = t_prepare_cross(
+            params["av"], "av_ca_video_scale_shift_adaln", "av_ca_a2v_gate_adaln",
+            cfg, torch.as_tensor(v_ts), v_pos, cfg.audio_cross_attention_dim,
+            cfg.num_attention_heads, cross_max,
+        )
+        a_cpe, a_ss, a_gate = t_prepare_cross(
+            params["av"], "av_ca_audio_scale_shift_adaln", "av_ca_v2a_gate_adaln",
+            cfg, torch.as_tensor(a_ts), a_pos, cfg.audio_cross_attention_dim,
+            cfg.audio_num_attention_heads, cross_max,
+        )
+        for layer in range(cfg.num_layers):
+            bp = jax.tree.map(lambda leaf: leaf[layer], params["blocks"])
+            vx, ax = t_av_block(
+                bp, vx, ax, v_mod, a_mod, v_ctx_t, a_ctx_t, v_pe, a_pe,
+                (v_cpe, v_ss, v_gate), (a_cpe, a_ss, a_gate),
+                cfg.num_attention_heads, cfg.audio_num_attention_heads, cfg.norm_eps,
+            )
+        tv = t_output_head(params["video"], vx, v_emb, cfg.norm_eps)
+        ta = t_output_head(params["audio"], ax, a_emb, cfg.norm_eps)
+
+        for jx, tx in ((jv, tv), (ja, ta)):
+            a_np, b_np = np.asarray(jx), tx.numpy()
+            assert a_np.shape == b_np.shape
+            rel = np.abs(a_np - b_np).max() / np.abs(b_np).max()
+            assert rel < 5e-4, rel
