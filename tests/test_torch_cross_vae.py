@@ -367,3 +367,71 @@ class TestTorchCrossDecoder:
             video_decoder_apply_chunked(params, cfg, latents, timestep=jnp.asarray([0.05]))
         )
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Latent upsampler (reference: mlx_video/models/ltx/upsampler.py:6-294)
+# ---------------------------------------------------------------------------
+
+
+def t_up_conv3d(p, x):
+    # weight (kd, kh, kw, Cin, Cout) -> torch (Cout, Cin, kd, kh, kw); pad 1
+    w = torch.as_tensor(np.asarray(p["weight"], np.float32)).permute(4, 3, 0, 1, 2)
+    b = torch.as_tensor(np.asarray(p["bias"], np.float32))
+    return F.conv3d(x, w, b, padding=1)
+
+
+def t_up_group_norm(p, x, groups=32, eps=1e-5):
+    return F.group_norm(
+        x, groups,
+        torch.as_tensor(np.asarray(p["weight"], np.float32)),
+        torch.as_tensor(np.asarray(p["bias"], np.float32)), eps,
+    )
+
+
+def t_up_res_block(p, x):
+    # upsampler.py:178-200: silu AFTER the residual add
+    h = F.silu(t_up_group_norm(p["norm1"], t_up_conv3d(p["conv1"], x)))
+    h = t_up_group_norm(p["norm2"], t_up_conv3d(p["conv2"], h))
+    return F.silu(h + x)
+
+
+def t_latent_upsampler(params, x):
+    """upsampler.py:232-294; x: (B, C, F, H, W) channels-first torch."""
+    x = F.silu(t_up_group_norm(params["initial_norm"], t_up_conv3d(params["initial_conv"], x)))
+    n_blocks = params["res_blocks"]["conv1"]["weight"].shape[0]
+    for i in range(n_blocks):
+        bp = jax.tree.map(lambda leaf: leaf[i], params["res_blocks"])
+        x = t_up_res_block(bp, x)
+    # per-frame 2D conv + pixel shuffle (upsampler.py:142-174)
+    b, c, f, h, w = x.shape
+    x2 = x.permute(0, 2, 1, 3, 4).reshape(b * f, c, h, w)
+    w2 = torch.as_tensor(np.asarray(params["upsampler"]["conv"]["weight"], np.float32)).permute(3, 2, 0, 1)
+    b2 = torch.as_tensor(np.asarray(params["upsampler"]["conv"]["bias"], np.float32))
+    x2 = F.conv2d(x2, w2, b2, padding=1)
+    x2 = F.pixel_shuffle(x2, 2)
+    x = x2.reshape(b, f, c, 2 * h, 2 * w).permute(0, 2, 1, 3, 4)
+    for i in range(n_blocks):
+        bp = jax.tree.map(lambda leaf: leaf[i], params["post_upsample_res_blocks"])
+        x = t_up_res_block(bp, x)
+    return t_up_conv3d(params["final_conv"], x)
+
+
+class TestTorchCrossUpsampler:
+    def test_upsampler_matches(self):
+        from mlx_video_tpu.models.ltx.upsampler import (
+            init_latent_upsampler,
+            latent_upsampler_apply,
+        )
+
+        params = init_latent_upsampler(
+            jax.random.key(5), in_channels=8, mid_channels=32, num_blocks=2,
+            dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(3)
+        lat = rng.normal(size=(1, 8, 3, 4, 4)).astype(np.float32)
+        jx = np.asarray(latent_upsampler_apply(params, jnp.asarray(lat)))
+        tx = t_latent_upsampler(params, torch.as_tensor(lat)).numpy()
+        assert jx.shape == tx.shape == (1, 8, 3, 8, 8)
+        rel = np.abs(jx - tx).max() / np.abs(tx).max()
+        assert rel < 5e-4, rel
