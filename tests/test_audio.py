@@ -166,3 +166,175 @@ class TestAudioProcessor:
             assert f.getnchannels() == 2
             assert f.getframerate() == 24000
             assert f.getnframes() == 1000
+
+
+def _torch_audio_helpers():
+    """Torch NCHW transcriptions of the reference audio VAE building blocks
+    (causal_conv_2d.py:18-101, resnet.py:100-185 PIXEL norm,
+    attention.py:20-77, upsample.py:33-89, downsample.py:16-75)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    def t_conv(p, x, causal=True, k=3, stride=1, pad=None):
+        w = torch.as_tensor(np.asarray(p["weight"], np.float32)).permute(3, 2, 0, 1)
+        b = torch.as_tensor(np.asarray(p["bias"], np.float32))
+        if pad is not None:
+            x = F.pad(x, pad)
+        elif k > 1:
+            pw = ((k - 1) // 2, (k - 1) - (k - 1) // 2)
+            ph = (k - 1, 0) if causal else pw
+            x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))  # (W_l, W_r, H_t, H_b)
+        return F.conv2d(x, w, b, stride=stride)
+
+    def t_pn(x, eps=1e-6):
+        return x * torch.rsqrt((x.float() ** 2).mean(1, keepdim=True) + eps)
+
+    def t_res(p, x, causal=True):
+        h = t_conv(p["conv1"], F.silu(t_pn(x)), causal)
+        h = t_conv(p["conv2"], F.silu(t_pn(h)), causal)
+        if "nin_shortcut" in p:
+            x = t_conv(p["nin_shortcut"], x, causal, k=1)
+        return x + h
+
+    def t_attn(p, x):
+        h = t_pn(x)
+        q, k, v = (t_conv(p[n], h, k=1) for n in ("q", "k", "v"))
+        b, c, t, m = q.shape
+        q = q.reshape(b, c, t * m).permute(0, 2, 1)
+        k = k.reshape(b, c, t * m).permute(0, 2, 1)
+        v = v.reshape(b, c, t * m).permute(0, 2, 1)
+        w = torch.softmax(q @ k.transpose(1, 2) * c**-0.5, -1)
+        h = (w @ v).permute(0, 2, 1).reshape(b, c, t, m)
+        return x + t_conv(p["proj_out"], h, k=1)
+
+    def t_upsample(p, x, causal=True):
+        x = x.repeat_interleave(2, 2).repeat_interleave(2, 3)
+        x = t_conv(p["conv"], x, causal)
+        return x[:, :, 1:, :] if causal else x
+
+    def t_downsample(p, x, causal=True):
+        # downsample.py:16-75: strided 3x3; causal pads (2,0) time, (0,1) mel
+        pad = (0, 1, 2, 0) if causal else (0, 1, 0, 1)
+        return t_conv(p["conv"], x, k=3, stride=2, pad=pad)
+
+    import types
+
+    return types.SimpleNamespace(
+        torch=torch, F=F, conv=t_conv, pn=t_pn, res=t_res, attn=t_attn,
+        upsample=t_upsample, downsample=t_downsample,
+    )
+
+
+class TestTorchCrossAudioDecoder:
+    """Independent PyTorch NCHW transcription of the reference audio VAE
+    decoder (audio_vae.py:228-458) must match the JAX channels-last
+    implementation on shared weights."""
+
+    def test_decoder_matches(self, rng):
+        hp = _torch_audio_helpers()
+        torch, F = hp.torch, hp.F
+        t_conv, t_pn, t_res, t_attn, t_upsample = hp.conv, hp.pn, hp.res, hp.attn, hp.upsample
+
+        from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+            AudioVAEConfig,
+            audio_decoder_apply,
+            init_audio_decoder,
+        )
+
+        cfg = AudioVAEConfig(
+            ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, in_channels=2, out_ch=2,
+            z_channels=8, mel_bins=64, resolution=64,
+            decoder_attn_resolutions=(32,), mid_block_add_attention=True,
+        )
+        params = init_audio_decoder(jax.random.key(7), cfg, dtype=jnp.float32)
+        lat = rng.normal(size=(1, cfg.z_channels, 5, cfg.mel_bins // 4)).astype(np.float32)
+
+        jx = np.asarray(audio_decoder_apply(params, cfg, jnp.asarray(lat)))
+
+        # torch path: denormalize ('b c t f -> b t (c f)' packing) then decode
+        x = torch.as_tensor(lat)  # (B, z, T', M')
+        b, z, t_lat, m_lat = x.shape
+        stats = params["per_channel_statistics"]
+        patched = x.permute(0, 2, 1, 3).reshape(b, t_lat, z * m_lat)
+        denorm = patched * torch.as_tensor(np.asarray(stats["std_of_means"], np.float32)) \
+            + torch.as_tensor(np.asarray(stats["mean_of_means"], np.float32))
+        h = denorm.reshape(b, t_lat, z, m_lat).permute(0, 2, 1, 3)  # (B, z, T', M')
+
+        h = t_conv(params["conv_in"], h)
+        h = t_res(params["mid"]["block_1"], h)
+        h = t_attn(params["mid"]["attn_1"], h)
+        h = t_res(params["mid"]["block_2"], h)
+        for level in reversed(range(len(cfg.ch_mult))):
+            stage = params["up"][str(level)]
+            for i in range(cfg.num_res_blocks + 1):
+                h = t_res(stage["block"][str(i)], h)
+                if str(i) in stage["attn"]:
+                    h = t_attn(stage["attn"][str(i)], h)
+            if level != 0:
+                h = t_upsample(stage["upsample"], h)
+        h = t_conv(params["conv_out"], F.silu(t_pn(h)))
+
+        target_t = max(t_lat * cfg.latent_downsample_factor - (cfg.latent_downsample_factor - 1), 1)
+        h = h[:, : cfg.out_ch, : min(h.shape[2], target_t), : cfg.mel_bins]
+        pad_t, pad_m = target_t - h.shape[2], cfg.mel_bins - h.shape[3]
+        if pad_t > 0 or pad_m > 0:
+            h = F.pad(h, (0, max(pad_m, 0), 0, max(pad_t, 0)))
+        tx = h[:, :, :target_t, : cfg.mel_bins].numpy()
+
+        assert jx.shape == tx.shape, (jx.shape, tx.shape)
+        rel = np.abs(jx - tx).max() / np.abs(tx).max()
+        assert rel < 5e-4, rel
+
+
+class TestTorchCrossAudioEncoder:
+    """Same cross-check for the encoder path (audio_vae.py:164-218):
+    conv_in -> downsampling path -> mid (attn) -> pixel-norm head -> mean
+    split -> per-channel normalize."""
+
+    def test_encoder_matches(self, rng):
+        hp = _torch_audio_helpers()
+        torch, F = hp.torch, hp.F
+
+        from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+            AudioVAEConfig,
+            audio_encoder_apply,
+            init_audio_encoder,
+        )
+
+        cfg = AudioVAEConfig(
+            ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, in_channels=2, out_ch=2,
+            z_channels=8, mel_bins=64, resolution=64,
+            attn_resolutions=(32,), mid_block_add_attention=True,
+        )
+        params = init_audio_encoder(jax.random.key(9), cfg, dtype=jnp.float32)
+        spec = rng.normal(size=(1, cfg.in_channels, 17, cfg.mel_bins)).astype(np.float32)
+
+        jx = np.asarray(audio_encoder_apply(params, cfg, jnp.asarray(spec)))
+
+        h = torch.as_tensor(spec)
+        h = hp.conv(params["conv_in"], h)
+        n_res = len(cfg.ch_mult)
+        for level in range(n_res):
+            stage = params["down"][str(level)]
+            for i in range(cfg.num_res_blocks):
+                h = hp.res(stage["block"][str(i)], h)
+                if str(i) in stage["attn"]:
+                    h = hp.attn(stage["attn"][str(i)], h)
+            if level != n_res - 1:
+                h = hp.downsample(stage["downsample"], h)
+        h = hp.res(params["mid"]["block_1"], h)
+        h = hp.attn(params["mid"]["attn_1"], h)
+        h = hp.res(params["mid"]["block_2"], h)
+        h = hp.conv(params["conv_out"], F.silu(hp.pn(h)))
+
+        means = h[:, : cfg.z_channels]  # double_z mean split
+        b, z, t_lat, m_lat = means.shape
+        stats = params["per_channel_statistics"]
+        patched = means.permute(0, 2, 1, 3).reshape(b, t_lat, z * m_lat)
+        normalized = (patched - torch.as_tensor(np.asarray(stats["mean_of_means"], np.float32))) \
+            / torch.as_tensor(np.asarray(stats["std_of_means"], np.float32))
+        tx = normalized.reshape(b, t_lat, z, m_lat).permute(0, 2, 1, 3).numpy()
+
+        assert jx.shape == tx.shape, (jx.shape, tx.shape)
+        rel = np.abs(jx - tx).max() / np.abs(tx).max()
+        assert rel < 5e-4, rel
