@@ -353,3 +353,87 @@ class TestRealTokenizerChat:
     def test_end_of_turn_is_eos(self, encoder):
         eot = encoder.tokenizer.convert_tokens_to_ids("<end_of_turn>")
         assert isinstance(eot, int) and eot >= 0
+
+
+class TestTorchCrossConnector:
+    """Independent PyTorch transcription of the reference register connector
+    (text_encoder.py:271-587: register replacement for left-padded tokens,
+    1D split-RoPE over absolute positions, q/k-RMSNorm attention, GELU FF,
+    final rms norm) must match the JAX implementation on shared weights."""
+
+    def test_connector_matches(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from mlx_video_tpu.models.ltx.text_encoder import connector_apply, init_connector
+
+        dim, heads, hd, t = 64, 4, 16, 12
+        params = init_connector(
+            jax.random.key(11), dim, num_heads=heads, head_dim=hd,
+            num_layers=2, num_registers=4, dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(5)
+        # nonzero registers so the replacement actually matters
+        params["learnable_registers"] = jnp.asarray(
+            rng.normal(size=(4, dim)).astype(np.float32)
+        )
+        hs = rng.normal(size=(1, t, dim)).astype(np.float32)
+        mask = np.zeros((1, t), np.int32)
+        mask[0, 5:] = 1  # left-padded: 7 valid tokens at the end
+
+        jx = np.asarray(connector_apply(params, jnp.asarray(hs), jnp.asarray(mask),
+                                        num_heads=heads, head_dim=hd))
+
+        def t_lin(p, x):
+            return x @ torch.as_tensor(np.asarray(p["weight"], np.float32)) + \
+                torch.as_tensor(np.asarray(p["bias"], np.float32))
+
+        def t_rms(x, w=None, eps=1e-6):
+            y = x * torch.rsqrt((x.float() ** 2).mean(-1, keepdim=True) + eps)
+            if w is not None:
+                y = y * torch.as_tensor(np.asarray(w, np.float32))
+            return y
+
+        # register replacement (text_encoder.py:510-563, per-batch loop)
+        x = torch.as_tensor(hs)
+        num_valid = int(mask[0].sum())
+        valid = x[0, t - num_valid:]
+        regs = torch.as_tensor(np.asarray(params["learnable_registers"], np.float32))
+        reg_tiled = regs.repeat(-(-t // regs.shape[0]), 1)[:t]
+        combined = torch.cat([valid, reg_tiled[num_valid:]], 0)[None]
+
+        # 1D split rope (text_encoder.py:455-508)
+        inner = heads * hd
+        lin = np.linspace(0.0, 1.0, inner // 2, dtype=np.float64)
+        indices = np.power(10000.0, lin) * (np.pi / 2)
+        scaled = (np.arange(t, dtype=np.float64) / 4096) * 2 - 1
+        freqs = scaled[:, None] * indices[None, :]
+        cos = torch.as_tensor(np.cos(freqs).reshape(t, heads, hd // 2).transpose(1, 0, 2)[None].astype(np.float32))
+        sin = torch.as_tensor(np.sin(freqs).reshape(t, heads, hd // 2).transpose(1, 0, 2)[None].astype(np.float32))
+
+        def t_rope(xh):
+            half = xh.shape[-1] // 2
+            x1, x2 = xh[..., :half], xh[..., half:]
+            return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+        def t_attn(p, xin):
+            q = t_rms(t_lin(p["to_q"], xin), p["q_norm"]["weight"])
+            k = t_rms(t_lin(p["to_k"], xin), p["k_norm"]["weight"])
+            v = t_lin(p["to_v"], xin)
+            b = xin.shape[0]
+            qh = t_rope(q.reshape(b, t, heads, hd).permute(0, 2, 1, 3))
+            kh = t_rope(k.reshape(b, t, heads, hd).permute(0, 2, 1, 3))
+            vh = v.reshape(b, t, heads, hd).permute(0, 2, 1, 3)
+            out = F.scaled_dot_product_attention(qh, kh, vh)
+            return t_lin(p["to_out"], out.permute(0, 2, 1, 3).reshape(b, t, inner))
+
+        h = combined
+        for i in ("0", "1"):
+            bp = params["transformer_1d_blocks"][i]
+            h = h + t_attn(bp["attn1"], t_rms(h))
+            h = h + t_lin(bp["ff"]["proj_out"], F.gelu(t_lin(bp["ff"]["proj_in"], t_rms(h))))
+        tx = t_rms(h).numpy()
+
+        assert jx.shape == tx.shape
+        rel = np.abs(jx - tx).max() / np.abs(tx).max()
+        assert rel < 5e-4, rel
