@@ -243,11 +243,16 @@ def main() -> None:
         if dev_cfg
         else None
     )
+    # --cfg-cache N: measure the delta-caching dial (dev mode only)
+    cfg_cache = 1
+    if dev_cfg and "--cfg-cache" in sys.argv:
+        cfg_cache = int(sys.argv[sys.argv.index("--cfg-cache") + 1])
 
     def run(sg):
         v, _ = dn.denoise(
             params, config, latents, positions, context, sg,
             neg_context=neg_context, cfg_scale=4.5 if dev_cfg else 1.0,
+            cfg_cache_interval=cfg_cache,
         )
         return v
 
@@ -276,7 +281,11 @@ def main() -> None:
         fmode = "w4a8" if w4a8 else "q4"
         kind = "dev_cfg_steps_per_sec" if dev_cfg else "denoise_steps_per_sec"
         metric = f"dit_19b_{fmode}_{kind}"
+        if dev_cfg and cfg_cache > 1:
+            metric += f"_cfgcache{cfg_cache}"
         cfg_note = "CFG batch-of-2 fwd, " if dev_cfg else ""
+        if dev_cfg and cfg_cache > 1:
+            cfg_note = f"CFG delta-cache k={cfg_cache}, "
         unit = f"steps/s (48L dim4096 19B-geometry DiT, {tokens} tokens, {cfg_note}{fmode}, 1 chip)"
     else:
         metric = "dit_proxy3b_denoise_steps_per_sec"

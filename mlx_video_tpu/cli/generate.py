@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --mesh: also shard the token axis over the fsdp "
                         "mesh axis and run self-attention as ring attention "
                         "(long-video sequence parallelism)")
+    p.add_argument("--cfg-cache-interval", type=int, default=1,
+                   help="Dev CFG: recompute the guidance delta every k-th "
+                        "step and reuse it in between (cached steps run one "
+                        "batch-1 forward instead of the batched 2B one) - "
+                        "~25%% fewer denoise FLOPs at k=2 for a small "
+                        "guidance drift. Video-only CFG.")
     p.add_argument("--low-memory", action="store_true",
                    help="Single-chip HBM staging: keep the VAE decoder/"
                         "upsampler/audio weights on the host during denoise "
@@ -421,6 +427,7 @@ def main(argv=None) -> None:
             stage2_cfg=args.stage2_dev,
             cfg_scale=args.cfg_scale,
             num_inference_steps=args.steps,
+            cfg_cache_interval=args.cfg_cache_interval,
             images=[_cond_arg(v) for v in args.image],
             video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
             audio=args.audio,

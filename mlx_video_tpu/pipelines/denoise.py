@@ -124,7 +124,8 @@ def _host_step_event(step, sigma, total: int):
 
 
 def _denoise_step(
-    params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp, carry, xs
+    params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
+    cfg_cache_interval, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -133,8 +134,21 @@ def _denoise_step(
     ``jax.debug.callback`` — the TPU-native counterpart of the reference's
     per-step echo (generate.py:765-775): the sigma loop stays ONE compiled
     ``lax.scan`` and progress still streams as device steps retire.
+
+    ``cfg_cache_interval > 1`` (video-only CFG): the guidance delta
+    ``v_pos - v_neg`` is recomputed every k-th step and reused in between —
+    cached steps run ONE batch-1 forward instead of the batched-2B one,
+    cutting CFG denoise FLOPs by ~(k-1)/(2k) (new capability; the guidance
+    direction drifts slowly across adjacent sigmas, cf. delta-caching /
+    attention-broadcast literature). Exact when pos == neg context; a
+    quality/speed dial otherwise.
     """
-    v_lat, a_lat = carry
+    cfg_caching = use_cfg and cfg_cache_interval > 1 and not enable_audio
+    if cfg_caching:
+        v_lat, a_lat, v_delta = carry
+    else:
+        v_lat, a_lat = carry
+        v_delta = None
     sig_pair, step_idx = xs
     sigma, sigma_next = sig_pair[0], sig_pair[1]
     if progress:
@@ -142,6 +156,42 @@ def _denoise_step(
             partial(_host_step_event, total=num_steps), step_idx, sigma, ordered=True
         )
     dtype = v_lat.dtype if not enable_audio or v_lat.ndim == 5 else a_lat.dtype
+
+    if cfg_caching:
+        vshape = v_lat.shape
+        v_tokens = flatten_video_latents(v_lat)
+        ts = (sigma * bundle["v_mask"]).astype(v_lat.dtype)
+        b = v_tokens.shape[0]
+
+        def _full(delta_prev):
+            mod = Modality(
+                latent=_double(v_tokens), timesteps=_double(ts),
+                context=bundle["context"], positions=bundle["positions"],
+                pe=(bundle["pe_cos"], bundle["pe_sin"]),
+            )
+            vel, _ = ltx_apply(params, config, video=mod, sp=sp)
+            pos, neg = jnp.split(vel, 2, axis=0)
+            return pos, pos.astype(jnp.float32) - neg.astype(jnp.float32)
+
+        def _cached(delta_prev):
+            mod = Modality(
+                latent=v_tokens, timesteps=ts,
+                context=bundle["context"][:b], positions=bundle["positions"][:b],
+                pe=(bundle["pe_cos"][:b], bundle["pe_sin"][:b]),
+            )
+            pos, _ = ltx_apply(params, config, video=mod, sp=sp)
+            return pos, delta_prev
+
+        v_pos, v_delta = jax.lax.cond(
+            step_idx % cfg_cache_interval == 0, _full, _cached, v_delta
+        )
+        v_vel = (v_pos.astype(jnp.float32) + (cfg_scale - 1.0) * v_delta).astype(v_pos.dtype)
+        v_vel = unflatten_video_latents(v_vel, vshape)
+        denoised = to_denoised(v_lat, v_vel, sigma)
+        if "denoise_mask" in bundle:
+            denoised = apply_denoise_mask(denoised, bundle["clean_latent"], bundle["denoise_mask"])
+        v_out = _euler_step(v_lat, denoised, sigma, sigma_next)
+        return (v_out, a_lat, v_delta), None
 
     video_mod = None
     vshape = None
@@ -202,12 +252,14 @@ def _denoise_step(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp"),
+    static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp",
+                     "cfg_cache_interval"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
+    cfg_cache_interval=1,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -230,17 +282,27 @@ def _denoise_scan(
     num_steps = sig_pairs.shape[0]
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
-        progress, num_steps, sp,
+        progress, num_steps, sp, cfg_cache_interval,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
-    (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
+    if use_cfg and cfg_cache_interval > 1 and not enable_audio:
+        # guidance-delta carry (fp32 tokens); step 0 is always a full step
+        # (0 % k == 0) so the zeros init is never read.
+        init_delta = jnp.zeros(
+            (latents.shape[0], latents.shape[2] * latents.shape[3] * latents.shape[4],
+             latents.shape[1]),
+            dtype=jnp.float32,
+        )
+        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_delta), xs)
+    else:
+        (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
     return v, a
 
 
 @partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp"))
 def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None):
     out, _ = _denoise_step(
-        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp,
+        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1,
         carry, (sig_pair, jnp.int32(0)),
     )
     return out
@@ -310,6 +372,7 @@ def denoise(
     audio_neg_context: Optional[jax.Array] = None,
     progress_callback: Optional[Callable[[int, int], None]] = None,
     sequence_parallel=None,
+    cfg_cache_interval: int = 1,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -323,10 +386,22 @@ def denoise(
       sequence sharding of the token axis inside every self-attention
       (long-video capability, SURVEY §2.12); requires the token count to be
       divisible by the axis size.
+    - ``cfg_cache_interval``: k > 1 recomputes the CFG guidance delta every
+      k-th step and reuses it in between (cached steps run a single batch-1
+      forward) — a quality/speed dial for long CFG schedules. Video-only
+      CFG; ignored on the distilled path.
 
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
     use_cfg = cfg_scale != 1.0 and neg_context is not None
+    if cfg_cache_interval > 1:
+        if audio_latents is not None:
+            raise ValueError("cfg_cache_interval requires video-only CFG (no joint audio)")
+        if progress_callback is not None:
+            raise ValueError("cfg_cache_interval is a scan-mode feature; "
+                             "per-step progress_callback is unsupported with it")
+        if not use_cfg:
+            cfg_cache_interval = 1  # no CFG -> nothing to cache
     enable_audio = audio_latents is not None
     if enable_audio and (audio_positions is None or audio_context is None):
         raise ValueError("audio_positions/audio_context must be provided with audio_latents")
@@ -347,6 +422,7 @@ def denoise(
             sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
             progress=progress_echo_enabled(), sp=sequence_parallel,
+            cfg_cache_interval=cfg_cache_interval,
         )
     else:
         bundle = _make_bundle(

@@ -307,6 +307,7 @@ def generate_video(
     cfg_scale: float = 4.0,
     # dev options
     num_inference_steps: int = 40,
+    cfg_cache_interval: int = 1,
     # conditioning
     images: Sequence[Tuple[str, int, float]] = (),
     video_conditionings: Sequence[Tuple[str, int, float]] = (),
@@ -578,7 +579,11 @@ def generate_video(
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions, text.video_embeddings, sigmas,
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
-                state=state, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
+                state=state, progress_callback=progress_callback, sequence_parallel=sp,
+                # quality/speed dial: reuse the CFG guidance delta between
+                # full recomputes (video-only; see denoise.py)
+                cfg_cache_interval=cfg_cache_interval if not audio_kwargs else 1,
+                **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("denoise complete", profile or mem_log)

@@ -294,3 +294,62 @@ class TestUpsampler:
         x = jnp.arange(4, dtype=jnp.float32).reshape(1, 1, 1, 4)
         out = np.asarray(pixel_shuffle_2d(x, 2))[0, :, :, 0]
         np.testing.assert_array_equal(out, [[0, 1], [2, 3]])
+
+
+class TestCFGDeltaCaching:
+    """cfg_cache_interval: recompute the guidance delta every k-th step,
+    reuse in between (cached steps run batch-1 instead of batched-2B)."""
+
+    def _setup(self):
+        from mlx_video_tpu.config import LTXModelType, LTXRopeType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w = 1, 2, 2, 2
+        lat = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32))
+        pos = jnp.asarray(create_position_grid(b, f, h, w))
+        ctx = jnp.asarray(rng.normal(size=(b, 6, cfg.caption_channels)).astype(np.float32))
+        neg = jnp.asarray(rng.normal(size=(b, 6, cfg.caption_channels)).astype(np.float32))
+        return cfg, params, lat, pos, ctx, neg
+
+    SIGMAS = [1.0, 0.8, 0.6, 0.4, 0.2, 0.0]
+
+    def test_identical_contexts_reduce_to_uncond(self):
+        """pos == neg -> delta is exactly 0 -> cached CFG == no-CFG result
+        (an exactness proof of the caching arithmetic)."""
+        cfg, params, lat, pos, ctx, _ = self._setup()
+        v0, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS)
+        v1, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                           neg_context=ctx, cfg_scale=4.0, cfg_cache_interval=2)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-4)
+
+    def test_interval_one_is_plain_cfg(self):
+        cfg, params, lat, pos, ctx, neg = self._setup()
+        a, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                          neg_context=neg, cfg_scale=4.0)
+        b, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                          neg_context=neg, cfg_scale=4.0, cfg_cache_interval=1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_interval_two_small_drift(self):
+        cfg, params, lat, pos, ctx, neg = self._setup()
+        full, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                             neg_context=neg, cfg_scale=4.0)
+        cached, _ = dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                               neg_context=neg, cfg_scale=4.0, cfg_cache_interval=2)
+        c = np.asarray(cached)
+        assert np.isfinite(c).all()
+        rel = np.linalg.norm(c - np.asarray(full)) / np.linalg.norm(np.asarray(full))
+        assert 0 < rel < 0.1, rel  # reuses stale deltas, but stays close
+
+    def test_audio_rejected(self):
+        cfg, params, lat, pos, ctx, neg = self._setup()
+        with pytest.raises(ValueError, match="video-only"):
+            dn.denoise(params, cfg, lat, pos, ctx, self.SIGMAS,
+                       neg_context=neg, cfg_scale=4.0, cfg_cache_interval=2,
+                       audio_latents=jnp.zeros((1, 8, 4, 16)),
+                       audio_positions=jnp.zeros((1, 1, 4, 2)),
+                       audio_context=ctx)
