@@ -564,19 +564,15 @@ def _process_output(
     return linear(mparams["proj_out"], x)
 
 
-def ltx_apply(
+def prepare_ltx_args(
     params: dict,
     config: LTXModelConfig,
     video: Optional[Modality] = None,
     audio: Optional[Modality] = None,
-    sp=None,
-) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
-    """Full DiT forward; returns per-modality velocity predictions
-    (reference: ltx.py:459-506).
-
-    ``sp``: optional ``(Mesh, axis_name)`` — run self-attention as ring
-    attention with the token axis sequence-sharded over that mesh axis
-    (new capability vs the single-device reference, SURVEY §2.12)."""
+) -> Tuple[Optional[_ModalityArgs], Optional[_ModalityArgs]]:
+    """Pre-block prep shared by ``ltx_apply`` and the pipeline-parallel
+    forward (parallel/pipeline.py): patchify projection, adaLN timestep
+    embeds, caption projection, RoPE tables, AV cross-modal embeds."""
     video_cfg = config.get_video_config()
     audio_cfg = config.get_audio_config()
     if video is not None and video_cfg is None:
@@ -620,6 +616,25 @@ def ltx_apply(
             "av_ca_v2a_gate_adaln",
             cross_pe_max_pos,
         )
+    return video_args, audio_args
+
+
+def ltx_apply(
+    params: dict,
+    config: LTXModelConfig,
+    video: Optional[Modality] = None,
+    audio: Optional[Modality] = None,
+    sp=None,
+) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+    """Full DiT forward; returns per-modality velocity predictions
+    (reference: ltx.py:459-506).
+
+    ``sp``: optional ``(Mesh, axis_name)`` — run self-attention as ring
+    attention with the token axis sequence-sharded over that mesh axis
+    (new capability vs the single-device reference, SURVEY §2.12)."""
+    video_cfg = config.get_video_config()
+    audio_cfg = config.get_audio_config()
+    video_args, audio_args = prepare_ltx_args(params, config, video, audio)
 
     def scan_body(carry, bparams):
         vx, ax = carry

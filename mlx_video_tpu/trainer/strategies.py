@@ -280,14 +280,31 @@ def strategy_loss_fn(
     timestep_sampling_mode: str = "uniform",
     timestep_sampling_std: float = 1.0,
     sp=None,
+    pp=None,
 ) -> jax.Array:
     """Full jittable loss: inputs -> model forward -> masked MSE.
 
     ``sp``: optional (Mesh, axis) — sequence-parallel ring attention inside
     the forward (long-video training; see models/ltx/model.py).
+    ``pp``: optional (Mesh, axis, num_microbatches[, data_axis]) — GPipe
+    pipeline parallelism over the block stack (parallel/pipeline.py);
+    mutually exclusive with ``sp`` (ring attention inside a pipeline stage
+    is not composed in this version).
     """
     inputs = make_inputs(
         sb, key, first_frame_conditioning_p, timestep_sampling_mode, timestep_sampling_std
     )
-    v_pred, a_pred = ltx_apply(params, config, video=inputs.video, audio=inputs.audio, sp=sp)
+    if pp is not None:
+        if sp is not None:
+            raise ValueError("sp (ring attention) and pp (pipeline) are mutually exclusive")
+        from mlx_video_tpu.parallel.pipeline import pipeline_ltx_apply
+
+        mesh, axis, num_mb = pp[0], pp[1], pp[2]
+        data_axis = pp[3] if len(pp) > 3 else None
+        v_pred, a_pred = pipeline_ltx_apply(
+            params, config, video=inputs.video, audio=inputs.audio,
+            mesh=mesh, axis=axis, num_microbatches=num_mb, data_axis=data_axis,
+        )
+    else:
+        v_pred, a_pred = ltx_apply(params, config, video=inputs.video, audio=inputs.audio, sp=sp)
     return compute_loss(v_pred, a_pred, inputs)

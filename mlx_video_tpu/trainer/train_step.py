@@ -62,7 +62,7 @@ def make_optimizer(
 @partial(
     jax.jit,
     static_argnames=("config", "first_frame_conditioning_p", "timestep_sampling_mode",
-                     "timestep_sampling_std", "sp"),
+                     "timestep_sampling_std", "sp", "pp"),
 )
 def grad_step(
     params: dict,
@@ -73,9 +73,12 @@ def grad_step(
     timestep_sampling_mode: str = "uniform",
     timestep_sampling_std: float = 1.0,
     sp=None,
+    pp=None,
 ) -> Tuple[jax.Array, dict]:
     """One microbatch: loss + grads (no update). ``sp``: optional
     (Mesh, axis) sequence-parallel setting for long-video training.
+    ``pp``: optional (Mesh, axis, num_microbatches[, data_axis]) GPipe
+    pipeline-parallel setting (parallel/pipeline.py).
 
     ``allow_int``: quantized bases (q4 ``quant_weight`` uint32 / W8A8
     ``int8_weight``) are frozen integer leaves under LoRA training — their
@@ -88,6 +91,7 @@ def grad_step(
         timestep_sampling_mode=timestep_sampling_mode,
         timestep_sampling_std=timestep_sampling_std,
         sp=sp,
+        pp=pp,
     )
 
 

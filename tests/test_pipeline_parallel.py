@@ -1,0 +1,172 @@
+"""Pipeline parallelism (GPipe over the block stack) — equality with the
+single-device forward/grad on the virtual 8-CPU mesh.
+
+New capability vs the single-device reference (SURVEY §2.12); see
+mlx_video_tpu/parallel/pipeline.py for the schedule design.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_video_tpu.config import LTXModelType, LTXRopeType, tiny_test_config
+from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+from mlx_video_tpu.parallel.pipeline import (
+    pipeline_ltx_apply,
+    pipeline_mesh,
+    shard_params_pipeline,
+)
+from mlx_video_tpu.pipelines.positions import (
+    create_audio_position_grid,
+    create_position_grid,
+)
+
+
+def _video_case(b=4, num_layers=4):
+    config = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT,
+                              num_layers=num_layers)
+    params = init_ltx_params(jax.random.key(0), config, dtype=jnp.float32)
+    f, h, w = 2, 4, 4
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.normal(size=(b, f * h * w, config.in_channels)).astype(np.float32))
+    ts = jnp.full(tokens.shape[:2], 0.7, dtype=jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, 8, config.caption_channels)).astype(np.float32))
+    pos = jnp.asarray(create_position_grid(b, f, h, w))
+    return config, params, Modality(latent=tokens, timesteps=ts, context=ctx, positions=pos)
+
+
+class TestPipelineForward:
+    @pytest.mark.parametrize("p_size,m", [(2, 2), (4, 2), (4, 4), (8, 4)])
+    def test_video_forward_equals_single_device(self, p_size, m):
+        config, params, mod = _video_case(num_layers=8)
+        ref, _ = jax.jit(lambda p, v: ltx_apply(p, config, video=v))(params, mod)
+        mesh = pipeline_mesh(p_size)
+        sp = shard_params_pipeline(params, mesh)
+        out, _ = jax.jit(
+            lambda p, v: pipeline_ltx_apply(p, config, video=v, mesh=mesh, num_microbatches=m)
+        )(sp, mod)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_dp_x_pp(self):
+        config, params, mod = _video_case()
+        ref, _ = jax.jit(lambda p, v: ltx_apply(p, config, video=v))(params, mod)
+        mesh = pipeline_mesh(4, data=2)
+        sp = shard_params_pipeline(params, mesh)
+        out, _ = jax.jit(
+            lambda p, v: pipeline_ltx_apply(
+                p, config, video=v, mesh=mesh, num_microbatches=2, data_axis="data"
+            )
+        )(sp, mod)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_batch_one_degenerates_to_sequential(self):
+        config, params, mod = _video_case(b=1)
+        ref, _ = jax.jit(lambda p, v: ltx_apply(p, config, video=v))(params, mod)
+        mesh = pipeline_mesh(4)
+        sp = shard_params_pipeline(params, mesh)
+        out, _ = jax.jit(
+            lambda p, v: pipeline_ltx_apply(p, config, video=v, mesh=mesh, num_microbatches=1)
+        )(sp, mod)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_av_forward_equals_single_device(self):
+        cfg = tiny_test_config(LTXModelType.AudioVideo, rope_type=LTXRopeType.SPLIT, num_layers=4)
+        params = init_ltx_params(jax.random.key(9), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(9)
+        b, f, h, w, at = 2, 2, 4, 4, 5
+        video = Modality(
+            latent=jnp.asarray(rng.normal(size=(b, f * h * w, cfg.in_channels)).astype(np.float32)),
+            timesteps=jnp.full((b, f * h * w), 0.5, dtype=jnp.float32),
+            context=jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32)),
+            positions=jnp.asarray(create_position_grid(b, f, h, w)),
+        )
+        audio = Modality(
+            latent=jnp.asarray(rng.normal(size=(b, at, cfg.audio_in_channels)).astype(np.float32)),
+            timesteps=jnp.full((b, at), 0.5, dtype=jnp.float32),
+            context=jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32)),
+            positions=jnp.asarray(create_audio_position_grid(b, at)),
+        )
+        rv, ra = jax.jit(lambda p, v, a: ltx_apply(p, cfg, video=v, audio=a))(params, video, audio)
+        mesh = pipeline_mesh(4)
+        sp = shard_params_pipeline(params, mesh)
+        ov, oa = jax.jit(
+            lambda p, v, a: pipeline_ltx_apply(
+                p, cfg, video=v, audio=a, mesh=mesh, num_microbatches=2
+            )
+        )(sp, video, audio)
+        np.testing.assert_allclose(np.asarray(ov), np.asarray(rv), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ra), atol=2e-5, rtol=1e-5)
+
+    def test_validation_errors(self):
+        config, params, mod = _video_case()
+        mesh = pipeline_mesh(4)
+        sp = shard_params_pipeline(params, mesh)
+        cfg6 = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT, num_layers=6)
+        params6 = init_ltx_params(jax.random.key(0), cfg6, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="not divisible by pipe"):
+            pipeline_ltx_apply(params6, cfg6, video=mod, mesh=mesh)
+        with pytest.raises(ValueError, match="not divisible by num_microbatches"):
+            pipeline_ltx_apply(sp, config, video=mod, mesh=mesh, num_microbatches=3)
+
+
+class TestPipelineGrad:
+    def test_grads_equal_single_device(self):
+        """Params AND input grads match — the ppermute/broadcast transposes
+        (GPipe backward) are exact, including the DP gradient psum."""
+        config, params, mod = _video_case()
+        tgt = jnp.asarray(np.random.default_rng(3).normal(size=mod.latent.shape).astype(np.float32))
+
+        def loss_ref(p, tok, ctx):
+            m = mod._replace(latent=tok, context=ctx)
+            v, _ = ltx_apply(p, config, video=m)
+            return jnp.mean(jnp.square(v - tgt))
+
+        lr, gr = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1, 2)))(
+            params, mod.latent, mod.context
+        )
+
+        for data, m_, daxis in [(1, 4, None), (2, 2, "data")]:
+            mesh = pipeline_mesh(4, data=data)
+            sp = shard_params_pipeline(params, mesh)
+
+            def loss_pp(p, tok, ctx):
+                mm = mod._replace(latent=tok, context=ctx)
+                v, _ = pipeline_ltx_apply(
+                    p, config, video=mm, mesh=mesh, num_microbatches=m_, data_axis=daxis
+                )
+                return jnp.mean(jnp.square(v - tgt))
+
+            lp, gp = jax.jit(jax.value_and_grad(loss_pp, argnums=(0, 1, 2)))(
+                sp, mod.latent, mod.context
+            )
+            assert abs(float(lp - lr)) < 1e-5
+            for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    def test_training_step_through_pipeline(self):
+        """grad_step(pp=...) trains: one step through the pipelined loss
+        matches the non-pipelined grad_step numerically."""
+        from mlx_video_tpu.trainer.strategies import StrategyBatch, _first_frame_token_mask
+        from mlx_video_tpu.trainer.train_step import grad_step
+
+        config, params, mod = _video_case()
+        b, s = mod.latent.shape[:2]
+        f, h, w = 2, 4, 4
+        sb = StrategyBatch(
+            video_latents=mod.latent,
+            positions=mod.positions,
+            context=mod.context,
+            context_mask=None,
+            first_frame_token_mask=jnp.asarray(_first_frame_token_mask(b, f, h, w)),
+            always_conditioned_mask=jnp.zeros((b, s), dtype=bool),
+        )
+        loss_ref, grads_ref = grad_step(params, sb, jax.random.key(4), config)
+        mesh = pipeline_mesh(4, data=2)
+        sp = shard_params_pipeline(params, mesh)
+        loss_pp, grads_pp = grad_step(
+            sp, sb, jax.random.key(4), config, pp=(mesh, "pipe", 2, "data")
+        )
+        assert abs(float(loss_pp - loss_ref)) < 1e-5
+        for a, b_ in zip(jax.tree.leaves(grads_pp), jax.tree.leaves(grads_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4)
