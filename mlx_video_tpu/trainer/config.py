@@ -83,6 +83,14 @@ class TrainingConfig:
     # With a mesh: ring-attention sequence parallelism over the fsdp axis
     # (long-video training).
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism (parallel/pipeline.py): >0 splits the block
+    # stack into that many stages on a (data, pipe) mesh. Mutually exclusive
+    # with mesh_shape/sequence_parallel; targets cross-slice (DCN) scale-out.
+    pipeline_stages: int = 0
+    # Microbatches streamed through the pipeline (default: = stages).
+    pipeline_microbatches: Optional[int] = None
+    # Data-parallel groups alongside the pipeline (mesh = (data, pipe)).
+    pipeline_data: int = 1
 
 
 def _normalize_target_modules(targets):
@@ -173,6 +181,9 @@ def load_training_config(path: Path) -> TrainingConfig:
         hub_model_id=hub_cfg.get("hub_model_id"),
         mesh_shape=raw.get("mesh_shape"),
         sequence_parallel=bool(raw.get("sequence_parallel", False)),
+        pipeline_stages=int(raw.get("pipeline_stages", 0) or 0),
+        pipeline_microbatches=raw.get("pipeline_microbatches"),
+        pipeline_data=int(raw.get("pipeline_data", 1) or 1),
     )
 
     if cfg.strategy not in {"text_to_video", "video_to_video", "ic_lora"}:

@@ -8,7 +8,8 @@ checkpoint save + prune -> validation via generate -> wandb).
 TPU-native differences:
 - the microbatch step and the optimizer update are jitted; grads accumulate
   in device buffers (no host round trips per step);
-- optional (data, fsdp, tensor) mesh sharding of params + batch;
+- optional (data, fsdp, tensor) mesh sharding of params + batch, or GPipe
+  pipeline parallelism over the block stack (pipeline_stages config);
 - checkpoints carry optimizer state + step and resume exactly
   (trainer/checkpoints.py) — the reference loses optimizer state;
 - quantized-base models are restricted to LoRA mode (reference guard:
@@ -126,6 +127,11 @@ class Trainer:
         # templates' shardings (checkpoints.load_train_checkpoint).
         self.mesh = None
         self.sp = None
+        self.pp = None
+        if cfg.pipeline_stages and cfg.mesh_shape:
+            raise ValueError("pipeline_stages and mesh_shape are mutually exclusive")
+        if cfg.pipeline_stages and cfg.sequence_parallel:
+            raise ValueError("pipeline_stages and sequence_parallel are mutually exclusive")
         if cfg.mesh_shape:
             from mlx_video_tpu.parallel.mesh import create_mesh
             from mlx_video_tpu.parallel.sharding import shard_params
@@ -137,6 +143,25 @@ class Trainer:
             print(
                 f"[trainer] mesh={dict(zip(('data', 'fsdp', 'tensor'), cfg.mesh_shape))}"
                 f" sequence_parallel={bool(self.sp)}"
+            )
+        elif cfg.pipeline_stages:
+            # GPipe pipeline parallelism (parallel/pipeline.py): blocks
+            # layer-sharded into stages on a (data, pipe) mesh; batches
+            # stay unsharded and are microbatched inside the pipelined
+            # forward. Targets cross-slice (DCN) scale-out.
+            from mlx_video_tpu.parallel.pipeline import (
+                pipeline_mesh,
+                shard_params_pipeline,
+            )
+
+            pp_mesh = pipeline_mesh(cfg.pipeline_stages, data=cfg.pipeline_data)
+            self.params = shard_params_pipeline(self.params, pp_mesh)
+            num_mb = cfg.pipeline_microbatches or cfg.pipeline_stages
+            data_axis = "data" if cfg.pipeline_data > 1 else None
+            self.pp = (pp_mesh, "pipe", num_mb, data_axis)
+            print(
+                f"[trainer] pipeline mesh=(data={cfg.pipeline_data},"
+                f" pipe={cfg.pipeline_stages}) microbatches={num_mb}"
             )
 
         schedule = make_lr_schedule(cfg.scheduler_type, cfg.lr, cfg.steps)
@@ -275,6 +300,7 @@ class Trainer:
                     timestep_sampling_mode=cfg.timestep_sampling_mode,
                     timestep_sampling_std=cfg.timestep_sampling_std,
                     sp=self.sp,
+                    pp=self.pp,
                 )
                 accum = grads if accum is None else accumulate_grads(accum, grads)
 

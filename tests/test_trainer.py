@@ -241,6 +241,38 @@ class TestTrainer:
         assert sp.sp is not None
         np.testing.assert_allclose(sp.train(), ref_loss, rtol=1e-4)
 
+    def test_pipeline_parallel_training_matches_single_device(self, tmp_path):
+        """GPipe pipeline-parallel training (pipeline_stages config) must
+        match the single-device loss trajectory (parallel/pipeline.py)."""
+        mcfg, params = tiny_model()
+        kw = dict(training_mode="full", steps=2, seed=5)
+
+        def fresh():
+            return jax.tree.map(jnp.copy, params)
+
+        ref = Trainer(
+            tiny_cfg(output_dir=str(tmp_path / "a"), **kw),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        ref_loss = ref.train()
+
+        pp = Trainer(
+            tiny_cfg(
+                output_dir=str(tmp_path / "b"), pipeline_stages=2,
+                pipeline_microbatches=1, **kw,
+            ),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert pp.pp is not None and pp.mesh is None
+        np.testing.assert_allclose(pp.train(), ref_loss, rtol=1e-4)
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            Trainer(
+                tiny_cfg(output_dir=str(tmp_path / "c"), pipeline_stages=2,
+                         mesh_shape=(1, 2, 4), **kw),
+                model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+            )
+
     def test_mesh_sharded_lora_over_quant_matches_single_device(self, tmp_path):
         """The single-chip 19B recipe (LoRA over a frozen quantized base)
         must also train under TP/FSDP sharding with identical losses —
