@@ -135,6 +135,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --mesh: also shard the token axis over the fsdp "
                         "mesh axis and run self-attention as ring attention "
                         "(long-video sequence parallelism)")
+    p.add_argument("--pipeline-parallel", type=int, default=0,
+                   help="GPipe pipeline parallelism: split the DiT block "
+                        "stack into N stages on a (data, pipe) mesh "
+                        "(parallel/pipeline.py). Mutually exclusive with "
+                        "--mesh/--sequence-parallel; targets cross-slice "
+                        "(DCN) scale-out and batch serving.")
+    p.add_argument("--pipeline-microbatches", type=int, default=1,
+                   help="Microbatches streamed through the pipeline (must "
+                        "divide the latent batch; 1 for single-video runs).")
+    p.add_argument("--pipeline-data", type=int, default=1,
+                   help="Data-parallel groups alongside the pipeline.")
     p.add_argument("--cfg-cache-interval", type=int, default=1,
                    help="Dev CFG: recompute the guidance delta every k-th "
                         "step and reuse it in between (cached steps run one "
@@ -445,6 +456,9 @@ def main(argv=None) -> None:
             profile=args.profile,
             mesh=mesh,
             sequence_parallel=args.sequence_parallel,
+            pipeline_parallel=args.pipeline_parallel,
+            pipeline_microbatches=args.pipeline_microbatches,
+            pipeline_data=args.pipeline_data,
             low_memory=args.low_memory,
         )
 

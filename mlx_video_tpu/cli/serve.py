@@ -50,6 +50,9 @@ class GenerationService:
         output_dir: Path = Path("/tmp/mlx_video_tpu_serve"),
         mesh=None,
         sequence_parallel: bool = False,
+        pipeline_parallel: int = 0,
+        pipeline_microbatches: int = 1,
+        pipeline_data: int = 1,
         dtype=None,
     ) -> None:
         import jax.numpy as jnp
@@ -61,6 +64,9 @@ class GenerationService:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh
         self.sequence_parallel = sequence_parallel
+        self.pipeline_parallel = pipeline_parallel
+        self.pipeline_microbatches = pipeline_microbatches
+        self.pipeline_data = pipeline_data
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.lock = threading.Lock()
         self.requests_served = 0
@@ -116,6 +122,9 @@ class GenerationService:
             dtype=self.dtype,
             mesh=self.mesh,
             sequence_parallel=self.sequence_parallel,
+            pipeline_parallel=self.pipeline_parallel,
+            pipeline_microbatches=self.pipeline_microbatches,
+            pipeline_data=self.pipeline_data,
             profile=True,
         )
         text = self._text_for(req)
@@ -192,6 +201,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w8a8", action="store_true")
     p.add_argument("--w4a8", action="store_true")
     p.add_argument("--mesh", default=None, help="data,fsdp,tensor or 'auto'")
+    p.add_argument("--pipeline-parallel", type=int, default=0,
+                   help="GPipe pipeline stages for every DiT forward "
+                        "(parallel/pipeline.py); exclusive with --mesh.")
+    p.add_argument("--pipeline-microbatches", type=int, default=1)
+    p.add_argument("--pipeline-data", type=int, default=1)
     p.add_argument("--sequence-parallel", action="store_true",
                    help="With --mesh: ring-attention token sharding over fsdp")
     p.add_argument("--host", default="127.0.0.1")
@@ -269,6 +283,9 @@ def main(argv=None) -> None:
         models, text_encoder=text_encoder, default_text=default_text,
         output_dir=Path(args.output_dir), mesh=mesh,
         sequence_parallel=args.sequence_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pipeline_microbatches=args.pipeline_microbatches,
+        pipeline_data=args.pipeline_data,
     )
 
     if args.warmup:

@@ -123,9 +123,33 @@ def _host_step_event(step, sigma, total: int):
     step_event(int(step) + 1, total, sigma=float(sigma))
 
 
+def _make_apply(pp):
+    """Forward selector: plain ``ltx_apply`` or the pipeline-parallel one.
+
+    ``pp`` = (mesh, axis, num_microbatches[, data_axis]) routes every
+    per-step DiT forward through the GPipe stage loop
+    (parallel/pipeline.py) — serving-batch scale-out over a ``pipe`` mesh
+    axis (cross-slice/DCN); mutually exclusive with ``sp`` ring attention.
+    """
+    if pp is None:
+        return ltx_apply
+    from mlx_video_tpu.parallel.pipeline import pipeline_ltx_apply
+
+    mesh_, axis_, m_ = pp[0], pp[1], pp[2]
+    daxis_ = pp[3] if len(pp) > 3 else None
+
+    def apply(params, config, video=None, audio=None, sp=None):
+        return pipeline_ltx_apply(
+            params, config, video=video, audio=audio,
+            mesh=mesh_, axis=axis_, num_microbatches=m_, data_axis=daxis_,
+        )
+
+    return apply
+
+
 def _denoise_step(
     params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
-    cfg_cache_interval, carry, xs
+    cfg_cache_interval, pp, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -143,6 +167,7 @@ def _denoise_step(
     attention-broadcast literature). Exact when pos == neg context; a
     quality/speed dial otherwise.
     """
+    apply = _make_apply(pp)
     cfg_caching = use_cfg and cfg_cache_interval > 1 and not enable_audio
     if cfg_caching:
         v_lat, a_lat, v_delta = carry
@@ -169,7 +194,7 @@ def _denoise_step(
                 context=bundle["context"], positions=bundle["positions"],
                 pe=(bundle["pe_cos"], bundle["pe_sin"]),
             )
-            vel, _ = ltx_apply(params, config, video=mod, sp=sp)
+            vel, _ = apply(params, config, video=mod, sp=sp)
             pos, neg = jnp.split(vel, 2, axis=0)
             return pos, pos.astype(jnp.float32) - neg.astype(jnp.float32)
 
@@ -179,7 +204,7 @@ def _denoise_step(
                 context=bundle["context"][:b], positions=bundle["positions"][:b],
                 pe=(bundle["pe_cos"][:b], bundle["pe_sin"][:b]),
             )
-            pos, _ = ltx_apply(params, config, video=mod, sp=sp)
+            pos, _ = apply(params, config, video=mod, sp=sp)
             return pos, delta_prev
 
         v_pos, v_delta = jax.lax.cond(
@@ -225,7 +250,7 @@ def _denoise_step(
             pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
         )
 
-    v_vel, a_vel = ltx_apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
+    v_vel, a_vel = apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
 
     v_out = v_lat
     if video_mod is not None:
@@ -253,13 +278,13 @@ def _denoise_step(
 @partial(
     jax.jit,
     static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp",
-                     "cfg_cache_interval"),
+                     "cfg_cache_interval", "pp"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
-    cfg_cache_interval=1,
+    cfg_cache_interval=1, pp=None,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -282,7 +307,7 @@ def _denoise_scan(
     num_steps = sig_pairs.shape[0]
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
-        progress, num_steps, sp, cfg_cache_interval,
+        progress, num_steps, sp, cfg_cache_interval, pp,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
     if use_cfg and cfg_cache_interval > 1 and not enable_audio:
@@ -299,10 +324,10 @@ def _denoise_scan(
     return v, a
 
 
-@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp"))
-def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None):
+@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp", "pp"))
+def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None):
     out, _ = _denoise_step(
-        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1,
+        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp,
         carry, (sig_pair, jnp.int32(0)),
     )
     return out
@@ -373,6 +398,7 @@ def denoise(
     progress_callback: Optional[Callable[[int, int], None]] = None,
     sequence_parallel=None,
     cfg_cache_interval: int = 1,
+    pipeline_parallel=None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -390,10 +416,24 @@ def denoise(
       k-th step and reuses it in between (cached steps run a single batch-1
       forward) — a quality/speed dial for long CFG schedules. Video-only
       CFG; ignored on the distilled path.
+    - ``pipeline_parallel``: optional (mesh, axis, num_microbatches
+      [, data_axis]) — every per-step DiT forward runs GPipe
+      pipeline-parallel over the block stack (parallel/pipeline.py);
+      mutually exclusive with ``sequence_parallel``. The batch must divide
+      num_microbatches.
 
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
     use_cfg = cfg_scale != 1.0 and neg_context is not None
+    if pipeline_parallel is not None:
+        if sequence_parallel is not None:
+            raise ValueError("pipeline_parallel and sequence_parallel are mutually exclusive")
+        b_ref = latents.shape[0] if latents is not None else audio_latents.shape[0]
+        if b_ref % int(pipeline_parallel[2]) != 0:
+            raise ValueError(
+                f"batch={b_ref} not divisible by pipeline num_microbatches="
+                f"{pipeline_parallel[2]}"
+            )
     if cfg_cache_interval > 1:
         if audio_latents is not None:
             raise ValueError("cfg_cache_interval requires video-only CFG (no joint audio)")
@@ -422,7 +462,7 @@ def denoise(
             sig_pairs,
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
             progress=progress_echo_enabled(), sp=sequence_parallel,
-            cfg_cache_interval=cfg_cache_interval,
+            cfg_cache_interval=cfg_cache_interval, pp=pipeline_parallel,
         )
     else:
         bundle = _make_bundle(
@@ -437,7 +477,7 @@ def denoise(
             carry = _denoise_one(
                 params, bundle, carry, sig_pairs[i],
                 config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
-                sp=sequence_parallel,
+                sp=sequence_parallel, pp=pipeline_parallel,
             )
             progress_callback(i + 1, num_steps)
         v, a = carry

@@ -330,6 +330,9 @@ def generate_video(
     mem_log: bool = False,
     mesh=None,
     sequence_parallel: bool = False,
+    pipeline_parallel: int = 0,
+    pipeline_microbatches: int = 1,
+    pipeline_data: int = 1,
     low_memory: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
@@ -348,6 +351,14 @@ def generate_video(
     long/large videos (token count must divide the axis size; falls back
     to local attention otherwise).
 
+    ``pipeline_parallel``: >0 runs every DiT forward GPipe
+    pipeline-parallel with that many stages on a (data, pipe) mesh built
+    here (parallel/pipeline.py); ``pipeline_microbatches`` (must divide the
+    latent batch — 1 for single-video generation) and ``pipeline_data``
+    tune the schedule. Mutually exclusive with ``mesh``/
+    ``sequence_parallel``; targets cross-slice (DCN) scale-out and batch
+    serving.
+
     ``low_memory``: single-chip staging — the reference's serial load/free
     choreography (``del transformer; mx.clear_cache()``,
     generate.py:3504-3506) translated to host<->HBM swaps: the VAE
@@ -359,6 +370,21 @@ def generate_video(
     """
     timer = PhaseTimer()
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
+    pp = None
+    if pipeline_parallel:
+        if mesh is not None or sequence_parallel:
+            raise ValueError(
+                "pipeline_parallel is mutually exclusive with mesh/sequence_parallel"
+            )
+        from mlx_video_tpu.parallel.pipeline import pipeline_mesh, shard_params_pipeline
+
+        pp_mesh = pipeline_mesh(pipeline_parallel, data=pipeline_data)
+        models.transformer_params = shard_params_pipeline(models.transformer_params, pp_mesh)
+        pp = (
+            pp_mesh, "pipe", pipeline_microbatches,
+            "data" if pipeline_data > 1 else None,
+        )
+        mesh = pp_mesh  # stage-boundary gathers replicate over the pipe mesh
 
     _host_dev = jax.devices("cpu")[0] if low_memory else None
 
@@ -482,7 +508,8 @@ def generate_video(
         with timer.phase("stage1_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
-                state=state1, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
+                state=state1, progress_callback=progress_callback, sequence_parallel=sp,
+                pipeline_parallel=pp, **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
             if joint_audio:
@@ -548,12 +575,13 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                     state=state2, progress_callback=progress_callback,
-                    sequence_parallel=sp, **audio_kwargs,
+                    sequence_parallel=sp, pipeline_parallel=pp, **audio_kwargs,
                 )
             else:
                 latents, audio_latents = dn.denoise(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
-                    state=state2, progress_callback=progress_callback, sequence_parallel=sp, **audio_kwargs,
+                    state=state2, progress_callback=progress_callback, sequence_parallel=sp,
+                    pipeline_parallel=pp, **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("stage2 complete", profile or mem_log)
@@ -580,6 +608,7 @@ def generate_video(
                 params, config, latents, positions, text.video_embeddings, sigmas,
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                 state=state, progress_callback=progress_callback, sequence_parallel=sp,
+                pipeline_parallel=pp,
                 # quality/speed dial: reuse the CFG guidance delta between
                 # full recomputes (video-only; see denoise.py)
                 cfg_cache_interval=cfg_cache_interval if not audio_kwargs else 1,

@@ -239,6 +239,30 @@ class TestDistilledPipeline:
         )
         np.testing.assert_allclose(out_sp.latents, ref.latents, atol=5e-4)
 
+    def test_pipeline_parallel_matches_single_device(self, models):
+        """generate_video(pipeline_parallel=N) — GPipe stages over the block
+        stack (parallel/pipeline.py) — must reproduce single-device latents."""
+        from dataclasses import replace
+
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, decode_latents_only=True, dtype=jnp.float32,
+            seed=3,
+        )
+        ref = generate_video(models, _text(models.transformer_config), **kw)
+        out = generate_video(
+            replace(models), _text(models.transformer_config), pipeline_parallel=2, **kw
+        )
+        np.testing.assert_allclose(out.latents, ref.latents, atol=5e-4)
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            from mlx_video_tpu.parallel.mesh import create_mesh
+
+            generate_video(
+                replace(models), _text(models.transformer_config),
+                pipeline_parallel=2, mesh=create_mesh((1, 2, 4)), **kw,
+            )
+
     def test_invalid_steps_raise(self, models):
         with pytest.raises(ValueError, match="stage2_steps"):
             generate_video(

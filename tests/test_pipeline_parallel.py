@@ -110,6 +110,51 @@ class TestPipelineForward:
             pipeline_ltx_apply(sp, config, video=mod, mesh=mesh, num_microbatches=3)
 
 
+class TestPipelineDenoise:
+    def test_denoise_pp_matches_plain(self):
+        """The scanned denoise loop with pipeline_parallel set reproduces
+        the plain loop (distilled and dev-CFG paths, B=2)."""
+        from mlx_video_tpu.pipelines import denoise as dn
+
+        config, params, mod = _video_case(b=2)
+        lat = jnp.transpose(mod.latent, (0, 2, 1)).reshape(2, config.in_channels, 2, 4, 4)
+        sigmas = [1.0, 0.6, 0.2, 0.0]
+        mesh = pipeline_mesh(4)
+        sp = shard_params_pipeline(params, mesh)
+        pp = (mesh, "pipe", 2)
+
+        ref_v, _ = dn.denoise(params, config, lat, mod.positions, mod.context, sigmas)
+        out_v, _ = dn.denoise(
+            sp, config, lat, mod.positions, mod.context, sigmas, pipeline_parallel=pp
+        )
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), atol=5e-4)
+
+        neg = mod.context * 0.5
+        ref_c, _ = dn.denoise(
+            params, config, lat, mod.positions, mod.context, sigmas,
+            neg_context=neg, cfg_scale=3.0,
+        )
+        out_c, _ = dn.denoise(
+            sp, config, lat, mod.positions, mod.context, sigmas,
+            neg_context=neg, cfg_scale=3.0, pipeline_parallel=pp,
+        )
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), atol=5e-4)
+
+    def test_denoise_pp_validation(self):
+        from mlx_video_tpu.pipelines import denoise as dn
+
+        config, params, mod = _video_case(b=1)
+        lat = jnp.transpose(mod.latent, (0, 2, 1)).reshape(1, config.in_channels, 2, 4, 4)
+        mesh = pipeline_mesh(4)
+        with pytest.raises(ValueError, match="not divisible by pipeline"):
+            dn.denoise(params, config, lat, mod.positions, mod.context, [1.0, 0.0],
+                       pipeline_parallel=(mesh, "pipe", 2))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            dn.denoise(params, config, lat, mod.positions, mod.context, [1.0, 0.0],
+                       pipeline_parallel=(mesh, "pipe", 1),
+                       sequence_parallel=(mesh, "data"))
+
+
 class TestPipelineGrad:
     def test_grads_equal_single_device(self):
         """Params AND input grads match — the ppermute/broadcast transposes
