@@ -146,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "divide the latent batch; 1 for single-video runs).")
     p.add_argument("--pipeline-data", type=int, default=1,
                    help="Data-parallel groups alongside the pipeline.")
+    p.add_argument("--pipeline-tensor", type=int, default=1,
+                   help="Megatron TP ways inside each pipeline stage "
+                        "(GSPMD auto axis; TPxPP composition).")
     p.add_argument("--cfg-cache-interval", type=int, default=1,
                    help="Dev CFG: recompute the guidance delta every k-th "
                         "step and reuse it in between (cached steps run one "
@@ -459,6 +462,7 @@ def main(argv=None) -> None:
             pipeline_parallel=args.pipeline_parallel,
             pipeline_microbatches=args.pipeline_microbatches,
             pipeline_data=args.pipeline_data,
+            pipeline_tensor=args.pipeline_tensor,
             low_memory=args.low_memory,
         )
 

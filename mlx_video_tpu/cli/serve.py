@@ -53,6 +53,7 @@ class GenerationService:
         pipeline_parallel: int = 0,
         pipeline_microbatches: int = 1,
         pipeline_data: int = 1,
+        pipeline_tensor: int = 1,
         dtype=None,
     ) -> None:
         import jax.numpy as jnp
@@ -67,6 +68,7 @@ class GenerationService:
         self.pipeline_parallel = pipeline_parallel
         self.pipeline_microbatches = pipeline_microbatches
         self.pipeline_data = pipeline_data
+        self.pipeline_tensor = pipeline_tensor
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.lock = threading.Lock()
         self.requests_served = 0
@@ -125,6 +127,7 @@ class GenerationService:
             pipeline_parallel=self.pipeline_parallel,
             pipeline_microbatches=self.pipeline_microbatches,
             pipeline_data=self.pipeline_data,
+            pipeline_tensor=self.pipeline_tensor,
             profile=True,
         )
         text = self._text_for(req)
@@ -206,6 +209,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(parallel/pipeline.py); exclusive with --mesh.")
     p.add_argument("--pipeline-microbatches", type=int, default=1)
     p.add_argument("--pipeline-data", type=int, default=1)
+    p.add_argument("--pipeline-tensor", type=int, default=1)
     p.add_argument("--sequence-parallel", action="store_true",
                    help="With --mesh: ring-attention token sharding over fsdp")
     p.add_argument("--host", default="127.0.0.1")
@@ -286,6 +290,7 @@ def main(argv=None) -> None:
         pipeline_parallel=args.pipeline_parallel,
         pipeline_microbatches=args.pipeline_microbatches,
         pipeline_data=args.pipeline_data,
+        pipeline_tensor=args.pipeline_tensor,
     )
 
     if args.warmup:

@@ -56,20 +56,63 @@ from mlx_video_tpu.models.ltx.model import (
 
 
 def pipeline_mesh(
-    num_stages: int, data: int = 1, devices: Optional[Sequence[jax.Device]] = None
+    num_stages: int,
+    data: int = 1,
+    tensor: int = 1,
+    fsdp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """A ``(data, pipe)`` mesh: microbatch batch-sharding x pipeline stages."""
+    """A ``(data, pipe[, fsdp, tensor])`` mesh.
+
+    ``tensor``/``fsdp`` > 1 compose megatron TP / FSDP *inside* each
+    pipeline stage: the stage loop runs ``shard_map``-manual over
+    ``data``/``pipe`` only, leaving ``fsdp``/``tensor`` as GSPMD auto axes
+    whose collectives XLA inserts from the within-block weight shardings
+    (the scaling-book layout: TP on the innermost/ICI axis, PP across the
+    outer/DCN axis)."""
     if devices is None:
         devices = jax.devices()
-    n = data * num_stages
+    n = data * num_stages * tensor * fsdp
     if len(devices) < n:
-        raise ValueError(f"need {n} devices for (data={data}, pipe={num_stages}), have {len(devices)}")
-    return Mesh(np.asarray(devices[:n]).reshape(data, num_stages), ("data", "pipe"))
+        raise ValueError(
+            f"need {n} devices for (data={data}, pipe={num_stages},"
+            f" fsdp={fsdp}, tensor={tensor}), have {len(devices)}"
+        )
+    if tensor == 1 and fsdp == 1:
+        return Mesh(np.asarray(devices[:n]).reshape(data, num_stages), ("data", "pipe"))
+    return Mesh(
+        np.asarray(devices[:n]).reshape(data, num_stages, fsdp, tensor),
+        ("data", "pipe", "fsdp", "tensor"),
+    )
 
 
 def shard_params_pipeline(params: dict, mesh: Mesh, axis: str = "pipe") -> dict:
     """Place the stacked block pytree layer-sharded over ``axis`` (stage-
-    contiguous chunks of the layer axis); everything else replicated."""
+    contiguous chunks of the layer axis). With ``fsdp``/``tensor`` axes of
+    size > 1 on the mesh, block leaves additionally carry the megatron
+    TP/FSDP within-matrix specs (sharding.param_specs) and non-block params
+    shard by the same rules; otherwise non-blocks replicate."""
+    tp = any(int(mesh.shape.get(a, 1)) > 1 for a in ("fsdp", "tensor"))
+    if tp:
+        from mlx_video_tpu.parallel.sharding import param_specs
+
+        specs = param_specs(params)
+        out = {
+            k: jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), v, specs[k]
+            )
+            for k, v in params.items()
+            if k != "blocks"
+        }
+        # stacked leaves: swap the leading (layer-axis) None for the pipe axis
+        out["blocks"] = jax.tree.map(
+            lambda x, s: jax.device_put(
+                x, NamedSharding(mesh, P(*((axis,) + tuple(s)[1:])))
+            ),
+            params["blocks"],
+            specs["blocks"],
+        )
+        return out
     repl = NamedSharding(mesh, P())
     blk = NamedSharding(mesh, P(axis))
     out = {
@@ -210,11 +253,17 @@ def pipeline_ltx_apply(
         # collective (the slice's cotangent pads zeros for other stages).
         return out_v[None], out_a[None]
 
+    # Manual only over pipe (+ data): any fsdp/tensor mesh axes stay GSPMD
+    # "auto" — within-block matmuls keep their megatron shardings and XLA
+    # inserts the TP collectives inside each stage (partial-manual
+    # shard_map; the probe-verified TPxPP composition).
+    manual = frozenset({axis} | ({data_axis} if data_axis else set()))
     out_v, out_a = shard_map(
         run,
         mesh=mesh,
         in_specs=(P(axis), v_spec, a_spec),
         out_specs=(v_spec, a_spec),
+        axis_names=manual,
         check_vma=False,
     )(blocks, v_in, a_in)
 

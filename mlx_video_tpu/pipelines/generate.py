@@ -333,6 +333,7 @@ def generate_video(
     pipeline_parallel: int = 0,
     pipeline_microbatches: int = 1,
     pipeline_data: int = 1,
+    pipeline_tensor: int = 1,
     low_memory: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
@@ -378,7 +379,7 @@ def generate_video(
             )
         from mlx_video_tpu.parallel.pipeline import pipeline_mesh, shard_params_pipeline
 
-        pp_mesh = pipeline_mesh(pipeline_parallel, data=pipeline_data)
+        pp_mesh = pipeline_mesh(pipeline_parallel, data=pipeline_data, tensor=pipeline_tensor)
         models.transformer_params = shard_params_pipeline(models.transformer_params, pp_mesh)
         pp = (
             pp_mesh, "pipe", pipeline_microbatches,

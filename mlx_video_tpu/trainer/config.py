@@ -91,6 +91,10 @@ class TrainingConfig:
     pipeline_microbatches: Optional[int] = None
     # Data-parallel groups alongside the pipeline (mesh = (data, pipe)).
     pipeline_data: int = 1
+    # Megatron TP / FSDP inside each pipeline stage (GSPMD auto axes of the
+    # (data, pipe, fsdp, tensor) mesh; parallel/pipeline.py).
+    pipeline_tensor: int = 1
+    pipeline_fsdp: int = 1
 
 
 def _normalize_target_modules(targets):
@@ -184,6 +188,8 @@ def load_training_config(path: Path) -> TrainingConfig:
         pipeline_stages=int(raw.get("pipeline_stages", 0) or 0),
         pipeline_microbatches=raw.get("pipeline_microbatches"),
         pipeline_data=int(raw.get("pipeline_data", 1) or 1),
+        pipeline_tensor=int(raw.get("pipeline_tensor", 1) or 1),
+        pipeline_fsdp=int(raw.get("pipeline_fsdp", 1) or 1),
     )
 
     if cfg.strategy not in {"text_to_video", "video_to_video", "ic_lora"}:

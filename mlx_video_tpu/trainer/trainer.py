@@ -154,14 +154,18 @@ class Trainer:
                 shard_params_pipeline,
             )
 
-            pp_mesh = pipeline_mesh(cfg.pipeline_stages, data=cfg.pipeline_data)
+            pp_mesh = pipeline_mesh(
+                cfg.pipeline_stages, data=cfg.pipeline_data,
+                tensor=cfg.pipeline_tensor, fsdp=cfg.pipeline_fsdp,
+            )
             self.params = shard_params_pipeline(self.params, pp_mesh)
             num_mb = cfg.pipeline_microbatches or cfg.pipeline_stages
             data_axis = "data" if cfg.pipeline_data > 1 else None
             self.pp = (pp_mesh, "pipe", num_mb, data_axis)
             print(
                 f"[trainer] pipeline mesh=(data={cfg.pipeline_data},"
-                f" pipe={cfg.pipeline_stages}) microbatches={num_mb}"
+                f" pipe={cfg.pipeline_stages}, fsdp={cfg.pipeline_fsdp},"
+                f" tensor={cfg.pipeline_tensor}) microbatches={num_mb}"
             )
 
         schedule = make_lr_schedule(cfg.scheduler_type, cfg.lr, cfg.steps)

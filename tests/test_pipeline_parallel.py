@@ -110,6 +110,102 @@ class TestPipelineForward:
             pipeline_ltx_apply(sp, config, video=mod, mesh=mesh, num_microbatches=3)
 
 
+class TestPipelineTensorCompose:
+    """TP/FSDP inside each pipeline stage: shard_map stays manual over
+    data/pipe only, fsdp/tensor remain GSPMD auto axes (partial-manual)."""
+
+    @pytest.mark.parametrize(
+        "mesh_kw,m,daxis",
+        [
+            (dict(num_stages=2, tensor=4), 2, None),
+            (dict(num_stages=2, data=2, tensor=2), 2, "data"),
+            (dict(num_stages=2, fsdp=2, tensor=2), 2, None),
+        ],
+    )
+    def test_tp_x_pp_forward(self, mesh_kw, m, daxis):
+        config, params, mod = _video_case()
+        ref, _ = jax.jit(lambda p, v: ltx_apply(p, config, video=v))(params, mod)
+        mesh = pipeline_mesh(**mesh_kw)
+        sp = shard_params_pipeline(params, mesh)
+        out, _ = jax.jit(
+            lambda p, v: pipeline_ltx_apply(
+                p, config, video=v, mesh=mesh, num_microbatches=m, data_axis=daxis
+            )
+        )(sp, mod)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_tp_x_pp_grads(self):
+        config, params, mod = _video_case()
+        tgt = jnp.asarray(
+            np.random.default_rng(3).normal(size=mod.latent.shape).astype(np.float32)
+        )
+
+        def loss_ref(p):
+            v, _ = ltx_apply(p, config, video=mod)
+            return jnp.mean(jnp.square(v - tgt))
+
+        gr = jax.jit(jax.grad(loss_ref))(params)
+        mesh = pipeline_mesh(2, data=2, tensor=2)
+        sp = shard_params_pipeline(params, mesh)
+
+        def loss_pp(p):
+            v, _ = pipeline_ltx_apply(
+                p, config, video=mod, mesh=mesh, num_microbatches=2, data_axis="data"
+            )
+            return jnp.mean(jnp.square(v - tgt))
+
+        gp = jax.jit(jax.grad(loss_pp))(sp)
+        for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4)
+
+    def test_19b_aot_lowers_pp2_x_tp4(self):
+        """The real 19B geometry AOT-lowers pipeline-sharded over
+        (pipe=2, tensor=4): per-device params ~1/8 of the model — the
+        cross-slice deployment shape (PP across DCN, TP inside each slice)."""
+        from mlx_video_tpu.config import LTXModelConfig
+
+        config = LTXModelConfig(rope_type=LTXRopeType.SPLIT)  # 19B AV flagship
+        params_shapes = jax.eval_shape(
+            lambda: init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
+        )
+        n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params_shapes))
+        assert 18e9 < n_params < 20e9
+
+        mesh = pipeline_mesh(2, tensor=4)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mlx_video_tpu.parallel.sharding import param_specs
+
+        specs = param_specs(params_shapes)
+        specs["blocks"] = jax.tree.map(
+            lambda s: P(*(("pipe",) + tuple(s)[1:])), specs["blocks"]
+        )
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+        b, s = 2, 5 * 16 * 16
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        video = Modality(
+            latent=jax.ShapeDtypeStruct((b, s, 128), jnp.bfloat16),
+            timesteps=jax.ShapeDtypeStruct((b, s), jnp.bfloat16),
+            context=jax.ShapeDtypeStruct((b, 128, 3840), jnp.bfloat16),
+            positions=jax.ShapeDtypeStruct((b, 3, s, 2), jnp.float32),
+        )
+        with mesh:
+            compiled = (
+                jax.jit(
+                    lambda p, v: pipeline_ltx_apply(
+                        p, config, video=v, mesh=mesh, num_microbatches=2
+                    ),
+                    in_shardings=(shardings, None),
+                )
+                .lower(params_shapes, video)
+                .compile()
+            )
+        per_dev = compiled.memory_analysis()
+        # bf16 19B = ~38 GB total; pipe2 x tp4 => ~1/8 per device (+temps)
+        assert per_dev.argument_size_in_bytes < 0.20 * 2 * n_params
+
+
 class TestPipelineDenoise:
     def test_denoise_pp_matches_plain(self):
         """The scanned denoise loop with pipeline_parallel set reproduces
