@@ -141,11 +141,6 @@ def build_parser() -> argparse.ArgumentParser:
                         "(parallel/pipeline.py). Mutually exclusive with "
                         "--mesh/--sequence-parallel; targets cross-slice "
                         "(DCN) scale-out and batch serving.")
-    p.add_argument("--pipeline-microbatches", type=int, default=1,
-                   help="Microbatches streamed through the pipeline (must "
-                        "divide the latent batch; 1 for single-video runs).")
-    p.add_argument("--pipeline-data", type=int, default=1,
-                   help="Data-parallel groups alongside the pipeline.")
     p.add_argument("--pipeline-tensor", type=int, default=1,
                    help="Megatron TP ways inside each pipeline stage "
                         "(GSPMD auto axis; TPxPP composition).")
@@ -206,6 +201,9 @@ def load_embeddings(path: str):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.mesh and args.pipeline_parallel:
+        # fail before minutes of weight loading, not inside generate_video
+        raise SystemExit("generate: --mesh and --pipeline-parallel are mutually exclusive")
 
     import os
 
@@ -460,8 +458,6 @@ def main(argv=None) -> None:
             mesh=mesh,
             sequence_parallel=args.sequence_parallel,
             pipeline_parallel=args.pipeline_parallel,
-            pipeline_microbatches=args.pipeline_microbatches,
-            pipeline_data=args.pipeline_data,
             pipeline_tensor=args.pipeline_tensor,
             low_memory=args.low_memory,
         )

@@ -51,8 +51,6 @@ class GenerationService:
         mesh=None,
         sequence_parallel: bool = False,
         pipeline_parallel: int = 0,
-        pipeline_microbatches: int = 1,
-        pipeline_data: int = 1,
         pipeline_tensor: int = 1,
         dtype=None,
     ) -> None:
@@ -66,8 +64,6 @@ class GenerationService:
         self.mesh = mesh
         self.sequence_parallel = sequence_parallel
         self.pipeline_parallel = pipeline_parallel
-        self.pipeline_microbatches = pipeline_microbatches
-        self.pipeline_data = pipeline_data
         self.pipeline_tensor = pipeline_tensor
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.lock = threading.Lock()
@@ -125,8 +121,6 @@ class GenerationService:
             mesh=self.mesh,
             sequence_parallel=self.sequence_parallel,
             pipeline_parallel=self.pipeline_parallel,
-            pipeline_microbatches=self.pipeline_microbatches,
-            pipeline_data=self.pipeline_data,
             pipeline_tensor=self.pipeline_tensor,
             profile=True,
         )
@@ -207,8 +201,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-parallel", type=int, default=0,
                    help="GPipe pipeline stages for every DiT forward "
                         "(parallel/pipeline.py); exclusive with --mesh.")
-    p.add_argument("--pipeline-microbatches", type=int, default=1)
-    p.add_argument("--pipeline-data", type=int, default=1)
     p.add_argument("--pipeline-tensor", type=int, default=1)
     p.add_argument("--sequence-parallel", action="store_true",
                    help="With --mesh: ring-attention token sharding over fsdp")
@@ -223,6 +215,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.mesh and args.pipeline_parallel:
+        # The conflict is fully known at parse time — reject before weight
+        # loading / before the server boots "healthy" and every request 400s.
+        raise SystemExit("serve: --mesh and --pipeline-parallel are mutually exclusive")
 
     import os
 
@@ -288,8 +284,6 @@ def main(argv=None) -> None:
         output_dir=Path(args.output_dir), mesh=mesh,
         sequence_parallel=args.sequence_parallel,
         pipeline_parallel=args.pipeline_parallel,
-        pipeline_microbatches=args.pipeline_microbatches,
-        pipeline_data=args.pipeline_data,
         pipeline_tensor=args.pipeline_tensor,
     )
 

@@ -280,3 +280,19 @@ def pipeline_ltx_apply(
             params["audio"], tokens, audio_args.embedded_timestep, config.norm_eps
         )
     return v_res, a_res
+
+
+def apply_from_tuple(pp):
+    """Adapter for the ``pp = (mesh, axis, num_microbatches[, data_axis])``
+    tuple threaded through denoise/grad_step static args: returns a function
+    with the ``ltx_apply`` signature that runs the pipelined forward."""
+    mesh, axis, num_mb = pp[0], pp[1], pp[2]
+    data_axis = pp[3] if len(pp) > 3 else None
+
+    def apply(params, config, video=None, audio=None, sp=None):
+        return pipeline_ltx_apply(
+            params, config, video=video, audio=audio,
+            mesh=mesh, axis=axis, num_microbatches=num_mb, data_axis=data_axis,
+        )
+
+    return apply

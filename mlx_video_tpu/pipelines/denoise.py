@@ -133,18 +133,9 @@ def _make_apply(pp):
     """
     if pp is None:
         return ltx_apply
-    from mlx_video_tpu.parallel.pipeline import pipeline_ltx_apply
+    from mlx_video_tpu.parallel.pipeline import apply_from_tuple
 
-    mesh_, axis_, m_ = pp[0], pp[1], pp[2]
-    daxis_ = pp[3] if len(pp) > 3 else None
-
-    def apply(params, config, video=None, audio=None, sp=None):
-        return pipeline_ltx_apply(
-            params, config, video=video, audio=audio,
-            mesh=mesh_, axis=axis_, num_microbatches=m_, data_axis=daxis_,
-        )
-
-    return apply
+    return apply_from_tuple(pp)
 
 
 def _denoise_step(
@@ -419,8 +410,8 @@ def denoise(
     - ``pipeline_parallel``: optional (mesh, axis, num_microbatches
       [, data_axis]) — every per-step DiT forward runs GPipe
       pipeline-parallel over the block stack (parallel/pipeline.py);
-      mutually exclusive with ``sequence_parallel``. The batch must divide
-      num_microbatches.
+      mutually exclusive with ``sequence_parallel``. num_microbatches must
+      divide the batch.
 
     Returns (video_latents, audio_latents-or-None), channels-first.
     """

@@ -377,10 +377,35 @@ def generate_video(
             raise ValueError(
                 "pipeline_parallel is mutually exclusive with mesh/sequence_parallel"
             )
+        if pipeline_microbatches > 1 or pipeline_data > 1:
+            # Generation always denoises a batch of ONE video (shape1 below),
+            # so microbatch/data splits have nothing to divide — they are
+            # training-scale knobs (trainer pipeline_microbatches /
+            # pipeline_data). Fail here, not steps later inside the scan.
+            raise ValueError(
+                "generate_video runs a latent batch of 1; pipeline_microbatches/"
+                "pipeline_data have nothing to split — use pipeline_parallel "
+                "stages (+ pipeline_tensor) for inference, and the trainer "
+                "config for microbatched pipelines"
+            )
         from mlx_video_tpu.parallel.pipeline import pipeline_mesh, shard_params_pipeline
 
         pp_mesh = pipeline_mesh(pipeline_parallel, data=pipeline_data, tensor=pipeline_tensor)
+        # NOTE: mutates the bundle like low_memory does — every transformer
+        # param set (stage-1, optional stage-2, optional audio) must live
+        # pipe-sharded or a 19B stage-2 would sit whole on one device.
+        # shard_params_pipeline is idempotent (device_put to an identical
+        # sharding is a no-op), so repeat serve requests cost a tree walk,
+        # not copies.
         models.transformer_params = shard_params_pipeline(models.transformer_params, pp_mesh)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = shard_params_pipeline(
+                models.stage2_transformer_params, pp_mesh
+            )
+        if models.audio_transformer_params is not None:
+            models.audio_transformer_params = shard_params_pipeline(
+                models.audio_transformer_params, pp_mesh
+            )
         pp = (
             pp_mesh, "pipe", pipeline_microbatches,
             "data" if pipeline_data > 1 else None,

@@ -297,13 +297,10 @@ def strategy_loss_fn(
     if pp is not None:
         if sp is not None:
             raise ValueError("sp (ring attention) and pp (pipeline) are mutually exclusive")
-        from mlx_video_tpu.parallel.pipeline import pipeline_ltx_apply
+        from mlx_video_tpu.parallel.pipeline import apply_from_tuple
 
-        mesh, axis, num_mb = pp[0], pp[1], pp[2]
-        data_axis = pp[3] if len(pp) > 3 else None
-        v_pred, a_pred = pipeline_ltx_apply(
-            params, config, video=inputs.video, audio=inputs.audio,
-            mesh=mesh, axis=axis, num_microbatches=num_mb, data_axis=data_axis,
+        v_pred, a_pred = apply_from_tuple(pp)(
+            params, config, video=inputs.video, audio=inputs.audio
         )
     else:
         v_pred, a_pred = ltx_apply(params, config, video=inputs.video, audio=inputs.audio, sp=sp)

@@ -159,7 +159,24 @@ class Trainer:
                 tensor=cfg.pipeline_tensor, fsdp=cfg.pipeline_fsdp,
             )
             self.params = shard_params_pipeline(self.params, pp_mesh)
-            num_mb = cfg.pipeline_microbatches or cfg.pipeline_stages
+            num_mb = cfg.pipeline_microbatches
+            if not num_mb:
+                # default: as many microbatches as stages (smallest bubble),
+                # capped to what the batch actually divides into
+                import math
+
+                num_mb = math.gcd(cfg.batch_size, cfg.pipeline_stages)
+            # fail at init, not minutes later inside the first grad_step
+            if cfg.batch_size % num_mb != 0:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} not divisible by "
+                    f"pipeline_microbatches={num_mb}"
+                )
+            if (cfg.batch_size // num_mb) % cfg.pipeline_data != 0:
+                raise ValueError(
+                    f"microbatch size {cfg.batch_size // num_mb} not divisible "
+                    f"by pipeline_data={cfg.pipeline_data}"
+                )
             data_axis = "data" if cfg.pipeline_data > 1 else None
             self.pp = (pp_mesh, "pipe", num_mb, data_axis)
             print(
