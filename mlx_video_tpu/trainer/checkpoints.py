@@ -85,11 +85,19 @@ def load_train_checkpoint(
         p_leaves, p_def = _flatten_with_treedef(params_template)
         o_leaves, o_def = _flatten_with_treedef(opt_state_template)
         def _place(arr, tmpl):
-            # Preserve the template's placement (e.g. TP/FSDP NamedSharding
-            # for mesh-sharded training) instead of the default device.
+            # Preserve the template's MESH placement (TP/FSDP NamedSharding
+            # for mesh-sharded training). Leaves whose template sits on the
+            # default device (e.g. optimizer `count` scalars from an eager
+            # optax init) must stay UNCOMMITTED: committing them to one
+            # process-local device breaks multi-process resume — params span
+            # the global mesh while `count` pins to this host's device 0 and
+            # the next jit rejects the mixed device sets (found by
+            # scripts/drive_multihost.py).
+            from jax.sharding import NamedSharding
+
             out = jnp.asarray(arr)
             sharding = getattr(tmpl, "sharding", None)
-            if sharding is not None:
+            if isinstance(sharding, NamedSharding):
                 out = jax.device_put(out, sharding)
             return out
 

@@ -52,3 +52,14 @@ def test_bench_tiny_smoke():
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     payload = json.loads(line)
     assert {"metric", "value", "unit", "vs_baseline"} <= payload.keys()
+
+
+def test_multihost_drive():
+    """REAL 2-process jax.distributed training: one SIGTERM, cross-process
+    agreed checkpoint, exact resume (scripts/drive_multihost.py)."""
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "scripts/drive_multihost.py")],
+        capture_output=True, text=True, timeout=1500, cwd=str(ROOT),
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-1000:])
+    assert "DRIVE_PASS" in out.stdout
