@@ -260,28 +260,10 @@ def collate_batches(batches: List[Batch]) -> Batch:
     )
 
 
-def iter_batches(
-    dataset,
-    batch_size: int,
-    shuffle: bool = True,
-    seed: int = 0,
-    prefetch: int = 2,
-    prefetch_threads: int = 4,
-) -> Iterator[Batch]:
-    """Endless-enough epoch iterator (reference: datasets.py:275-283).
-
-    When the dataset exposes ``sample_paths`` (PrecomputedDataset), the next
-    ``prefetch`` batches' files are read on background threads (native C++
-    pool when available) so disk IO overlaps the on-device train step.
-
-    With ``batch_size > 1`` on a dataset that exposes ``latent_shape``
-    (PrecomputedDataset), samples are grouped into same-shape batches so a
-    resolution-bucketed dataset (precompute ``--resolution-buckets``)
-    collates cleanly — mixed shapes in one batch cannot be stacked, and
-    each distinct shape is one compiled program on TPU anyway. Batch order
-    interleaves buckets (shuffled); a trailing partial batch per bucket is
-    yielded as-is.
-    """
+def _batch_index_groups(dataset, batch_size: int, shuffle: bool, seed: int):
+    """Deterministic per-epoch batch index groups (shared by iter_batches
+    and num_batches_per_epoch). Pure index/shape math — no sample loads
+    beyond ``latent_shape`` metadata for bucketing."""
     idxs = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idxs)
@@ -301,6 +283,44 @@ def iter_batches(
             [int(j) for j in idxs[i : i + batch_size]]
             for i in range(0, len(dataset), batch_size)
         ]
+    return batches
+
+
+def num_batches_per_epoch(dataset, batch_size: int) -> int:
+    """Batches one epoch yields. Constant across epochs: shuffling permutes
+    membership but bucket sizes (and so per-bucket partial batches) are
+    shuffle-invariant."""
+    return len(_batch_index_groups(dataset, batch_size, shuffle=False, seed=0))
+
+
+def iter_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefetch: int = 2,
+    prefetch_threads: int = 4,
+    skip: int = 0,
+) -> Iterator[Batch]:
+    """Endless-enough epoch iterator (reference: datasets.py:275-283).
+
+    When the dataset exposes ``sample_paths`` (PrecomputedDataset), the next
+    ``prefetch`` batches' files are read on background threads (native C++
+    pool when available) so disk IO overlaps the on-device train step.
+
+    With ``batch_size > 1`` on a dataset that exposes ``latent_shape``
+    (PrecomputedDataset), samples are grouped into same-shape batches so a
+    resolution-bucketed dataset (precompute ``--resolution-buckets``)
+    collates cleanly — mixed shapes in one batch cannot be stacked, and
+    each distinct shape is one compiled program on TPU anyway. Batch order
+    interleaves buckets (shuffled); a trailing partial batch per bucket is
+    yielded as-is.
+    """
+    batches = _batch_index_groups(dataset, batch_size, shuffle, seed)
+    if skip:
+        # Resume fast-forward: drop already-consumed batches by INDEX math
+        # only — no file reads for the skipped prefix (trainer exact-resume).
+        batches = batches[skip:]
 
     if prefetch > 0 and hasattr(dataset, "sample_paths"):
         from mlx_video_tpu.io.prefetch import FilePrefetcher

@@ -291,6 +291,7 @@ class Trainer:
         accum_steps = max(1, cfg.grad_accum_steps)
         accum = None
         last_loss = float("nan")
+        self.loss_history = []  # per-step losses (tests assert stream-exact resume)
 
         if (
             cfg.validation_interval
@@ -300,11 +301,22 @@ class Trainer:
         ):
             self.validation_fn(self.params, 0)
 
+        # Stream-exact resume: one batch == one step, and both the epoch
+        # position and the per-step RNG derive from the step counter alone —
+        # a resumed run consumes the SAME batches with the SAME noise keys
+        # the uninterrupted run would have, with no iterator state in the
+        # checkpoint (the TPU-native answer to SURVEY §5's
+        # "optimizer state + data-iterator state"). The skipped prefix of
+        # the resume epoch is dropped by index math (no file reads).
+        from mlx_video_tpu.trainer.datasets import num_batches_per_epoch
+
+        spe = max(1, num_batches_per_epoch(self.dataset, cfg.batch_size))
         step = self.start_step
-        epoch = 0
+        epoch = step // spe
         while step < cfg.steps:
             for batch in iter_batches(
-                self.dataset, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+                self.dataset, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                skip=(step % spe) if step == self.start_step else 0,
             ):
                 if step >= cfg.steps:
                     break
@@ -314,7 +326,10 @@ class Trainer:
                     from mlx_video_tpu.parallel.sharding import shard_batch
 
                     sb = shard_batch(sb, self.mesh)
-                key, sub = jax.random.split(key)
+                # Step-derived key (not a sequential split chain): the noise
+                # at step N is identical whether the run was interrupted or
+                # not — RNG state needs no checkpointing.
+                sub = jax.random.fold_in(key, step)
                 loss, grads = grad_step(
                     self.params, sb, sub, self.model_config,
                     first_frame_conditioning_p=cfg.first_frame_conditioning_p,
@@ -332,6 +347,7 @@ class Trainer:
                     accum = None
 
                 last_loss = float(loss)
+                self.loss_history.append(last_loss)
                 if step % cfg.log_every == 0:
                     msg = f"step {step}: loss={last_loss:.6f}"
                     if cfg.debug:
