@@ -196,7 +196,18 @@ class PrecomputedDataset:
     def latent_shape(self, index: int) -> Tuple[int, ...]:
         """Header-only latent shape of one sample — cheap (no tensor data
         read for safetensors), used to group resolution buckets into
-        same-shape batches."""
+        same-shape batches. Cached: both num_batches_per_epoch (train
+        start) and every epoch's bucketing ask for all N shapes."""
+        cache = getattr(self, "_shape_cache", None)
+        if cache is None:
+            cache = self._shape_cache = {}
+        if index in cache:
+            return cache[index]
+        shape = self._latent_shape_uncached(index)
+        cache[index] = shape
+        return shape
+
+    def _latent_shape_uncached(self, index: int) -> Tuple[int, ...]:
         data_key = "latents" if "latents" in self.data_sources else next(iter(self.data_sources))
         out_key = self.data_sources[data_key]
         path = self.source_paths[data_key] / self.sample_files[out_key][index]

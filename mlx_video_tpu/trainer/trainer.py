@@ -291,7 +291,10 @@ class Trainer:
         accum_steps = max(1, cfg.grad_accum_steps)
         accum = None
         last_loss = float("nan")
-        self.loss_history = []  # per-step losses (tests assert stream-exact resume)
+        from collections import deque
+
+        # recent per-step losses (bounded; tests assert stream-exact resume)
+        self.loss_history = deque(maxlen=4096)
 
         if (
             cfg.validation_interval
@@ -356,9 +359,6 @@ class Trainer:
                     if self._wandb is not None:
                         self._wandb.log({"loss": last_loss, "step": step}, step=step)
 
-                if cfg.save_every and step > 0 and step % cfg.save_every == 0:
-                    self.save_checkpoint(step)
-                    ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
                 if (
                     cfg.validation_interval
                     and self.validation_fn is not None
@@ -367,6 +367,14 @@ class Trainer:
                 ):
                     self.validation_fn(self.params, step)
                 step += 1
+                # Periodic saves AFTER the increment: a checkpoint's step
+                # label means "steps completed", matching the preemption and
+                # final saves — resume then starts at the NEXT batch instead
+                # of re-applying an already-applied gradient (the pre-
+                # increment version replayed one step on resume).
+                if cfg.save_every and step % cfg.save_every == 0 and step < cfg.steps:
+                    self.save_checkpoint(step)
+                    ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
                 # Preemption (SIGTERM): every host agrees on the stop step,
                 # checkpoints it exactly, and exits cleanly — restart with
                 # cfg.resume picks up from here (parallel/distributed.py).

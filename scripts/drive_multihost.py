@@ -30,7 +30,15 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = Path("/tmp/multihost_drive_out")
-COORD = "127.0.0.1:17742"
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        return sk.getsockname()[1]
+
+
+COORD = f"127.0.0.1:{_free_port()}"
 
 CHILD = r"""
 import os, sys
@@ -73,6 +81,9 @@ print("CHILD_DONE", flush=True)
 """
 
 
+_PROCS = []  # every child ever spawned; main() reaps leftovers on ANY exit
+
+
 def run_child(pid: int, steps: int, resume: bool = False) -> subprocess.Popen:
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,32 +92,46 @@ def run_child(pid: int, steps: int, resume: bool = False) -> subprocess.Popen:
     args = [sys.executable, "-c", code, "--pid", str(pid), "--steps", str(steps)]
     if resume:
         args.append("--resume")
-    return subprocess.Popen(
+    proc = subprocess.Popen(
         args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
     )
+    _PROCS.append(proc)
+    return proc
 
 
 def main():
     import shutil
 
     shutil.rmtree(OUT, ignore_errors=True)
-    total = 60
+    try:
+        _main_body(total=60)
+    finally:
+        # no child may outlive the drive (a peer blocked in a collective
+        # would otherwise linger after an assertion failure)
+        for proc in _PROCS:
+            if proc.poll() is None:
+                proc.kill()
 
+
+def _main_body(total):
     p0 = run_child(0, total)
     p1 = run_child(1, total)
 
     # wait until proc 0 has logged a few steps, then SIGTERM proc 0 ONLY —
     # proc 1 must stop too, via the cross-process OR-reduction.
     deadline = time.time() + 600
+    reached = False
     while time.time() < deadline:
         line = p0.stdout.readline()
-        if not line:
+        if not line:  # EOF: child died early — surface, don't spin
+            assert p0.poll() is None, f"child 0 died rc={p0.returncode}"
             time.sleep(0.1)
             continue
         print("p0:", line, end="")
         if "step 10" in line or "step 12" in line:
+            reached = True
             break
-    assert time.time() < deadline, "child 0 never reached step 10"
+    assert reached, "child 0 never reached step 10"
     p0.send_signal(signal.SIGTERM)
     out0, _ = p0.communicate(timeout=600)
     out1, _ = p1.communicate(timeout=600)

@@ -533,3 +533,38 @@ class TestStreamExactResume:
         # dataset_length=8, batch=1 -> spe=8; steps 3..5 sit mid-epoch-0, so
         # this exercises the skip path
         np.testing.assert_allclose(resumed.loss_history, ref_losses[3:], rtol=1e-6)
+
+    def test_resume_from_periodic_checkpoint_does_not_replay(self, tmp_path):
+        """A save_every checkpoint's step label means 'steps completed':
+        resuming from it continues with the NEXT batch (no double-applied
+        gradient — the pre-increment save replayed one step)."""
+        mcfg, params = tiny_model()
+
+        def fresh():
+            return jax.tree.map(jnp.copy, params)
+
+        ref = Trainer(
+            tiny_cfg(training_mode="full", steps=6, output_dir=str(tmp_path / "a")),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        ref.train()
+        ref_losses = list(ref.loss_history)
+
+        # periodic checkpoints at steps 2 and 4; final at 5
+        first = Trainer(
+            tiny_cfg(training_mode="full", steps=5, save_every=2,
+                     output_dir=str(tmp_path / "b")),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        first.train()
+        # drop the final checkpoint so resume picks the save_every one
+        for f in Path(tmp_path / "b").glob("*step_5*"):
+            f.unlink()
+        resumed = Trainer(
+            tiny_cfg(training_mode="full", steps=6, output_dir=str(tmp_path / "b"),
+                     resume=True),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert resumed.start_step == 4
+        resumed.train()
+        np.testing.assert_allclose(resumed.loss_history, ref_losses[4:], rtol=1e-6)
