@@ -247,12 +247,17 @@ def main() -> None:
     cfg_cache = 1
     if dev_cfg and "--cfg-cache" in sys.argv:
         cfg_cache = int(sys.argv[sys.argv.index("--cfg-cache") + 1])
+    # --pab N: Pyramid Attention Broadcast interval (exclusive w/ --cfg-cache)
+    pab = 1
+    if "--pab" in sys.argv:
+        pab = int(sys.argv[sys.argv.index("--pab") + 1])
 
     def run(sg):
         v, _ = dn.denoise(
             params, config, latents, positions, context, sg,
             neg_context=neg_context, cfg_scale=4.5 if dev_cfg else 1.0,
             cfg_cache_interval=cfg_cache,
+            attn_broadcast_interval=pab,
         )
         return v
 
@@ -283,9 +288,13 @@ def main() -> None:
         metric = f"dit_19b_{fmode}_{kind}"
         if dev_cfg and cfg_cache > 1:
             metric += f"_cfgcache{cfg_cache}"
+        if pab > 1:
+            metric += f"_pab{pab}"
         cfg_note = "CFG batch-of-2 fwd, " if dev_cfg else ""
         if dev_cfg and cfg_cache > 1:
             cfg_note = f"CFG delta-cache k={cfg_cache}, "
+        if pab > 1:
+            cfg_note += f"attn-broadcast k={pab}, "
         unit = f"steps/s (48L dim4096 19B-geometry DiT, {tokens} tokens, {cfg_note}{fmode}, 1 chip)"
     else:
         metric = "dit_proxy3b_denoise_steps_per_sec"

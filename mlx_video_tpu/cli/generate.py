@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-tensor", type=int, default=1,
                    help="Megatron TP ways inside each pipeline stage "
                         "(GSPMD auto axis; TPxPP composition).")
+    p.add_argument("--attn-broadcast-interval", type=int, default=1,
+                   help="Pyramid Attention Broadcast: recompute all per-layer "
+                        "attention outputs every k-th denoise step and reuse "
+                        "them in between (cached steps skip all attention "
+                        "compute). Video-only quality/speed dial.")
     p.add_argument("--cfg-cache-interval", type=int, default=1,
                    help="Dev CFG: recompute the guidance delta every k-th "
                         "step and reuse it in between (cached steps run one "
@@ -440,6 +445,7 @@ def main(argv=None) -> None:
             cfg_scale=args.cfg_scale,
             num_inference_steps=args.steps,
             cfg_cache_interval=args.cfg_cache_interval,
+            attn_broadcast_interval=args.attn_broadcast_interval,
             images=[_cond_arg(v) for v in args.image],
             video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
             audio=args.audio,

@@ -15,7 +15,8 @@ HTTP (stdlib only):
 Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
   ("distilled" | "dev"), stage1_steps, stage2_steps, num_inference_steps,
-  cfg_scale, cfg_cache_interval, audio, audio_mode, tiling.
+  cfg_scale, cfg_cache_interval, attn_broadcast_interval, audio,
+  audio_mode, tiling.
 
 Generation is serialized with a lock (one device); requests queue.
 `low_memory` is rejected: it frees the transformer after each run, which
@@ -112,6 +113,7 @@ class GenerationService:
             stage2_steps=int(req.get("stage2_steps", 3)),
             num_inference_steps=int(req.get("num_inference_steps", 40)),
             cfg_cache_interval=int(req.get("cfg_cache_interval", 1)),
+            attn_broadcast_interval=int(req.get("attn_broadcast_interval", 1)),
             cfg_scale=float(req.get("cfg_scale", 4.0)),
             audio=bool(req.get("audio", False)),
             audio_mode=str(req.get("audio_mode", "auto")),

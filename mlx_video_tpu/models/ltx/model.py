@@ -312,27 +312,49 @@ def block_apply(
     rope_type: LTXRopeType,
     norm_eps: float,
     sp=None,
-) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
-    """One AV transformer block (reference: transformer.py:221-361)."""
+    attn_cache: Optional[dict] = None,
+    collect_attn: bool = False,
+):
+    """One AV transformer block (reference: transformer.py:221-361).
+
+    ``attn_cache``/``collect_attn`` implement Pyramid Attention Broadcast
+    (PAB, arXiv:2408.12588) for the video branch: attention outputs drift
+    slowly across adjacent diffusion steps, so a cached step reuses the
+    previous full step's raw attention outputs (pre-gate — the adaLN gate
+    is timestep-dependent and stays fresh) and skips the QKV/softmax/out
+    compute entirely. ``collect_attn`` returns {"self", "cross"} outputs
+    for caching; ``attn_cache`` consumes them instead of computing.
+    """
     vx = video.x if video is not None else None
     ax = audio.x if audio is not None else None
     run_av = video is not None and audio is not None
+    attn_outs = {}
 
     if video is not None:
         vshift, vscale, vgate = _ada_values(bparams["scale_shift_table"], video.timesteps, 0, 3, 6)
-        norm_vx = rms_norm(vx, eps=norm_eps) * (1 + vscale) + vshift
-        vx = vx + attention_apply(
-            bparams["attn1"], norm_vx, video_cfg.heads, rope_type, norm_eps, pe=video.pe, sp=sp
-        ) * vgate
-        vx = vx + attention_apply(
-            bparams["attn2"],
-            rms_norm(vx, eps=norm_eps),
-            video_cfg.heads,
-            rope_type,
-            norm_eps,
-            context=video.context,
-            bias=video.context_bias,
-        )
+        if attn_cache is not None:
+            a1 = attn_cache["self"]
+        else:
+            norm_vx = rms_norm(vx, eps=norm_eps) * (1 + vscale) + vshift
+            a1 = attention_apply(
+                bparams["attn1"], norm_vx, video_cfg.heads, rope_type, norm_eps, pe=video.pe, sp=sp
+            )
+        vx = vx + a1 * vgate
+        if attn_cache is not None:
+            a2 = attn_cache["cross"]
+        else:
+            a2 = attention_apply(
+                bparams["attn2"],
+                rms_norm(vx, eps=norm_eps),
+                video_cfg.heads,
+                rope_type,
+                norm_eps,
+                context=video.context,
+                bias=video.context_bias,
+            )
+        vx = vx + a2
+        if collect_attn:
+            attn_outs = {"self": a1, "cross": a2}
 
     if audio is not None:
         ashift, ascale, agate = _ada_values(bparams["audio_scale_shift_table"], audio.timesteps, 0, 3, 6)
@@ -407,6 +429,8 @@ def block_apply(
         ax_scaled = rms_norm(ax, eps=norm_eps) * (1 + ascale_mlp) + ashift_mlp
         ax = ax + feed_forward_apply(bparams["audio_ff"], ax_scaled) * agate_mlp
 
+    if collect_attn:
+        return vx, ax, attn_outs
     return vx, ax
 
 
@@ -625,34 +649,53 @@ def ltx_apply(
     video: Optional[Modality] = None,
     audio: Optional[Modality] = None,
     sp=None,
-) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+    pab=None,
+):
     """Full DiT forward; returns per-modality velocity predictions
     (reference: ltx.py:459-506).
 
     ``sp``: optional ``(Mesh, axis_name)`` — run self-attention as ring
     attention with the token axis sequence-sharded over that mesh axis
-    (new capability vs the single-device reference, SURVEY §2.12)."""
+    (new capability vs the single-device reference, SURVEY §2.12).
+
+    ``pab`` (Pyramid Attention Broadcast, arXiv:2408.12588; video-only):
+    ``"collect"`` additionally returns the stacked per-layer attention
+    outputs {"self","cross"}: (L, B, S, D) as a third result; passing such
+    a cache back reuses those outputs and skips all attention compute —
+    the denoise loop broadcasts them across adjacent steps
+    (pipelines/denoise.py ``attn_broadcast_interval``)."""
     video_cfg = config.get_video_config()
     audio_cfg = config.get_audio_config()
     video_args, audio_args = prepare_ltx_args(params, config, video, audio)
+    collect = pab == "collect"
+    cache = pab if (pab is not None and not collect) else None
+    if pab is not None and audio is not None:
+        raise ValueError("pab attention broadcast supports the video-only path")
 
-    def scan_body(carry, bparams):
+    def scan_body(carry, xs):
+        if cache is not None:
+            bparams, layer_cache = xs
+        else:
+            bparams, layer_cache = xs, None
         vx, ax = carry
         v_in = video_args._replace(x=vx) if video_args is not None else None
         a_in = audio_args._replace(x=ax) if audio_args is not None else None
-        vx_out, ax_out = block_apply(
-            bparams, v_in, a_in, video_cfg, audio_cfg, config.rope_type, config.norm_eps, sp=sp
+        out = block_apply(
+            bparams, v_in, a_in, video_cfg, audio_cfg, config.rope_type, config.norm_eps,
+            sp=sp, attn_cache=layer_cache, collect_attn=collect,
         )
+        vx_out, ax_out = out[0], out[1]
         if vx_out is None:
             vx_out = vx
         if ax_out is None:
             ax_out = ax
-        return (vx_out, ax_out), None
+        return (vx_out, ax_out), (out[2] if collect else None)
 
     init_vx = video_args.x if video_args is not None else jnp.zeros((1, 1, 1))
     init_ax = audio_args.x if audio_args is not None else jnp.zeros((1, 1, 1))
     body = jax.checkpoint(scan_body) if config.gradient_checkpointing else scan_body
-    (vx, ax), _ = jax.lax.scan(body, (init_vx, init_ax), params["blocks"])
+    xs = (params["blocks"], cache) if cache is not None else params["blocks"]
+    (vx, ax), attn_cache_out = jax.lax.scan(body, (init_vx, init_ax), xs)
 
     v_out = None
     if video_args is not None:
@@ -660,6 +703,8 @@ def ltx_apply(
     a_out = None
     if audio_args is not None:
         a_out = _process_output(params["audio"], ax, audio_args.embedded_timestep, config.norm_eps)
+    if collect:
+        return v_out, a_out, attn_cache_out
     return v_out, a_out
 
 

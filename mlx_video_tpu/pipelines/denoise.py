@@ -140,7 +140,7 @@ def _make_apply(pp):
 
 def _denoise_step(
     params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
-    cfg_cache_interval, pp, carry, xs
+    cfg_cache_interval, pp, attn_broadcast_interval, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -160,8 +160,13 @@ def _denoise_step(
     """
     apply = _make_apply(pp)
     cfg_caching = use_cfg and cfg_cache_interval > 1 and not enable_audio
+    pab_k = attn_broadcast_interval if not enable_audio else 1
+    pab_cache = None
     if cfg_caching:
         v_lat, a_lat, v_delta = carry
+    elif pab_k > 1:
+        v_lat, a_lat, pab_cache = carry
+        v_delta = None
     else:
         v_lat, a_lat = carry
         v_delta = None
@@ -241,7 +246,27 @@ def _denoise_step(
             pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
         )
 
-    v_vel, a_vel = apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
+    if pab_k > 1:
+        # Pyramid Attention Broadcast (arXiv:2408.12588): every k-th step
+        # recomputes and caches all per-layer attention outputs; in between
+        # the forward reuses them and skips every QKV/softmax/out projection
+        # (attention is ~40% of the measured w8a8 step) while the adaLN
+        # gates/modulation and FFNs stay fresh. Exact when the cached and
+        # fresh attention inputs coincide; a quality/speed dial otherwise.
+        def _pab_full(cache_prev):
+            vel, _, cache = ltx_apply(params, config, video=video_mod, sp=sp, pab="collect")
+            return vel, cache
+
+        def _pab_cached(cache_prev):
+            vel, _ = ltx_apply(params, config, video=video_mod, sp=sp, pab=cache_prev)
+            return vel, cache_prev
+
+        v_vel, pab_cache = jax.lax.cond(
+            step_idx % pab_k == 0, _pab_full, _pab_cached, pab_cache
+        )
+        a_vel = None
+    else:
+        v_vel, a_vel = apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
 
     v_out = v_lat
     if video_mod is not None:
@@ -263,19 +288,21 @@ def _denoise_step(
         a_denoised = to_denoised(a_lat, a_vel, sigma)
         a_out = _euler_step(a_lat, a_denoised, sigma, sigma_next)
 
+    if pab_k > 1:
+        return (v_out, a_out, pab_cache), None
     return (v_out, a_out), None
 
 
 @partial(
     jax.jit,
     static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp",
-                     "cfg_cache_interval", "pp"),
+                     "cfg_cache_interval", "pp", "attn_broadcast_interval"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
-    cfg_cache_interval=1, pp=None,
+    cfg_cache_interval=1, pp=None, attn_broadcast_interval=1,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -298,7 +325,7 @@ def _denoise_scan(
     num_steps = sig_pairs.shape[0]
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
-        progress, num_steps, sp, cfg_cache_interval, pp,
+        progress, num_steps, sp, cfg_cache_interval, pp, attn_broadcast_interval,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
     if use_cfg and cfg_cache_interval > 1 and not enable_audio:
@@ -310,6 +337,17 @@ def _denoise_scan(
             dtype=jnp.float32,
         )
         (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_delta), xs)
+    elif attn_broadcast_interval > 1 and not enable_audio:
+        # per-layer attention-output cache (model dtype); step 0 is always a
+        # full (collect) step so the zeros init is never read
+        n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
+        bf = latents.shape[0] * (2 if use_cfg else 1)
+        seq = latents.shape[2] * latents.shape[3] * latents.shape[4]
+        init_cache = {
+            "self": jnp.zeros((n_layers, bf, seq, config.inner_dim), dtype=latents.dtype),
+            "cross": jnp.zeros((n_layers, bf, seq, config.inner_dim), dtype=latents.dtype),
+        }
+        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_cache), xs)
     else:
         (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
     return v, a
@@ -318,7 +356,7 @@ def _denoise_scan(
 @partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp", "pp"))
 def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None):
     out, _ = _denoise_step(
-        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp,
+        params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp, 1,
         carry, (sig_pair, jnp.int32(0)),
     )
     return out
@@ -390,6 +428,7 @@ def denoise(
     sequence_parallel=None,
     cfg_cache_interval: int = 1,
     pipeline_parallel=None,
+    attn_broadcast_interval: int = 1,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -407,6 +446,10 @@ def denoise(
       k-th step and reuses it in between (cached steps run a single batch-1
       forward) — a quality/speed dial for long CFG schedules. Video-only
       CFG; ignored on the distilled path.
+    - ``attn_broadcast_interval``: k > 1 recomputes all per-layer attention
+      outputs every k-th step and broadcasts them in between (Pyramid
+      Attention Broadcast, arXiv:2408.12588) — cached steps skip every
+      QKV/softmax/out projection. Video-only; a quality/speed dial.
     - ``pipeline_parallel``: optional (mesh, axis, num_microbatches
       [, data_axis]) — every per-step DiT forward runs GPipe
       pipeline-parallel over the block stack (parallel/pipeline.py);
@@ -416,6 +459,19 @@ def denoise(
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
     use_cfg = cfg_scale != 1.0 and neg_context is not None
+    if attn_broadcast_interval > 1:
+        if audio_latents is not None:
+            raise ValueError("attn_broadcast_interval supports the video-only path")
+        if cfg_cache_interval > 1:
+            raise ValueError(
+                "attn_broadcast_interval and cfg_cache_interval cannot be combined "
+                "(their forward batch shapes conflict inside the scan)"
+            )
+        if pipeline_parallel is not None:
+            raise ValueError("attn_broadcast_interval does not compose with pipeline_parallel")
+        if progress_callback is not None:
+            raise ValueError("attn_broadcast_interval is a scan-mode feature; "
+                             "per-step progress_callback is unsupported with it")
     if pipeline_parallel is not None:
         if sequence_parallel is not None:
             raise ValueError("pipeline_parallel and sequence_parallel are mutually exclusive")
@@ -454,6 +510,7 @@ def denoise(
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
             progress=progress_echo_enabled(), sp=sequence_parallel,
             cfg_cache_interval=cfg_cache_interval, pp=pipeline_parallel,
+            attn_broadcast_interval=attn_broadcast_interval,
         )
     else:
         bundle = _make_bundle(

@@ -308,6 +308,7 @@ def generate_video(
     # dev options
     num_inference_steps: int = 40,
     cfg_cache_interval: int = 1,
+    attn_broadcast_interval: int = 1,
     # conditioning
     images: Sequence[Tuple[str, int, float]] = (),
     video_conditionings: Sequence[Tuple[str, int, float]] = (),
@@ -376,6 +377,10 @@ def generate_video(
         if mesh is not None or sequence_parallel:
             raise ValueError(
                 "pipeline_parallel is mutually exclusive with mesh/sequence_parallel"
+            )
+        if attn_broadcast_interval > 1:
+            raise ValueError(
+                "attn_broadcast_interval does not compose with pipeline_parallel"
             )
         if pipeline_microbatches > 1 or pipeline_data > 1:
             # Generation always denoises a batch of ONE video (shape1 below),
@@ -535,7 +540,9 @@ def generate_video(
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
                 state=state1, progress_callback=progress_callback, sequence_parallel=sp,
-                pipeline_parallel=pp, **audio_kwargs,
+                pipeline_parallel=pp,
+                attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
             if joint_audio:
@@ -601,13 +608,17 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                     state=state2, progress_callback=progress_callback,
-                    sequence_parallel=sp, pipeline_parallel=pp, **audio_kwargs,
+                    sequence_parallel=sp, pipeline_parallel=pp,
+                    attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                    **audio_kwargs,
                 )
             else:
                 latents, audio_latents = dn.denoise(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     state=state2, progress_callback=progress_callback, sequence_parallel=sp,
-                    pipeline_parallel=pp, **audio_kwargs,
+                    pipeline_parallel=pp,
+                    attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                    **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("stage2 complete", profile or mem_log)
@@ -635,9 +646,11 @@ def generate_video(
                 neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                 state=state, progress_callback=progress_callback, sequence_parallel=sp,
                 pipeline_parallel=pp,
-                # quality/speed dial: reuse the CFG guidance delta between
-                # full recomputes (video-only; see denoise.py)
+                # quality/speed dials: reuse the CFG guidance delta / the
+                # per-layer attention outputs between full recomputes
+                # (video-only; see denoise.py)
                 cfg_cache_interval=cfg_cache_interval if not audio_kwargs else 1,
+                attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)

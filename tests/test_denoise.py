@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mlx_video_tpu.config import LTXModelType, tiny_test_config
+from mlx_video_tpu.config import LTXModelType, LTXRopeType, tiny_test_config
 from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply, to_denoised
 from mlx_video_tpu.models.ltx.upsampler import (
     init_latent_upsampler,
@@ -353,3 +353,69 @@ class TestCFGDeltaCaching:
                        audio_latents=jnp.zeros((1, 8, 4, 16)),
                        audio_positions=jnp.zeros((1, 1, 4, 2)),
                        audio_context=ctx)
+
+
+class TestAttentionBroadcast:
+    """Pyramid Attention Broadcast (arXiv:2408.12588): per-layer attention
+    outputs recomputed every k-th step, reused in between."""
+
+    def _setup(self, b=1):
+        import numpy as np
+
+        config = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT, num_layers=4)
+        params = init_ltx_params(jax.random.key(0), config, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(b, 16, 2, 4, 4)).astype(np.float32))
+        pos = jnp.asarray(create_position_grid(b, 2, 4, 4))
+        ctx = jnp.asarray(rng.normal(size=(b, 8, config.caption_channels)).astype(np.float32))
+        return config, params, lat, pos, ctx
+
+    def test_mechanism_exact_on_same_inputs(self):
+        """collect -> cached replay on identical inputs is bit-exact: the
+        cached forward consumes exactly what the full forward produced."""
+        from mlx_video_tpu.models.ltx.model import Modality, ltx_apply
+
+        config, params, lat, pos, ctx = self._setup()
+        tok = dn.flatten_video_latents(lat)
+        ts = jnp.full(tok.shape[:2], 0.7, dtype=jnp.float32)
+        mod = Modality(latent=tok, timesteps=ts, context=ctx, positions=pos)
+        ref, _ = ltx_apply(params, config, video=mod)
+        v1, _, cache = ltx_apply(params, config, video=mod, pab="collect")
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(ref))
+        assert cache["self"].shape == (4, 1, 32, config.inner_dim)
+        v2, _ = ltx_apply(params, config, video=mod, pab=cache)
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref))
+
+    def test_k1_is_exactly_plain(self):
+        config, params, lat, pos, ctx = self._setup()
+        sig = [1.0, 0.6, 0.3, 0.0]
+        ref, _ = dn.denoise(params, config, lat, pos, ctx, sig)
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sig, attn_broadcast_interval=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_k2_small_drift_distilled_and_cfg(self):
+        config, params, lat, pos, ctx = self._setup()
+        sig = [1.0, 0.7, 0.45, 0.25, 0.1, 0.0]
+        ref, _ = dn.denoise(params, config, lat, pos, ctx, sig)
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sig, attn_broadcast_interval=2)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert 0 < rel < 0.05, rel  # broadcast drift, small but nonzero
+
+        neg = ctx * 0.5
+        refc, _ = dn.denoise(params, config, lat, pos, ctx, sig, neg_context=neg, cfg_scale=3.0)
+        outc, _ = dn.denoise(params, config, lat, pos, ctx, sig, neg_context=neg,
+                             cfg_scale=3.0, attn_broadcast_interval=2)
+        relc = float(jnp.linalg.norm(outc - refc) / jnp.linalg.norm(refc))
+        assert 0 < relc < 0.05, relc
+
+    def test_validation(self):
+        config, params, lat, pos, ctx = self._setup()
+        a_lat = jnp.zeros((1, 8, 5, 16))
+        with pytest.raises(ValueError, match="video-only"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       audio_latents=a_lat, audio_positions=pos, audio_context=ctx,
+                       attn_broadcast_interval=2)
+        with pytest.raises(ValueError, match="cannot be combined"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       neg_context=ctx, cfg_scale=3.0,
+                       cfg_cache_interval=2, attn_broadcast_interval=2)
