@@ -25,6 +25,22 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process XLA state across the (large) suite.
+
+    One pytest process compiles hundreds of executables over ~300 tests;
+    late-suite XLA:CPU compiles were observed to segfault inside
+    backend_compile_and_load with all that state resident (reproducible at
+    the same test across full-suite runs, never in module isolation).
+    Dropping compiled executables between modules keeps the process lean;
+    the persistent disk cache (JAX_COMPILATION_CACHE_DIR above) makes
+    re-tracing cheap where shapes repeat.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
