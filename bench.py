@@ -252,6 +252,25 @@ def main() -> None:
     if "--pab" in sys.argv:
         pab = int(sys.argv[sys.argv.index("--pab") + 1])
 
+    # Interval dials (cfg_cache / pab, mutually exclusive) make steps
+    # heterogeneous: a full recompute every k-th step, cheap cached steps in
+    # between. The two-run fixed-cost cancellation only yields the true
+    # steady-state mix if BOTH runs start at the same cache phase and their
+    # lengths are multiples of k — then the length difference contains full
+    # and cached steps in exactly the steady 1:(k-1) ratio. With the default
+    # 8/2 pair and k=3, (t8-t2)/6 would average 2 fulls + 4 cached instead
+    # of the true 1:2 mix, overstating steps/s. Sigma VALUES don't affect
+    # timing, so synthetic linspace schedules of the right lengths are fine.
+    kk = max(cfg_cache, pab)
+    if kk > 1:
+        n_big = max(2, -(-n_steps // kk)) * kk  # >= n_steps, multiple of kk
+        n_small = kk
+        big_sched = [float(s) for s in np.linspace(1.0, 0.0, n_big + 1)]
+        small_sched = [float(s) for s in np.linspace(1.0, 0.0, n_small + 1)]
+    else:
+        n_big, n_small = n_steps, 2
+        big_sched, small_sched = sigmas, sig2
+
     def run(sg):
         v, _ = dn.denoise(
             params, config, latents, positions, context, sg,
@@ -262,24 +281,27 @@ def main() -> None:
         return v
 
     t0 = time.time()
-    first_sum = float(sum_jit(run(sigmas)))
-    print(f"8-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    first_sum = float(sum_jit(run(big_sched)))
+    print(f"{n_big}-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     assert np.isfinite(first_sum), "non-finite output"
     t0 = time.time()
-    float(sum_jit(run(sig2)))
-    print(f"2-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    float(sum_jit(run(small_sched)))
+    print(f"{n_small}-step compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t8s, t2s = [], []
     for _ in range(4):
         t0 = time.time()
-        float(sum_jit(run(sigmas)))
+        float(sum_jit(run(big_sched)))
         t8s.append(time.time() - t0)
         t0 = time.time()
-        float(sum_jit(run(sig2)))
+        float(sum_jit(run(small_sched)))
         t2s.append(time.time() - t0)
-    per_step = (np.median(t8s) - np.median(t2s)) / (n_steps - 2)
+    per_step = (np.median(t8s) - np.median(t2s)) / (n_big - n_small)
     steps_per_sec = 1.0 / per_step
-    print(f"t8 med {np.median(t8s):.3f}s t2 med {np.median(t2s):.3f}s", file=sys.stderr)
+    print(
+        f"t{n_big} med {np.median(t8s):.3f}s t{n_small} med {np.median(t2s):.3f}s",
+        file=sys.stderr,
+    )
 
     tokens = f * h * w
     if flagship:

@@ -499,6 +499,11 @@ def generate_video(
             audio_context=text.audio_embeddings,
             audio_neg_context=text.audio_neg_embeddings,
         )
+    # Quality/speed dials are video-only (denoise.py disables them when the
+    # audio modality is active); resolve the policy once, next to where
+    # audio_kwargs is decided, so every denoise call site below agrees.
+    cfg_cache_interval = cfg_cache_interval if not audio_kwargs else 1
+    attn_broadcast_interval = attn_broadcast_interval if not audio_kwargs else 1
 
     if is_distilled:
         if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:
@@ -541,7 +546,7 @@ def generate_video(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
                 state=state1, progress_callback=progress_callback, sequence_parallel=sp,
                 pipeline_parallel=pp,
-                attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                attn_broadcast_interval=attn_broadcast_interval,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -609,7 +614,7 @@ def generate_video(
                     neg_context=text.video_neg_embeddings, cfg_scale=cfg_scale,
                     state=state2, progress_callback=progress_callback,
                     sequence_parallel=sp, pipeline_parallel=pp,
-                    attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                    attn_broadcast_interval=attn_broadcast_interval,
                     **audio_kwargs,
                 )
             else:
@@ -617,7 +622,7 @@ def generate_video(
                     stage2_params, config, latents, positions2, text.video_embeddings, s2_sigmas,
                     state=state2, progress_callback=progress_callback, sequence_parallel=sp,
                     pipeline_parallel=pp,
-                    attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                    attn_broadcast_interval=attn_broadcast_interval,
                     **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -649,8 +654,8 @@ def generate_video(
                 # quality/speed dials: reuse the CFG guidance delta / the
                 # per-layer attention outputs between full recomputes
                 # (video-only; see denoise.py)
-                cfg_cache_interval=cfg_cache_interval if not audio_kwargs else 1,
-                attn_broadcast_interval=attn_broadcast_interval if not audio_kwargs else 1,
+                cfg_cache_interval=cfg_cache_interval,
+                attn_broadcast_interval=attn_broadcast_interval,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)

@@ -290,6 +290,7 @@ class Trainer:
         key = jax.random.key(cfg.seed)
         accum_steps = max(1, cfg.grad_accum_steps)
         accum = None
+        save_pending = False
         last_loss = float("nan")
         from collections import deque
 
@@ -372,7 +373,17 @@ class Trainer:
                 # final saves — resume then starts at the NEXT batch instead
                 # of re-applying an already-applied gradient (the pre-
                 # increment version replayed one step on resume).
-                if cfg.save_every and step % cfg.save_every == 0 and step < cfg.steps:
+                # Only at accumulation-window boundaries (accum is None): a
+                # checkpoint taken mid-window cannot carry the partial
+                # gradient sum, so resuming from it would silently drop
+                # g_0..g_i of the window — the same exact-resume hazard the
+                # preemption save below guards against. A save that lands
+                # mid-window is deferred to the next boundary (at most
+                # accum_steps-1 steps later).
+                if cfg.save_every and step % cfg.save_every == 0:
+                    save_pending = True
+                if save_pending and accum is None and step < cfg.steps:
+                    save_pending = False
                     self.save_checkpoint(step)
                     ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)
                 # Preemption (SIGTERM): every host agrees on the stop step,

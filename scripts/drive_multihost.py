@@ -88,6 +88,10 @@ def run_child(pid: int, steps: int, resume: bool = False) -> subprocess.Popen:
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    # The parent gates on the child's per-step print() lines via readline;
+    # block-buffered child stdout (the default for a pipe) would hold them
+    # below the pipe buffer until exit and deadlock the preemption gate.
+    env["PYTHONUNBUFFERED"] = "1"
     code = CHILD.replace("COORD_ADDR", COORD).replace("OUT_DIR", str(OUT))
     args = [sys.executable, "-c", code, "--pid", str(pid), "--steps", str(steps)]
     if resume:

@@ -59,6 +59,9 @@ def run_child(extra):
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    # The preemption gate below readline()s the trainer's per-step print()
+    # lines live; block-buffered pipe stdout would hold them until exit.
+    env["PYTHONUNBUFFERED"] = "1"
     return subprocess.Popen(
         [sys.executable, "-c", CHILD] + extra,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

@@ -488,3 +488,56 @@ class TestStage2CfgJointAudio:
                 audio=True, audio_mode="joint",
                 decode_latents_only=True, dtype=jnp.float32,
             )
+
+
+class TestQualitySpeedDials:
+    """cfg_cache_interval / attn_broadcast_interval through generate_video
+    itself (the call-site policy: video-only — forced to 1 when the audio
+    modality is active; see pipelines/generate.py dial resolution)."""
+
+    def test_dev_dials_produce_finite_latents(self, models):
+        result = generate_video(
+            models, _text(models.transformer_config, with_neg=True),
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=4, cfg_scale=3.0,
+            attn_broadcast_interval=2,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert np.all(np.isfinite(result.latents))
+        result = generate_video(
+            models, _text(models.transformer_config, with_neg=True),
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=4, cfg_scale=3.0,
+            cfg_cache_interval=2,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert np.all(np.isfinite(result.latents))
+
+    def test_distilled_pab_matches_k1_at_interval_1(self, models):
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, seed=11,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        base = generate_video(models, _text(models.transformer_config), **kw)
+        pab1 = generate_video(
+            models, _text(models.transformer_config),
+            attn_broadcast_interval=1, **kw,
+        )
+        np.testing.assert_array_equal(base.latents, pab1.latents)
+
+    def test_joint_audio_forces_dials_off(self, tmp_path):
+        """With joint audio active the dials are forced to 1 at the call
+        sites — the run must complete (denoise.py would trace the cached
+        branches with an audio modality otherwise)."""
+        m = TestJointAudioVideo()
+        models, text = m._make_av_models()
+        result = generate_video(
+            models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
+            height=128, width=128, num_frames=9, seed=3, audio=True,
+            attn_broadcast_interval=2, cfg_cache_interval=2,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert np.isfinite(result.latents).all()
+        assert result.audio_latents is not None
+        assert np.isfinite(result.audio_latents).all()
