@@ -147,6 +147,38 @@ def param_specs(params: dict) -> dict:
     )
 
 
+def opt_state_specs(opt_state) -> object:
+    """PartitionSpec pytree for an optax state built over the param tree.
+
+    Optimizer moments (Adam mu/nu, etc.) mirror the parameter tree inside
+    NamedTuple/sequence wrappers, so each leaf's path tail — the trailing
+    run of dict keys — IS the parameter path; it gets the same TP/FSDP spec
+    as the parameter. Non-mirrored leaves (step counts, scalars) replicate.
+
+    This matters in two places: (1) AOT lowering of a sharded train step
+    (tests/scripts), where relying on jit output-sharding propagation
+    through ``optimizer.init`` was observed to replicate the moments —
+    ~10x the per-device footprint of properly-sharded state; (2) restoring
+    a checkpoint onto a mesh, where each moment leaf must be placed like
+    its parameter.
+    """
+    from jax.tree_util import DictKey
+
+    def leaf_spec(path, leaf):
+        ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+        tail = []
+        for k in path:
+            if isinstance(k, DictKey):
+                tail.append(str(k.key))
+            else:
+                tail = []  # restart at the innermost non-dict wrapper
+        if tail and ndim > 0:
+            return spec_for_path("/".join(tail), ndim)
+        return P(*((None,) * ndim))
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
     """Place a parameter pytree onto the mesh per the TP/FSDP rules."""
     specs = param_specs(params)

@@ -220,7 +220,12 @@ def make_inputs(
     timesteps = jnp.where(cond_mask, 0.0, jnp.broadcast_to(sigmas[:, None], (b, s)))
 
     video_mod = Modality(
-        latent=noisy,
+        # The noising math above runs in an fp32 island (noise is fp32, so
+        # `noisy` promotes); cast back at the model boundary or a bf16 model
+        # sees an fp32 query against a bf16 context key and attention
+        # rejects the mixed dtypes. Targets deliberately STAY fp32 for the
+        # loss (pred is upcast there).
+        latent=noisy.astype(video.dtype),
         timesteps=timesteps.astype(video.dtype),
         context=sb.context,
         context_mask=sb.context_mask,
@@ -236,7 +241,7 @@ def make_inputs(
         a_noisy = (1.0 - a_sig) * a + a_sig * a_noise
         audio_targets = a_noise - a
         audio_mod = Modality(
-            latent=a_noisy,
+            latent=a_noisy.astype(a.dtype),  # fp32 noise island -> model dtype
             timesteps=jnp.broadcast_to(sigmas[:, None], (ab, at)).astype(a.dtype),
             context=sb.audio_context,
             context_mask=sb.context_mask,
@@ -252,6 +257,43 @@ def make_inputs(
         video_loss_mask=jnp.logical_not(cond_mask),
         audio_loss_mask=audio_mask,
     )
+
+
+def _model_compute_dtype(params: dict):
+    """The transformer's compute dtype, probed from a leaf that is dense
+    float in every mode (full / LoRA / quantized-base): the adaLN
+    scale-shift table."""
+    for top in ("video", "audio"):
+        sub = params.get(top)
+        if isinstance(sub, dict) and "scale_shift_table" in sub:
+            return sub["scale_shift_table"].dtype
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
+def _cast_inputs_to_model_dtype(inputs: "ModelInputs", params: dict) -> "ModelInputs":
+    """Cast model-bound activations to the parameter dtype at the boundary.
+
+    The noising math runs in an fp32 island and datasets deliver fp32
+    latents/embeddings; feeding those to a bf16 model would either crash
+    (fp32 query vs bf16 context key in attention rejects mixed dtypes) or
+    silently promote every matmul to fp32, forfeiting bf16 MXU rate and
+    doubling activation memory. Loss targets/masks stay fp32 — only what
+    the transformer consumes is cast."""
+    dtype = _model_compute_dtype(params)
+
+    def cast_mod(mod):
+        if mod is None:
+            return None
+        return mod._replace(
+            latent=mod.latent.astype(dtype),
+            timesteps=mod.timesteps.astype(dtype),
+            context=None if mod.context is None else mod.context.astype(dtype),
+        )
+
+    return inputs._replace(video=cast_mod(inputs.video), audio=cast_mod(inputs.audio))
 
 
 def compute_loss(
@@ -294,6 +336,7 @@ def strategy_loss_fn(
     inputs = make_inputs(
         sb, key, first_frame_conditioning_p, timestep_sampling_mode, timestep_sampling_std
     )
+    inputs = _cast_inputs_to_model_dtype(inputs, params)
     if pp is not None:
         if sp is not None:
             raise ValueError("sp (ring attention) and pp (pipeline) are mutually exclusive")

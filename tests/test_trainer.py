@@ -2,6 +2,7 @@
 
 from pathlib import Path
 
+import re
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -328,6 +329,19 @@ class TestTrainer:
         loss = tr.train()
         assert np.isfinite(loss)
 
+    def test_bf16_model_trains(self, tmp_path):
+        """A bf16 model must train on fp32 dataset batches: activations are
+        cast to the model dtype at the strategy boundary. Without the cast,
+        the fp32 noise-island output reaches bf16 attention as an fp32 query
+        against a bf16 context key and the forward raises — a path no other
+        test hits because tiny models train in fp32."""
+        mcfg, _ = tiny_model()
+        params = init_ltx_params(jax.random.key(0), mcfg, dtype=jnp.bfloat16)
+        cfg = tiny_cfg(training_mode="full", steps=2, output_dir=str(tmp_path))
+        tr = Trainer(cfg, model_config=mcfg, params=params, dataset=tiny_dataset())
+        loss = tr.train()
+        assert np.isfinite(loss)
+
     def test_v2v_training(self, tmp_path):
         mcfg, params = tiny_model()
         cfg = tiny_cfg(
@@ -563,6 +577,59 @@ class TestStreamExactResume:
         resumed = Trainer(
             tiny_cfg(training_mode="full", steps=6, output_dir=str(tmp_path / "b"),
                      resume=True),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        assert resumed.start_step == 4
+        resumed.train()
+        np.testing.assert_allclose(resumed.loss_history, ref_losses[4:], rtol=1e-6)
+
+    def test_periodic_save_defers_to_accumulation_boundary(self, tmp_path):
+        """A save_every step that lands mid-gradient-accumulation window must
+        slip to the next window boundary: a mid-window checkpoint cannot
+        carry the partial gradient sum, so resuming from it would silently
+        drop the window's first gradients and diverge from the uninterrupted
+        run."""
+        mcfg, params = tiny_model()
+
+        def fresh():
+            return jax.tree.map(jnp.copy, params)
+
+        # accum=2 -> optimizer updates (and boundaries) at even completed-step
+        # counts; save_every=3 requests a save at step 3, mid-window.
+        ref = Trainer(
+            tiny_cfg(training_mode="full", steps=8, grad_accum_steps=2,
+                     output_dir=str(tmp_path / "a")),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        ref.train()
+        ref_losses = list(ref.loss_history)
+
+        first = Trainer(
+            tiny_cfg(training_mode="full", steps=7, grad_accum_steps=2,
+                     save_every=3, output_dir=str(tmp_path / "b")),
+            model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
+        )
+        first.train()
+        out = Path(tmp_path / "b")
+        saved = sorted(
+            int(m.group(1))
+            for p in out.glob("state_step_*.safetensors")
+            for m in [re.search(r"step_(\d+)", p.name)]
+        )
+        # requested at 3 -> deferred to boundary 4; requested at 6 -> boundary
+        # already (saved at 6); final at 7. NO step-3 checkpoint may exist.
+        assert 3 not in saved, f"mid-window checkpoint written: {saved}"
+        assert 4 in saved and 6 in saved, f"deferred saves missing: {saved}"
+
+        # resume from the deferred step-4 checkpoint and verify stream-exact
+        # continuation (drop later checkpoints so resume picks step 4)
+        for s in saved:
+            if s > 4:
+                for f in out.glob(f"*step_{s}*"):
+                    f.unlink()
+        resumed = Trainer(
+            tiny_cfg(training_mode="full", steps=8, grad_accum_steps=2,
+                     output_dir=str(out), resume=True),
             model_config=mcfg, params=fresh(), dataset=tiny_dataset(),
         )
         assert resumed.start_step == 4
