@@ -27,6 +27,7 @@ ROOT = Path(__file__).resolve().parent.parent
         ("scripts/e2e_config3.py", "e2e_config3_dev_cfg_seconds"),
         ("scripts/e2e_config4.py", "e2e_config4_keyframe_guide_seconds"),
         ("scripts/e2e_config5.py", "config5_lora_v2v_train_step"),
+        ("scripts/aot_scaling.py", "aot_scaling_table"),
     ],
 )
 def test_script_tiny_smoke(script, expect_metric):

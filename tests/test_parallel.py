@@ -275,8 +275,10 @@ class TestFull19BTrainSharding:
         assert all(s == P() for s in scalars)
 
     def test_19b_train_step_aot_fsdp8(self):
-        """AOT-lower the FULL 19B AdamW train step (fwd + bwd + optimizer,
-        block remat) FSDP-sharded over the 8-device mesh — the multi-chip
+        """AOT-lower the FULL flagship-video-tower AdamW train step
+        (13.0B params: the 19B AV geometry minus the audio branch, since the
+        fused T2V train_step is video-only; fwd + bwd + optimizer, block
+        remat) FSDP-sharded over the 8-device mesh — the multi-chip
         training memory plan, validated end-to-end without weights.
 
         Optimizer-moment shardings come from ``opt_state_specs`` (path-tail
