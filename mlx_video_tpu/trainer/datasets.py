@@ -63,6 +63,9 @@ class DummyDataset:
         prompt_embed_dim: int = 3840,
         prompt_sequence_length: int = 1024,
         with_audio: bool = False,
+        audio_channels: int = 8,
+        audio_bins: int = 16,
+        audio_frames: int = 69,
         with_reference: bool = False,
         seed: int = 0,
     ) -> None:
@@ -78,6 +81,11 @@ class DummyDataset:
         self.prompt_embed_dim = prompt_embed_dim
         self.prompt_sequence_length = prompt_sequence_length
         self.with_audio = with_audio
+        # patchified audio feature dim = channels * bins; must equal the
+        # model's audio_in_channels (full scale: 8 * 16 = 128)
+        self.audio_channels = audio_channels
+        self.audio_bins = audio_bins
+        self.audio_frames = audio_frames
         self.with_reference = with_reference
         self.fps = fps
         self._rng = np.random.default_rng(seed)
@@ -108,9 +116,11 @@ class DummyDataset:
         audio_latents = None
         if self.with_audio:
             audio_latents = {
-                "latents": rng.standard_normal((8, 69, 16)).astype(np.float32),
-                "num_time_steps": np.array([69], dtype=np.int32),
-                "frequency_bins": np.array([16], dtype=np.int32),
+                "latents": rng.standard_normal(
+                    (self.audio_channels, self.audio_frames, self.audio_bins)
+                ).astype(np.float32),
+                "num_time_steps": np.array([self.audio_frames], dtype=np.int32),
+                "frequency_bins": np.array([self.audio_bins], dtype=np.int32),
             }
         ref_latents = None
         if self.with_reference:

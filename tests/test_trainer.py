@@ -329,6 +329,33 @@ class TestTrainer:
         loss = tr.train()
         assert np.isfinite(loss)
 
+    def test_av_training_updates_audio_branch(self, tmp_path):
+        """with_audio=True end to end through the Trainer: AudioVideo tiny
+        model, dummy dataset emitting audio latents + audio prompt embeds,
+        joint loss — and the audio-branch parameters actually receive
+        gradient updates (reference: AV LoRA training, ltx2_av_lora.yaml)."""
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+
+        mcfg = tiny_test_config(LTXModelType.AudioVideo)
+        params = init_ltx_params(jax.random.key(0), mcfg, dtype=jnp.float32)
+        before = jax.tree.map(np.asarray, params)
+        cfg = tiny_cfg(
+            training_mode="full", steps=2, with_audio=True,
+            output_dir=str(tmp_path),
+        )
+        tr = Trainer(
+            cfg, model_config=mcfg, params=params,
+            dataset=tiny_dataset(with_audio=True, audio_channels=2, audio_bins=4, audio_frames=12),
+        )
+        loss = tr.train()
+        assert np.isfinite(loss)
+        a_before = before["blocks"]["audio_ff"]
+        a_after = jax.tree.map(np.asarray, tr.params["blocks"]["audio_ff"])
+        diffs = jax.tree.leaves(
+            jax.tree.map(lambda x, y: float(np.abs(x - y).max()), a_before, a_after)
+        )
+        assert max(diffs) > 0, "audio branch never updated"
+
     def test_bf16_model_trains(self, tmp_path):
         """A bf16 model must train on fp32 dataset batches: activations are
         cast to the model dtype at the strategy boundary. Without the cast,
