@@ -28,6 +28,7 @@ _ap.add_argument("--train-only", action="store_true")
 _ap.add_argument("--infer-only", action="store_true")
 _ap.add_argument("--tiny", action="store_true", help="smoke mode: tiny config")
 _ap.add_argument("--cpu", action="store_true", help="no-op (always CPU-virtual)")
+_ap.add_argument("--av", action="store_true", help="also lower the 18.9B AudioVideo training path")
 args = _ap.parse_args()
 
 _max_dev = max(int(x) for x in args.devices.split(","))
@@ -138,6 +139,65 @@ def run_train(config, mesh, n, split):
         )
 
 
+def run_train_av(mesh, n, split):
+    """Full 18.9B AudioVideo TRAINING memory: grad_step (fwd+bwd over both
+    modalities, block remat) and apply_updates (AdamW), lowered separately —
+    the trainer runs them as two jits; grad_step holds the activation peak."""
+    from mlx_video_tpu.trainer.strategies import StrategyBatch
+    from mlx_video_tpu.trainer.train_step import apply_updates, grad_step
+
+    config = dataclasses.replace(
+        LTXModelConfig(model_type=LTXModelType.AudioVideo, rope_type=LTXRopeType.SPLIT),
+        gradient_checkpointing=True,
+    )
+    params_shapes = jax.eval_shape(
+        lambda: init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
+    )
+    p_structs = struct_tree(params_shapes, sh.param_specs(params_shapes), mesh)
+    b = max(1, split[0])
+    f, h, w, at = 5, 16, 16, 34
+    s = f * h * w
+    dspec = lambda nd: NamedSharding(mesh, sh.data_spec(nd))
+    mk = lambda shape, dt, nd=None: jax.ShapeDtypeStruct(
+        shape, dt, sharding=dspec(nd if nd is not None else len(shape))
+    )
+    sb = StrategyBatch(
+        video_latents=mk((b, s, 128), jnp.bfloat16),
+        positions=mk((b, 3, s, 2), jnp.float32),
+        context=mk((b, 1024, 3840), jnp.bfloat16),
+        context_mask=None,
+        first_frame_token_mask=mk((b, s), jnp.bool_),
+        always_conditioned_mask=mk((b, s), jnp.bool_),
+        audio_latents=mk((b, at, 128), jnp.bfloat16),
+        audio_positions=mk((b, 1, at, 2), jnp.float32),
+        audio_context=mk((b, 1024, 3840), jnp.bfloat16),
+    )
+    ks = jax.eval_shape(lambda: jax.random.key(0))
+    key = jax.ShapeDtypeStruct(ks.shape, ks.dtype, sharding=NamedSharding(mesh, P()))
+    t0 = time.time()
+    with mesh:
+        g_compiled = grad_step.lower(p_structs, sb, key, config).compile()
+    g_dt = time.time() - t0
+    g_row = mem_row(g_compiled)
+
+    opt = make_optimizer(1e-5)
+    opt_shapes = jax.eval_shape(opt.init, params_shapes)
+    o_structs = struct_tree(opt_shapes, sh.opt_state_specs(opt_shapes), mesh)
+    t0 = time.time()
+    with mesh:
+        a_compiled = apply_updates.lower(
+            p_structs, o_structs, p_structs, opt, 1
+        ).compile()
+    a_dt = time.time() - t0
+    a_row = mem_row(a_compiled)
+    if g_row and a_row:
+        print(
+            f"trainAV n={n:3d} mesh={split}  grad {g_row[2]:6.2f}  "
+            f"update {a_row[2]:6.2f} GiB/device   (compile {g_dt:.0f}s+{a_dt:.0f}s)",
+            flush=True,
+        )
+
+
 def run_infer(config, mesh, n, split):
     params_shapes = jax.eval_shape(
         lambda: init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16)
@@ -191,6 +251,8 @@ def main():
             mesh = create_mesh(split, devices=jax.devices()[:n])
             if not args.infer_only:
                 run_train(config, mesh, n, split)
+                if args.av and not args.tiny:
+                    run_train_av(mesh, n, split)
             if not args.train_only:
                 run_infer(config, mesh, n, split)
     print('{"metric": "aot_scaling_table", "value": 1, "unit": "see rows above"}')
