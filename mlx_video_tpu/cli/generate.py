@@ -272,12 +272,9 @@ def main(argv=None) -> None:
 
     from mlx_video_tpu.loading import load_model_bundle
 
-    repo_l = str(args.model_repo).lower()
-    bits_hint = None
-    if any(x in repo_l for x in ("8bit", "q8", "int8")):
-        bits_hint = "8bit"
-    elif any(x in repo_l for x in ("4bit", "q4", "int4")):
-        bits_hint = "4bit"
+    from mlx_video_tpu.loading import bits_hint_for
+
+    bits_hint = bits_hint_for(args.model_repo)
 
     models = load_model_bundle(
         model_path,
@@ -304,81 +301,24 @@ def main(argv=None) -> None:
         models.stage2_transformer_params = merge_lora_into_params(
             models.stage2_transformer_params or models.transformer_params, specs, verbose=True
         )
-    if args.quantize_bits:
-        from mlx_video_tpu.ops.quant import quantize_dit_params
+    from mlx_video_tpu.loading import mesh_from_flag, quantize_models, shard_models
 
-        models.transformer_params = quantize_dit_params(
-            models.transformer_params, bits=args.quantize_bits
+    # Quantized execution (shared with cli/serve.py; bits resolution order:
+    # explicit flag > quantization.json > repo-name hint > 4).
+    try:
+        quantize_models(
+            models, model_path,
+            w8a8=args.w8a8, w4a8=args.w4a8,
+            quantize_bits=args.quantize_bits, repo_hint=str(args.model_repo),
         )
-    if args.w8a8 and args.w4a8:
-        raise SystemExit("--w8a8 and --w4a8 are mutually exclusive")
-    if args.w8a8:
-        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
-
-        models.transformer_params = quantize_params_w8a8(models.transformer_params)
-        if models.stage2_transformer_params is not None:
-            models.stage2_transformer_params = quantize_params_w8a8(
-                models.stage2_transformer_params
-            )
-    if args.w4a8:
-        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
-        from mlx_video_tpu.trainer.aux import read_quantization_metadata
-
-        # The int8 requantization scales depend on the STORED grid width:
-        # assuming 4 when a pre-quantized repo is 8-bit silently mis-scales
-        # every matmul (saturated +127 bins). Resolve bits from, in order:
-        # explicit flag > quantization.json next to the weights > repo-name
-        # hint > 4 (the fresh-quantize default).
-        qmeta = read_quantization_metadata(model_path) or {}
-        bits = (
-            args.quantize_bits
-            or qmeta.get("bits")
-            or {"8bit": 8, "4bit": 4}.get(bits_hint)
-            or 4
-        )
-        if qmeta.get("bits") and args.quantize_bits and qmeta["bits"] != args.quantize_bits:
-            raise SystemExit(
-                f"--quantize-bits {args.quantize_bits} conflicts with the "
-                f"checkpoint's quantization.json bits={qmeta['bits']}"
-            )
-
-        def _has_quant(node) -> bool:
-            return isinstance(node, dict) and (
-                "quant_weight" in node or any(_has_quant(v) for v in node.values())
-            )
-
-        def _to_w4a8(p):
-            if not _has_quant(p):
-                p = quantize_dit_params(p, bits=bits)
-            return prepare_w4a8(p, bits=bits)
-
-        models.transformer_params = _to_w4a8(models.transformer_params)
-        if models.stage2_transformer_params is not None:
-            models.stage2_transformer_params = _to_w4a8(models.stage2_transformer_params)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     mesh = None
     if args.mesh:
-        import jax
-
-        from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
-        from mlx_video_tpu.parallel.sharding import shard_params
-
-        shape = (
-            factor_devices(len(jax.devices()))
-            if args.mesh == "auto"
-            else tuple(int(x) for x in args.mesh.split(","))
-        )
-        mesh = create_mesh(shape)
-        models.transformer_params = shard_params(models.transformer_params, mesh)
-        if models.stage2_transformer_params is not None:
-            models.stage2_transformer_params = shard_params(
-                models.stage2_transformer_params, mesh
-            )
-        if models.audio_transformer_params is not None:
-            models.audio_transformer_params = shard_params(
-                models.audio_transformer_params, mesh
-            )
-        print(f"Sharded transformer over mesh {dict(zip(('data','fsdp','tensor'), shape))}")
+        mesh = mesh_from_flag(args.mesh)
+        shard_models(models, mesh)
+        print(f"Sharded transformer over mesh {dict(zip(('data','fsdp','tensor'), mesh.devices.shape))}")
 
     prompt = args.prompt
     if args.embeddings:

@@ -14,7 +14,8 @@ HTTP (stdlib only):
 
 Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
-  ("distilled" | "dev"), stage1_steps, stage2_steps, num_inference_steps,
+  (must match the server's --pipeline; requests for the other schedule are
+  rejected with 400), stage1_steps, stage2_steps, num_inference_steps,
   cfg_scale, cfg_cache_interval, attn_broadcast_interval, audio,
   audio_mode, tiling.
 
@@ -40,6 +41,10 @@ from typing import Optional
 _PIPELINES = ("distilled", "dev")
 
 
+class RequestError(ValueError):
+    """Client-side request problem -> HTTP 400 (server faults stay 500)."""
+
+
 class GenerationService:
     """Owns the resident models and serializes generation requests."""
 
@@ -54,6 +59,7 @@ class GenerationService:
         pipeline_parallel: int = 0,
         pipeline_tensor: int = 1,
         dtype=None,
+        loaded_pipeline: str = "distilled",
     ) -> None:
         import jax.numpy as jnp
 
@@ -67,6 +73,7 @@ class GenerationService:
         self.pipeline_parallel = pipeline_parallel
         self.pipeline_tensor = pipeline_tensor
         self.dtype = dtype if dtype is not None else jnp.bfloat16
+        self.loaded_pipeline = loaded_pipeline
         self.lock = threading.Lock()
         self.requests_served = 0
         self.started = time.time()
@@ -88,20 +95,28 @@ class GenerationService:
                 audio_neg_embeddings=audio_neg,
             )
         if self.default_text is None:
-            raise ValueError(
-                "No text encoder loaded and no --embeddings default; "
-                "pass --embeddings or a text-encoder snapshot."
+            raise RequestError(
+                "This server has no text encoder loaded; it can only serve "
+                "requests against its --embeddings default (start the server "
+                "with --embeddings or a text-encoder snapshot)."
             )
         return self.default_text
 
     def generate(self, req: dict) -> dict:
         from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
 
-        pipeline = str(req.get("pipeline", "distilled")).lower()
+        pipeline = str(req.get("pipeline", self.loaded_pipeline)).lower()
         if pipeline not in _PIPELINES:
-            raise ValueError(f"pipeline must be one of {_PIPELINES}")
+            raise RequestError(f"pipeline must be one of {_PIPELINES}")
+        if pipeline != self.loaded_pipeline:
+            # Running the dev CFG schedule over distilled weights (or vice
+            # versa) would 200 with silently-degraded video plus a surprise
+            # cold compile of the wrong scan shape.
+            raise RequestError(
+                f"this server loaded {self.loaded_pipeline!r} weights; "
+                f"start a server with --pipeline {pipeline} for that schedule"
+            )
         seed = int(req.get("seed", 0))
-        out = self.output_dir / f"gen_{int(time.time() * 1000)}_{seed}.mp4"
         kwargs = dict(
             height=int(req.get("height", 512)),
             width=int(req.get("width", 512)),
@@ -118,7 +133,6 @@ class GenerationService:
             audio=bool(req.get("audio", False)),
             audio_mode=str(req.get("audio_mode", "auto")),
             tiling=str(req.get("tiling", "auto")),
-            output_path=out,
             dtype=self.dtype,
             mesh=self.mesh,
             sequence_parallel=self.sequence_parallel,
@@ -126,10 +140,21 @@ class GenerationService:
             pipeline_tensor=self.pipeline_tensor,
             profile=True,
         )
-        text = self._text_for(req)
         with self.lock:
+            # Text encoding (a 12B-LM device forward when a text encoder is
+            # loaded) must also be serialized: running it concurrently with
+            # an in-flight generation contends for the same chips' HBM.
             t0 = time.time()
-            result = generate_video(self.models, text, prompt=req.get("prompt", ""), **kwargs)
+            text = self._text_for(req)
+            # Unique output name: wall-clock ms can collide when requests
+            # queue behind a long generation; the served counter cannot.
+            out = self.output_dir / (
+                f"gen_{int(time.time() * 1000)}_{self.requests_served}_{seed}.mp4"
+            )
+            result = generate_video(
+                self.models, text, prompt=req.get("prompt", ""),
+                output_path=out, **kwargs,
+            )
             wall = time.time() - t0
             self.requests_served += 1
         return {
@@ -169,11 +194,18 @@ def make_handler(service: GenerationService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except ValueError as e:
+                    raise RequestError(f"body is not valid JSON: {e}")
+                if not isinstance(req, dict):
+                    raise RequestError("body must be a JSON object")
                 self._send(200, service.generate(req))
-            except ValueError as e:
+            except RequestError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server
+                # Includes ValueError from generate_video internals: those
+                # are server-side configuration faults, not client errors.
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):
@@ -236,35 +268,34 @@ def main(argv=None) -> None:
     from mlx_video_tpu.loading import load_model_bundle
     from mlx_video_tpu.pipelines.generate import PipelineType
 
-    pipeline = PipelineType.DEV if args.pipeline == "dev" else PipelineType.DISTILLED
-    models = load_model_bundle(
-        Path(args.model_repo), pipeline=pipeline, audio=args.audio, dtype=jnp.bfloat16
+    from mlx_video_tpu.loading import (
+        bits_hint_for,
+        mesh_from_flag,
+        quantize_models,
+        shard_models,
     )
-    if args.w8a8 and args.w4a8:
-        raise SystemExit("--w8a8 and --w4a8 are mutually exclusive")
-    if args.w8a8:
-        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
 
-        models.transformer_params = quantize_params_w8a8(models.transformer_params)
-    if args.w4a8:
-        from mlx_video_tpu.ops.quant import prepare_w4a8
-
-        models.transformer_params = prepare_w4a8(models.transformer_params)
+    pipeline = PipelineType.DEV if args.pipeline == "dev" else PipelineType.DISTILLED
+    model_path = Path(args.model_repo)
+    models = load_model_bundle(
+        model_path, pipeline=pipeline, audio=args.audio, dtype=jnp.bfloat16,
+        bits_hint=bits_hint_for(args.model_repo),
+    )
+    # Same quantize-if-needed + stored-bits resolution as cli/generate.py:
+    # a bare prepare_w4a8 here was a silent no-op on fresh bf16 snapshots
+    # and mis-scaled 8-bit pre-quantized repos.
+    try:
+        quantize_models(
+            models, model_path, w8a8=args.w8a8, w4a8=args.w4a8,
+            repo_hint=str(args.model_repo),
+        )
+    except ValueError as e:
+        raise SystemExit(f"serve: {e}")
 
     mesh = None
     if args.mesh:
-        import jax
-
-        from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
-        from mlx_video_tpu.parallel.sharding import shard_params
-
-        shape = (
-            factor_devices(len(jax.devices()))
-            if args.mesh == "auto"
-            else tuple(int(x) for x in args.mesh.split(","))
-        )
-        mesh = create_mesh(shape)
-        models.transformer_params = shard_params(models.transformer_params, mesh)
+        mesh = mesh_from_flag(args.mesh)
+        shard_models(models, mesh)  # incl. stage-2 and audio transformers
 
     text_encoder = default_text = None
     if args.embeddings:
@@ -287,6 +318,7 @@ def main(argv=None) -> None:
         sequence_parallel=args.sequence_parallel,
         pipeline_parallel=args.pipeline_parallel,
         pipeline_tensor=args.pipeline_tensor,
+        loaded_pipeline=args.pipeline,
     )
 
     if args.warmup:

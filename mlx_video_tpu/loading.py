@@ -207,3 +207,107 @@ def load_model_bundle(
         audio_transformer_params=audio_tf,
         audio_transformer_config=audio_tf_cfg,
     )
+
+
+def bits_hint_for(repo: str) -> Optional[str]:
+    """Grid-width hint from a repo/path name ("...-8bit...", "...q4...")."""
+    repo_l = str(repo).lower()
+    if any(x in repo_l for x in ("8bit", "q8", "int8")):
+        return "8bit"
+    if any(x in repo_l for x in ("4bit", "q4", "int4")):
+        return "4bit"
+    return None
+
+
+def quantize_models(
+    models: ModelBundle,
+    model_path: Path,
+    *,
+    w8a8: bool = False,
+    w4a8: bool = False,
+    quantize_bits: Optional[int] = None,
+    repo_hint: str = "",
+) -> None:
+    """Apply the quantized execution mode to every loaded transformer.
+
+    Single source of truth for both CLIs (generate + serve): W4A8 first
+    quantizes fresh bf16 params when the tree carries no ``quant_weight``
+    nodes, and resolves the STORED grid width from (in order) the explicit
+    flag > ``quantization.json`` next to the weights > a repo-name hint >
+    4 — assuming 4 bits on an 8-bit repo would silently mis-scale every
+    matmul (saturated +127 bins).
+    """
+    if w8a8 and w4a8:
+        raise ValueError("--w8a8 and --w4a8 are mutually exclusive")
+    if quantize_bits:
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        models.transformer_params = quantize_dit_params(
+            models.transformer_params, bits=quantize_bits
+        )
+    if w8a8:
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+
+        models.transformer_params = quantize_params_w8a8(models.transformer_params)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = quantize_params_w8a8(
+                models.stage2_transformer_params
+            )
+    if w4a8:
+        from mlx_video_tpu.ops.quant import prepare_w4a8, quantize_dit_params
+        from mlx_video_tpu.trainer.aux import read_quantization_metadata
+
+        qmeta = read_quantization_metadata(model_path) or {}
+        bits = (
+            quantize_bits
+            or qmeta.get("bits")
+            or {"8bit": 8, "4bit": 4}.get(bits_hint_for(repo_hint))
+            or 4
+        )
+        if qmeta.get("bits") and quantize_bits and qmeta["bits"] != quantize_bits:
+            raise ValueError(
+                f"--quantize-bits {quantize_bits} conflicts with the "
+                f"checkpoint's quantization.json bits={qmeta['bits']}"
+            )
+
+        def _has_quant(node) -> bool:
+            return isinstance(node, dict) and (
+                "quant_weight" in node or any(_has_quant(v) for v in node.values())
+            )
+
+        def _to_w4a8(p):
+            if not _has_quant(p):
+                p = quantize_dit_params(p, bits=bits)
+            return prepare_w4a8(p, bits=bits)
+
+        models.transformer_params = _to_w4a8(models.transformer_params)
+        if models.stage2_transformer_params is not None:
+            models.stage2_transformer_params = _to_w4a8(models.stage2_transformer_params)
+
+
+def mesh_from_flag(spec: str):
+    """Build the (data, fsdp, tensor) mesh from a CLI flag value
+    ("auto" or "d,f,t")."""
+    from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
+
+    shape = (
+        factor_devices(len(jax.devices()))
+        if spec == "auto"
+        else tuple(int(x) for x in spec.split(","))
+    )
+    return create_mesh(shape)
+
+
+def shard_models(models: ModelBundle, mesh) -> None:
+    """Shard every loaded transformer (stage-1, stage-2, audio) on the mesh."""
+    from mlx_video_tpu.parallel.sharding import shard_params
+
+    models.transformer_params = shard_params(models.transformer_params, mesh)
+    if models.stage2_transformer_params is not None:
+        models.stage2_transformer_params = shard_params(
+            models.stage2_transformer_params, mesh
+        )
+    if models.audio_transformer_params is not None:
+        models.audio_transformer_params = shard_params(
+            models.audio_transformer_params, mesh
+        )

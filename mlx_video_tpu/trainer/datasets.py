@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Iterator, List, Optional, Union
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -226,9 +226,25 @@ class PrecomputedDataset:
 
             with SafetensorsReader(path) as r:
                 key = "latents" if "latents" in r else r.keys()[0]
-                return r.shape(key)
+                shape = r.shape(key)
+                if len(shape) != 2:
+                    return shape
+                # Legacy patchified (S, C): bucket by the NORMALIZED
+                # (C, F, H, W) that __getitem__ will deliver — equal-token
+                # buckets (512x512 vs 256x1024) share S but cannot stack
+                # post-reshape. The scalar dims are cheap header+tiny reads.
+                s_len, c = shape
+                f = int(np.asarray(r.get("num_frames")).reshape(-1)[0])
+                h = int(np.asarray(r.get("height")).reshape(-1)[0])
+                w = int(np.asarray(r.get("width")).reshape(-1)[0])
+                return (c, f, h, w)
         data = _load_any(path)
-        return tuple(np.asarray(data.get("latents", next(iter(data.values())))).shape)
+        latents = np.asarray(data.get("latents", next(iter(data.values()))))
+        if latents.ndim == 2 and "num_frames" in data:
+            return tuple(
+                np.asarray(normalize_video_latents(dict(data))["latents"]).shape
+            )
+        return tuple(latents.shape)
 
     def __getitem__(self, index: int) -> Batch:
         result: Dict[str, Dict[str, Any]] = {}
@@ -292,17 +308,24 @@ def _batch_index_groups(dataset, batch_size: int, shuffle: bool, seed: int):
         buckets: dict = {}
         for i in idxs:
             buckets.setdefault(dataset.latent_shape(int(i)), []).append(int(i))
+        # Tail batches are PADDED to batch_size by wrapping the bucket's own
+        # members (deterministic): a smaller trailing batch would break the
+        # trainer's data-axis sharding (batch % mesh data != 0) and cost a
+        # fresh XLA compile per distinct tail size. Padding keeps the batch
+        # count shuffle-invariant (resume math relies on that) at the price
+        # of a few duplicated samples per epoch in ragged buckets.
         batches = [
-            members[j : j + batch_size]
+            [members[(j + k) % len(members)] for k in range(batch_size)]
             for members in buckets.values()
             for j in range(0, len(members), batch_size)
         ]
         if shuffle:
             np.random.default_rng(seed + 1).shuffle(batches)
     else:
+        n = len(dataset)
         batches = [
-            [int(j) for j in idxs[i : i + batch_size]]
-            for i in range(0, len(dataset), batch_size)
+            [int(idxs[(i + k) % n]) for k in range(batch_size)]
+            for i in range(0, n, batch_size)
         ]
     return batches
 
@@ -335,7 +358,7 @@ def iter_batches(
     collates cleanly — mixed shapes in one batch cannot be stacked, and
     each distinct shape is one compiled program on TPU anyway. Batch order
     interleaves buckets (shuffled); a trailing partial batch per bucket is
-    yielded as-is.
+    padded to ``batch_size`` by wrapping that bucket's members.
     """
     batches = _batch_index_groups(dataset, batch_size, shuffle, seed)
     if skip:

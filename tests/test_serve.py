@@ -102,6 +102,43 @@ class TestServe:
         code, out = _post(server_url, dict(self.REQ, pipeline="nope"))
         assert code == 400 and "pipeline" in out["error"]
 
+    def test_pipeline_mismatch_is_400(self, server_url):
+        """Requesting the dev schedule from a distilled-loaded server must
+        400 — running the wrong schedule over these weights would 200 with
+        silently-degraded output plus a cold compile of the wrong scan."""
+        code, out = _post(server_url, dict(self.REQ, pipeline="dev"))
+        assert code == 400 and "distilled" in out["error"]
+
+    def test_non_object_body_is_400(self, server_url):
+        import urllib.request
+
+        req = urllib.request.Request(
+            server_url + "/generate", data=b"[1, 2]",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                code, out = r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            code, out = e.code, json.loads(e.read())
+        assert code == 400 and "JSON object" in out["error"]
+
+    def test_internal_valueerror_is_500(self, server_url, service):
+        """Server-side faults (generate_video internals raising ValueError)
+        must NOT masquerade as client 400s."""
+        def boom(*a, **k):
+            raise ValueError("server-side fault")
+
+        import mlx_video_tpu.pipelines.generate as G
+
+        orig = G.generate_video
+        G.generate_video = boom
+        try:
+            code, out = _post(server_url, dict(self.REQ))
+            assert code == 500 and "server-side fault" in out["error"]
+        finally:
+            G.generate_video = orig
+
     def test_unknown_path_404(self, server_url):
         try:
             urllib.request.urlopen(server_url + "/nope")

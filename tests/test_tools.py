@@ -694,3 +694,92 @@ class TestCompareLatents:
         main([str(tmp_path / "a.safetensors"), str(tmp_path / "b.safetensors"), "--per-frame"])
         out = capsys.readouterr().out
         assert "psnr=" in out and "per-frame psnr" in out
+
+
+class TestQuantizeModels:
+    """loading.quantize_models — the shared CLI quantized-execution setup
+    (generate + serve). Regression for the serve-only path that called bare
+    prepare_w4a8: a no-op on fresh bf16 trees, and 4-bit scales over 8-bit
+    storage on pre-quantized repos."""
+
+    def _bundle(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from mlx_video_tpu.models.ltx.video_vae.decoder import DecoderConfig
+        from mlx_video_tpu.pipelines.generate import ModelBundle
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        return ModelBundle(
+            transformer_params=params,
+            transformer_config=cfg,
+            vae_decoder_params={},
+            vae_decoder_config=DecoderConfig(),
+        )
+
+    @staticmethod
+    def _has(node, leaf):
+        return isinstance(node, dict) and (
+            leaf in node or any(TestQuantizeModels._has(v, leaf) for v in node.values())
+        )
+
+    def test_w4a8_quantizes_fresh_bf16(self, tmp_path):
+        from mlx_video_tpu.loading import quantize_models
+
+        models = self._bundle()
+        assert not self._has(models.transformer_params, "quant_weight")
+        quantize_models(models, tmp_path, w4a8=True)
+        assert self._has(models.transformer_params, "quant_weight"), (
+            "w4a8 on a fresh bf16 snapshot must quantize, not silently no-op"
+        )
+        assert self._has(models.transformer_params, "int8_scale")
+
+    def test_w4a8_respects_stored_bits(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from mlx_video_tpu.loading import quantize_models
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        # two identical 8-bit pre-quantized trees; one goes through the
+        # shared helper with quantization.json declaring 8 bits, the other
+        # through the correct direct call. Scales must agree (the buggy
+        # serve path assumed 4 -> ~16x smaller scales).
+        from mlx_video_tpu.ops.quant import prepare_w4a8
+
+        m = self._bundle()
+        m.transformer_params = quantize_dit_params(m.transformer_params, bits=8)
+        (tmp_path / "quantization.json").write_text(json.dumps({"bits": 8}))
+        quantize_models(m, tmp_path / "model.safetensors", w4a8=True)
+
+        ref = self._bundle()
+        ref.transformer_params = prepare_w4a8(
+            quantize_dit_params(ref.transformer_params, bits=8), bits=8
+        )
+
+        def first_scale(node):
+            if isinstance(node, dict):
+                if "int8_scale" in node:
+                    return np.asarray(node["int8_scale"], np.float32)
+                for v in node.values():
+                    r = first_scale(v)
+                    if r is not None:
+                        return r
+            return None
+
+        a, b = first_scale(m.transformer_params), first_scale(ref.transformer_params)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_w8a8_w4a8_exclusive(self, tmp_path):
+        import pytest as _pytest
+
+        from mlx_video_tpu.loading import quantize_models
+
+        with _pytest.raises(ValueError, match="exclusive"):
+            quantize_models(self._bundle(), tmp_path, w8a8=True, w4a8=True)

@@ -93,8 +93,10 @@ class TestDatasets:
 
     def test_bucketed_batching_groups_same_shape(self, tmp_path, rng):
         """batch_size > 1 over a resolution-bucketed dataset: every batch is
-        one bucket (mixed shapes cannot stack), every sample appears once,
-        partial per-bucket tails are yielded as-is."""
+        one bucket (mixed shapes cannot stack), every sample appears at
+        least once, and partial per-bucket tails are PADDED to batch_size
+        by wrapping the bucket (a smaller tail would break mesh data
+        sharding and recompile per tail size)."""
         from mlx_video_tpu.io.safetensors import save_safetensors
         from mlx_video_tpu.trainer.datasets import PrecomputedDataset
 
@@ -123,11 +125,45 @@ class TestDatasets:
             lat = b.latents["latents"]
             seen += lat.shape[0]
             batch_shapes.append(lat.shape)
-        assert seen == len(ds) == 5
-        # bucket of 3 -> batches of 2+1; bucket of 2 -> one batch of 2
-        assert sorted(s[0] for s in batch_shapes) == [1, 2, 2]
+        # bucket of 3 -> 2 batches (tail wrap-padded); bucket of 2 -> 1
+        assert seen == 6
+        assert sorted(s[0] for s in batch_shapes) == [2, 2, 2]
         for s in batch_shapes:  # never mixed within a batch
             assert s[1:] in ((16, 2, 2, 2), (16, 2, 4, 2))
+
+    def test_bucketing_keys_on_normalized_shape(self, tmp_path, rng):
+        """Legacy patchified (S, C) latents from equal-token buckets
+        (2x2x4 vs 2x4x2 -> S=16 both) must NOT share a bucket: bucketing
+        keys on the normalized (C, F, H, W), which differs."""
+        from mlx_video_tpu.io.safetensors import save_safetensors
+        from mlx_video_tpu.trainer.datasets import PrecomputedDataset
+
+        (tmp_path / "latents").mkdir()
+        (tmp_path / "conditions").mkdir()
+        dims = [(2, 2, 4)] * 2 + [(2, 4, 2)] * 2  # same S = 16
+        for i, (f, h, w) in enumerate(dims):
+            save_safetensors(
+                tmp_path / "latents" / f"latent_{i:03d}.safetensors",
+                {
+                    "latents": rng.normal(size=(f * h * w, 16)).astype(np.float32),
+                    "num_frames": np.array([f], np.int32),
+                    "height": np.array([h], np.int32),
+                    "width": np.array([w], np.int32),
+                },
+            )
+            save_safetensors(
+                tmp_path / "conditions" / f"condition_{i:03d}.safetensors",
+                {"prompt_embeds": rng.normal(size=(8, 48)).astype(np.float32)},
+            )
+        ds = PrecomputedDataset(tmp_path)
+        assert ds.latent_shape(0) == (16, 2, 2, 4)
+        assert ds.latent_shape(2) == (16, 2, 4, 2)
+        shapes = set()
+        for b in iter_batches(ds, batch_size=2, shuffle=True, seed=0):
+            lat = b.latents["latents"]
+            assert lat.shape[0] == 2
+            shapes.add(lat.shape[1:])
+        assert shapes == {(16, 2, 2, 4), (16, 2, 4, 2)}
 
     def test_legacy_patchified_normalization(self, rng):
         from mlx_video_tpu.trainer.datasets import normalize_video_latents
