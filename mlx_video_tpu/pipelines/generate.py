@@ -371,6 +371,20 @@ def generate_video(
     None afterwards; reload before reuse.
     """
     timer = PhaseTimer()
+    # Text conditioning casts to the pipeline dtype at the boundary:
+    # precomputed embeddings load as fp32 (cli --embeddings), and an fp32
+    # context against bf16 weights makes attention reject the mixed
+    # query/key dtypes mid-denoise (same boundary rule as the trainer's
+    # strategy inputs).
+    def _cast_emb(x):
+        return None if x is None else jnp.asarray(x, dtype)
+
+    text = TextConditioning(
+        video_embeddings=_cast_emb(text.video_embeddings),
+        video_neg_embeddings=_cast_emb(text.video_neg_embeddings),
+        audio_embeddings=_cast_emb(text.audio_embeddings),
+        audio_neg_embeddings=_cast_emb(text.audio_neg_embeddings),
+    )
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
     pp = None
     if pipeline_parallel:
