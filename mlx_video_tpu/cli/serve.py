@@ -116,6 +116,12 @@ class GenerationService:
                 f"this server loaded {self.loaded_pipeline!r} weights; "
                 f"start a server with --pipeline {pipeline} for that schedule"
             )
+        if req.get("low_memory"):
+            raise RequestError(
+                "low_memory is not served: it frees the transformer after "
+                "each run, defeating a resident server — shard with --mesh "
+                "instead"
+            )
         seed = int(req.get("seed", 0))
         kwargs = dict(
             height=int(req.get("height", 512)),

@@ -445,12 +445,38 @@ def generate_video(
         jax.block_until_ready(moved)
         return moved
 
+    def _restage_if_host_parked(tree):
+        """Undo a PREVIOUS low_memory run's host-parking on a reused bundle.
+
+        low_memory mutates the bundle (params committed to the CPU device);
+        a later non-low_memory run would otherwise jit host-committed params
+        against device arrays and fail with 'incompatible devices'. No-op
+        when the default backend IS the CPU (tests) or nothing is parked.
+        """
+        if low_memory or tree is None or jax.default_backend() == "cpu":
+            return tree
+        leaves = jax.tree.leaves(tree)
+        if not leaves or not hasattr(leaves[0], "devices"):
+            return tree
+        devs = leaves[0].devices()
+        if all(d.platform == "cpu" for d in devs):
+            moved = jax.device_put(tree, jax.devices()[0])
+            jax.block_until_ready(moved)
+            return moved
+        return tree
+
     if low_memory:
         models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=True)
         models.upsampler_params = _stage(models.upsampler_params, to_host=True)
         if models.audio_decoder_params is not None:
             models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=True)
             models.vocoder_params = _stage(models.vocoder_params, to_host=True)
+    else:
+        for attr in (
+            "vae_decoder_params", "vae_encoder_params", "upsampler_params",
+            "audio_decoder_params", "vocoder_params",
+        ):
+            setattr(models, attr, _restage_if_host_parked(getattr(models, attr)))
 
     def _gather(x):
         """Replicate a mesh-sharded array across the mesh between pipeline
