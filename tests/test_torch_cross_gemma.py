@@ -171,3 +171,64 @@ class TestTorchCrossGemma3:
         np.testing.assert_allclose(
             np.asarray(ours, np.float32), hf_logits, rtol=3e-4, atol=3e-4
         )
+
+    def test_kv_cached_decode_matches_hf(self):
+        """The KV-cached decode path (prompt-enhancement backend,
+        models/gemma3.py generate): prefill + 4 greedy steps produce the
+        same logits as HF with use_cache=True at every step."""
+        from transformers import Gemma3ForCausalLM
+
+        from mlx_video_tpu.models.gemma3 import init_kv_caches
+
+        model = _hf_model()
+        cfg_hf = model.config
+        cfg_hf.tie_word_embeddings = True
+        cfg_hf.use_cache = True
+        lm = Gemma3ForCausalLM(cfg_hf).eval().to(torch.float32)
+        lm.model.load_state_dict(model.state_dict())
+        lm.tie_weights()
+        params = _port_params(model)
+        cfg = Gemma3TextConfig(**{k: v for k, v in CFG.items()})
+
+        rng = np.random.default_rng(2)
+        prompt_len, steps = 8, 4
+        ids = rng.integers(1, CFG["vocab_size"], size=(1, prompt_len))
+        max_len = prompt_len + steps
+
+        # ours: prefill with padded-fixed-length caches, then greedy steps
+        caches = init_kv_caches(cfg, 1, max_len, dtype=jnp.float32)
+        mask = np.zeros((1, max_len), np.int32)
+        mask[:, :prompt_len] = 1
+        logits, caches = gemma3_logits(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask), caches, position_offset=0
+        )
+        # HF: prefill with cache
+        with torch.no_grad():
+            hf_out = lm(input_ids=torch.tensor(ids), use_cache=True)
+        np.testing.assert_allclose(
+            np.asarray(logits[:, -1], np.float32),
+            hf_out.logits[:, -1].numpy(), rtol=3e-4, atol=3e-4,
+        )
+
+        past = hf_out.past_key_values
+        pos = prompt_len
+        next_tok = int(np.argmax(np.asarray(logits[:, -1])[0]))
+        for step in range(steps - 1):
+            mask[:, pos] = 1
+            logits, caches = gemma3_logits(
+                params, cfg, jnp.asarray([[next_tok]]), jnp.asarray(mask),
+                caches, position_offset=pos,
+            )
+            with torch.no_grad():
+                hf_step = lm(
+                    input_ids=torch.tensor([[next_tok]]),
+                    past_key_values=past, use_cache=True,
+                )
+            past = hf_step.past_key_values
+            np.testing.assert_allclose(
+                np.asarray(logits[:, -1], np.float32),
+                hf_step.logits[:, -1].numpy(), rtol=3e-4, atol=3e-4,
+                err_msg=f"decode step {step}",
+            )
+            pos += 1
+            next_tok = int(np.argmax(np.asarray(logits[:, -1])[0]))
