@@ -199,3 +199,60 @@ class TestBatching:
         seen = {i for gr in groups for i in gr}
         assert seen == set(range(n)), "every sample appears at least once"
         assert len(groups) == -(-n // bs)
+
+
+class TestStreamingDecode:
+    @given(
+        f=st.integers(3, 12),
+        t_tile=st.integers(2, 4),
+        overlap=st.integers(1, 2),
+        seed=st.integers(0, 100),
+    )
+    def test_streamed_chunks_reassemble_exactly(self, f, t_tile, overlap, seed):
+        """on_frames_ready emissions are contiguous, cover every frame once,
+        and concatenate bit-exactly to the returned full video — the
+        streaming path must never emit a frame a future tile could still
+        touch (or the mp4 writer would bake an unblended seam)."""
+        from mlx_video_tpu.models.ltx.video_vae.tiling import (
+            TemporalTilingConfig,
+            TilingConfig,
+            decode_with_tiling,
+        )
+
+        t_tile = max(2, min(t_tile, f))
+        t_ov = min(overlap, t_tile - 1)
+        ts = 8
+        rng = np.random.default_rng(seed)
+
+        def decoder(tile):
+            b, c, tf, th, tw = tile.shape
+            # deterministic content derived from the tile values so chunk
+            # equality is meaningful
+            base = np.asarray(tile, np.float32).mean()
+            out = np.full((b, 3, 1 + (tf - 1) * ts, th * 4, tw * 4), base, np.float32)
+            out += np.arange(out.shape[2], dtype=np.float32).reshape(1, 1, -1, 1, 1)
+            return out
+
+        cfg = TilingConfig(
+            spatial_config=None,
+            temporal_config=TemporalTilingConfig(
+                tile_size_in_frames=t_tile * ts, tile_overlap_in_frames=t_ov * ts
+            ),
+        )
+        latents = rng.normal(size=(1, 4, f, 2, 2)).astype(np.float32)
+
+        chunks = []
+        def on_ready(frames, start):
+            chunks.append((start, frames.copy()))
+
+        out = decode_with_tiling(
+            decoder, latents, cfg, spatial_scale=4, temporal_scale=ts,
+            on_frames_ready=on_ready,
+        )
+        assert chunks, "nothing streamed"
+        pos = 0
+        for start, frames in chunks:
+            assert start == pos, f"non-contiguous emission at {start} (expected {pos})"
+            np.testing.assert_array_equal(frames, out[:, :, start : start + frames.shape[2]])
+            pos += frames.shape[2]
+        assert pos == out.shape[2], "streamed chunks don't cover the video"
