@@ -246,6 +246,12 @@ def main() -> None:
         b, f, h, w = (1, 3, 8, 8) if "--tiny" in sys.argv else (1, 9, 24, 24)
     else:
         b, f, h, w = 1, 5, 16, 16  # 512x512x33f distilled geometry -> 1280 tokens
+    # --batch N: batched multi-video generation (generate_video num_videos):
+    # N videos share each denoise scan; metric becomes video-steps/s.
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        b *= batch
     if flagship:
         # Synthesized directly in quantized layout on the device — the dense
         # 19B pytree never exists anywhere.
@@ -346,7 +352,7 @@ def main() -> None:
         float(sum_jit(run(small_sched)))
         t2s.append(time.time() - t0)
     per_step = (np.median(t8s) - np.median(t2s)) / (n_big - n_small)
-    steps_per_sec = 1.0 / per_step
+    steps_per_sec = batch / per_step
     print(
         f"t{n_big} med {np.median(t8s):.3f}s t{n_small} med {np.median(t2s):.3f}s",
         file=sys.stderr,
@@ -361,15 +367,27 @@ def main() -> None:
             metric += f"_cfgcache{cfg_cache}"
         if pab > 1:
             metric += f"_pab{pab}"
+        if batch > 1:
+            metric += f"_batch{batch}"
         cfg_note = "CFG batch-of-2 fwd, " if dev_cfg else ""
         if dev_cfg and cfg_cache > 1:
             cfg_note = f"CFG delta-cache k={cfg_cache}, "
         if pab > 1:
             cfg_note += f"attn-broadcast k={pab}, "
-        unit = f"steps/s (48L dim4096 19B-geometry DiT, {tokens} tokens, {cfg_note}{fmode}, 1 chip)"
+        batch_note = f"batch-of-{batch} videos, " if batch > 1 else ""
+        unit = (
+            f"{'video-' if batch > 1 else ''}steps/s (48L dim4096 19B-geometry "
+            f"DiT, {tokens} tokens/video, {batch_note}{cfg_note}{fmode}, 1 chip)"
+        )
     else:
         metric = "dit_proxy3b_denoise_steps_per_sec"
-        unit = f"steps/s (48L dim2048 DiT, {tokens} tokens, {'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"
+        if batch > 1:
+            metric += f"_batch{batch}"
+        unit = (
+            f"{'video-' if batch > 1 else ''}steps/s (48L dim2048 DiT, {tokens} tokens"
+            f"{f'/video, batch-of-{batch} videos' if batch > 1 else ''}, "
+            f"{'w8a8 int8' if w8a8 else 'bf16'}, 1 chip)"
+        )
     payload = {
         "metric": metric,
         "value": round(steps_per_sec, 3),
@@ -380,7 +398,7 @@ def main() -> None:
     # Record successful real-chip DEFAULT-mode runs (no dials, no dev CFG —
     # what the driver invokes) as the fallback for tunnel-outage bench
     # invocations (see _emit_cached_and_exit).
-    default_mode = flagship and not dev_cfg and cfg_cache == 1 and pab == 1
+    default_mode = flagship and not dev_cfg and cfg_cache == 1 and pab == 1 and batch == 1
     if "--cpu" not in sys.argv and default_mode and jax.devices()[0].platform != "cpu":
         try:
             with open(CHIP_CACHE, "w") as fh:

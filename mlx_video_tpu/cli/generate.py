@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", "-W", type=int, default=512)
     p.add_argument("--num-frames", "-n", type=int, default=33)
     p.add_argument("--seed", "-s", type=int, default=42)
+    p.add_argument("--num-videos", type=int, default=1,
+                   help="Batch N videos through every denoise scan (new vs "
+                        "the reference; video i uses seed+i, outputs "
+                        "{stem}_{i}.mp4). T2V only - no audio/conditioning.")
     p.add_argument("--fps", "--frame-rate", type=float, default=24.0)
     p.add_argument("--output-path", "--output", "-o", default="output.mp4")
     p.add_argument("--auto-output-name", action="store_true")
@@ -377,6 +381,7 @@ def main(argv=None) -> None:
             num_frames=args.num_frames,
             fps=args.fps,
             seed=args.seed,
+            num_videos=args.num_videos,
             pipeline=pipeline,
             stage1_steps=args.stage1_steps,
             stage2_steps=args.stage2_steps,

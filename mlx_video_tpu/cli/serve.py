@@ -129,6 +129,7 @@ class GenerationService:
             num_frames=int(req.get("num_frames", 33)),
             fps=float(req.get("fps", 24.0)),
             seed=seed,
+            num_videos=max(1, min(int(req.get("num_videos", 1)), 8)),
             pipeline=PipelineType.DEV if pipeline == "dev" else PipelineType.DISTILLED,
             stage1_steps=int(req.get("stage1_steps", 8)),
             stage2_steps=int(req.get("stage2_steps", 3)),
@@ -165,6 +166,7 @@ class GenerationService:
             self.requests_served += 1
         return {
             "path": str(result.video_path or out),
+            "paths": [str(p) for p in result.video_paths] if result.video_paths else None,
             "wall_seconds": round(wall, 3),
             "phases": {k: round(v, 3) for k, v in result.phase_timer.phases.items()},
             "requests_served": self.requests_served,

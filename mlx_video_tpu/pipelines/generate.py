@@ -124,6 +124,8 @@ class GenerateResult:
     audio_latents: Optional[np.ndarray] = None
     video: Optional[np.ndarray] = None
     phase_timer: Optional[PhaseTimer] = None
+    # num_videos > 1: one mp4 per video ({stem}_{i}.mp4); video_path is [0]
+    video_paths: Optional[List[Path]] = None
 
 
 def pad_dimensions(
@@ -298,6 +300,7 @@ def generate_video(
     num_frames: int = 33,
     fps: float = 24.0,
     seed: int = 0,
+    num_videos: int = 1,
     pipeline: PipelineType = PipelineType.DISTILLED,
     # distilled options
     stage1_steps: int = 8,
@@ -385,6 +388,25 @@ def generate_video(
         audio_embeddings=_cast_emb(text.audio_embeddings),
         audio_neg_embeddings=_cast_emb(text.audio_neg_embeddings),
     )
+    if num_videos > 1:
+        def _bcast(x):
+            if x is None:
+                return None
+            if x.shape[0] == num_videos:
+                return x
+            if x.shape[0] == 1:
+                return jnp.broadcast_to(x, (num_videos,) + x.shape[1:])
+            raise ValueError(
+                f"text conditioning batch {x.shape[0]} does not match "
+                f"num_videos={num_videos} (pass 1 prompt to broadcast or N)"
+            )
+
+        text = TextConditioning(
+            video_embeddings=_bcast(text.video_embeddings),
+            video_neg_embeddings=_bcast(text.video_neg_embeddings),
+            audio_embeddings=None,
+            audio_neg_embeddings=None,
+        )
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
     pp = None
     if pipeline_parallel:
@@ -518,8 +540,40 @@ def generate_video(
             raise ValueError("Joint audio requires an AudioVideo transformer config")
     audio_frames = compute_audio_frames(num_frames, fps) if audio else 0
 
+    # Batched multi-prompt generation (new capability vs the reference's
+    # strictly single-video pipeline): N videos share every denoise scan —
+    # the transformer is the cost center, and batching its forwards is the
+    # single-chip throughput lever. Video i uses jax.random.key(seed + i)
+    # with the SAME split(8) schedule as a single run, so a batched run's
+    # latents are bit-identical to N independent runs at seeds s..s+N-1
+    # (pinned by tests). Decode + write stay per-video loops (host-driven).
+    if num_videos < 1:
+        raise ValueError("num_videos must be >= 1")
+    if num_videos > 1:
+        if audio:
+            raise ValueError("num_videos > 1 does not compose with audio yet")
+        if images or video_conditionings:
+            raise ValueError(
+                "num_videos > 1 does not compose with image/video conditioning"
+            )
+
     key = jax.random.key(seed)
     keys = jax.random.split(key, 8)
+    vid_keys = [jax.random.split(jax.random.key(seed + i), 8) for i in range(num_videos)]
+
+    def _batched_noise(kidx: int, shape) -> jax.Array:
+        """fp32 noise with per-video keys; bit-equal to the single-run
+        stream for each video in the batch."""
+        if num_videos == 1:
+            return jax.random.normal(keys[kidx], shape, dtype=jnp.float32)
+        return jnp.concatenate(
+            [
+                jax.random.normal(vk[kidx], (1,) + tuple(shape[1:]), dtype=jnp.float32)
+                for vk in vid_keys
+            ],
+            axis=0,
+        )
+
     params = models.transformer_params
     config = models.transformer_config
 
@@ -575,11 +629,16 @@ def generate_video(
             # host before the 19B denoise arena claims the HBM it occupies.
             models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=True)
 
-        positions1 = jnp.asarray(create_position_grid(1, latent_frames, stage1_h, stage1_w))
-        shape1 = (1, latent_channels, latent_frames, stage1_h, stage1_w)
-        latents, state1 = _init_state_with_conditioning(
-            shape1, s1_conds, keys[0], s1_sigmas[0], dtype
+        positions1 = jnp.asarray(
+            create_position_grid(num_videos, latent_frames, stage1_h, stage1_w)
         )
+        shape1 = (num_videos, latent_channels, latent_frames, stage1_h, stage1_w)
+        if num_videos > 1:
+            latents, state1 = _batched_noise(0, shape1).astype(dtype), None
+        else:
+            latents, state1 = _init_state_with_conditioning(
+                shape1, s1_conds, keys[0], s1_sigmas[0], dtype
+            )
 
         with timer.phase("stage1_denoise"):
             latents, audio_latents = dn.denoise(
@@ -620,7 +679,9 @@ def generate_video(
                 del ups_params
 
         # Stage 2: renoise at sigma0 then refine (reference: generate.py:3285-3326).
-        positions2 = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))
+        positions2 = jnp.asarray(
+            create_position_grid(num_videos, latent_frames, latent_h, latent_w)
+        )
         state2 = None
         if s2_conds:
             state2 = LatentState(
@@ -632,7 +693,7 @@ def generate_video(
             state2 = _masked_renoise(state2, keys[1], s2_sigmas[0])
             latents = state2.latent
         else:
-            noise = jax.random.normal(keys[1], latents.shape, dtype=jnp.float32).astype(dtype)
+            noise = _batched_noise(1, latents.shape).astype(dtype)
             latents = noise * s2_sigmas[0] + latents * (1.0 - s2_sigmas[0])
         if joint_audio and audio_latents is not None:
             a_noise = jax.random.normal(keys[6], audio_latents.shape, dtype=jnp.float32).astype(dtype)
@@ -680,11 +741,16 @@ def generate_video(
             models.vae_encoder_params = _stage(models.vae_encoder_params, to_host=True)
         num_tokens = latent_frames * latent_h * latent_w
         sigmas = ltx2_scheduler(steps=num_inference_steps, num_tokens=num_tokens)
-        positions = jnp.asarray(create_position_grid(1, latent_frames, latent_h, latent_w))
-        shape = (1, latent_channels, latent_frames, latent_h, latent_w)
-        latents, state = _init_state_with_conditioning(
-            shape, dev_conds, keys[0], float(sigmas[0]), dtype
+        positions = jnp.asarray(
+            create_position_grid(num_videos, latent_frames, latent_h, latent_w)
         )
+        shape = (num_videos, latent_channels, latent_frames, latent_h, latent_w)
+        if num_videos > 1:
+            latents, state = _batched_noise(0, shape).astype(dtype), None
+        else:
+            latents, state = _init_state_with_conditioning(
+                shape, dev_conds, keys[0], float(sigmas[0]), dtype
+            )
         with timer.phase("dev_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions, text.video_embeddings, sigmas,
@@ -778,36 +844,56 @@ def generate_video(
         except Exception:
             pass
 
+    # num_videos > 1: denoise was batched (the cost center); decode + write
+    # loop per video — the tiled decoder and mp4 writer are host-driven and
+    # per-video shapes keep the compiled tile programs identical across the
+    # batch (one compile, N reuses).
+    video_files = (
+        [video_file]
+        if num_videos == 1
+        else [
+            output_path.with_name(f"{output_path.stem}_{i}{output_path.suffix}")
+            for i in range(num_videos)
+        ]
+    )
     with timer.phase("vae_decode"):
-        writer = media.VideoWriter(video_file, writer_w, writer_h, fps, encoder=video_encoder)
-        t0 = time.perf_counter()
-        frames_done = [0]
+        decoded = []
+        for vid_idx, vf in enumerate(video_files):
+            writer = media.VideoWriter(vf, writer_w, writer_h, fps, encoder=video_encoder)
+            t0 = time.perf_counter()
+            frames_done = [0]
 
-        def on_ready(frames: np.ndarray, start_idx: int) -> None:
-            u8 = media.frames_to_uint8(frames)[:num_frames - start_idx]
-            if crop_params is not None:
-                top, left, out_h, out_w = crop_params
-                u8 = u8[:, top : top + out_h, left : left + out_w]
-            writer.write(u8)
-            _emit_preview(u8[-1], start_idx + u8.shape[0] - 1)
-            frames_done[0] += u8.shape[0]
-            ui_event(
-                {
-                    "kind": "progress",
-                    "phase": "decode",
-                    "current": frames_done[0],
-                    "total": num_frames,
-                    "eta_seconds": (time.perf_counter() - t0)
-                    / max(frames_done[0], 1)
-                    * max(num_frames - frames_done[0], 0),
-                }
+            def on_ready(frames: np.ndarray, start_idx: int) -> None:
+                u8 = media.frames_to_uint8(frames)[:num_frames - start_idx]
+                if crop_params is not None:
+                    top, left, out_h, out_w = crop_params
+                    u8 = u8[:, top : top + out_h, left : left + out_w]
+                writer.write(u8)
+                _emit_preview(u8[-1], start_idx + u8.shape[0] - 1)
+                frames_done[0] += u8.shape[0]
+                ui_event(
+                    {
+                        "kind": "progress",
+                        "phase": "decode",
+                        "current": frames_done[0],
+                        "total": num_frames,
+                        "video": vid_idx,
+                        "eta_seconds": (time.perf_counter() - t0)
+                        / max(frames_done[0], 1)
+                        * max(num_frames - frames_done[0], 0),
+                    }
+                )
+
+            decoded.append(
+                decode_latents(
+                    models,
+                    latents[vid_idx : vid_idx + 1] if num_videos > 1 else latents,
+                    tiling_config, decode_timestep=0.05, noise_key=keys[2],
+                    on_frames_ready=on_ready,
+                )
             )
-
-        video_np = decode_latents(
-            models, latents, tiling_config, decode_timestep=0.05, noise_key=keys[2],
-            on_frames_ready=on_ready,
-        )
-        writer.close()
+            writer.close()
+        video_np = decoded[0] if num_videos == 1 else np.concatenate(decoded, axis=0)
 
     # Audio decode + mux (reference: generate.py:3928-4160).
     if audio and audio_np is not None and models.audio_decoder_params is not None:
@@ -842,12 +928,15 @@ def generate_video(
         # be orphaned at *.temp.mp4.
         video_file.rename(output_path)
 
+    result_paths = video_files if num_videos > 1 else None
+
     if profile:
         timer.report()
     return GenerateResult(
-        video_path=output_path,
+        video_path=video_files[0] if num_videos > 1 else output_path,
         latents=latents_np,
         audio_latents=audio_np,
+        video_paths=result_paths,
         video=video_np,
         phase_timer=timer,
     )

@@ -541,3 +541,71 @@ class TestQualitySpeedDials:
         assert np.isfinite(result.latents).all()
         assert result.audio_latents is not None
         assert np.isfinite(result.audio_latents).all()
+
+
+class TestBatchedGeneration:
+    """num_videos > 1 (new capability vs the reference's single-video
+    pipeline): N videos share every denoise scan; video i derives its noise
+    from jax.random.key(seed + i) with the single-run split schedule, so a
+    batched run consumes bit-identical noise to N independent runs — outputs
+    match to fp32 tolerance (batched matmuls reduce in a different order, so
+    exact bit equality across batch sizes is not attainable)."""
+
+    def test_distilled_batched_matches_singles(self, models):
+        text = _text(models.transformer_config)
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, decode_latents_only=True,
+            dtype=jnp.float32,
+        )
+        batched = generate_video(models, text, seed=5, num_videos=2, **kw)
+        single0 = generate_video(models, text, seed=5, **kw)
+        single1 = generate_video(models, text, seed=6, **kw)
+        assert batched.latents.shape[0] == 2
+        np.testing.assert_allclose(
+            batched.latents[0], single0.latents[0], rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            batched.latents[1], single1.latents[0], rtol=2e-4, atol=1e-5
+        )
+
+    def test_dev_cfg_batched_finite(self, models):
+        text = _text(models.transformer_config, with_neg=True)
+        result = generate_video(
+            models, text, seed=1, num_videos=3,
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=2, cfg_scale=3.0,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert result.latents.shape[0] == 3
+        assert np.all(np.isfinite(result.latents))
+        # broadcast prompt -> distinct noise -> distinct videos
+        assert np.abs(result.latents[0] - result.latents[1]).max() > 0
+
+    def test_batched_writes_one_mp4_per_video(self, models, tmp_path):
+        text = _text(models.transformer_config)
+        out = tmp_path / "batch.mp4"
+        result = generate_video(
+            models, text, seed=2, num_videos=2,
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, tiling="none",
+            output_path=out, dtype=jnp.float32,
+        )
+        assert result.video_paths is not None and len(result.video_paths) == 2
+        for p in result.video_paths:
+            assert p.exists() and p.stat().st_size > 0
+        assert result.video_path == result.video_paths[0]
+        assert result.video.shape[0] == 2
+
+    def test_batched_rejects_audio_and_conditioning(self, models):
+        text = _text(models.transformer_config)
+        with pytest.raises(ValueError, match="audio"):
+            generate_video(
+                models, text, num_videos=2, audio=True,
+                height=64, width=64, num_frames=9, decode_latents_only=True,
+            )
+        with pytest.raises(ValueError, match="conditioning"):
+            generate_video(
+                models, text, num_videos=2, images=[("x.png", 0, 1.0)],
+                height=64, width=64, num_frames=9, decode_latents_only=True,
+            )
