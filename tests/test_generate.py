@@ -597,6 +597,29 @@ class TestBatchedGeneration:
         assert result.video_path == result.video_paths[0]
         assert result.video.shape[0] == 2
 
+    def test_batched_on_data_parallel_mesh(self, models):
+        """num_videos=2 over a (data=2, fsdp=2, tensor=2) mesh: the video
+        batch rides the data axis (DP inference — the multi-chip batch
+        serving shape) and must reproduce the single-device batched run."""
+        from dataclasses import replace
+
+        from mlx_video_tpu.parallel.mesh import create_mesh
+        from mlx_video_tpu.parallel.sharding import shard_params
+
+        text = _text(models.transformer_config)
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, decode_latents_only=True,
+            dtype=jnp.float32, seed=9, num_videos=2,
+        )
+        ref = generate_video(models, text, **kw)
+        mesh = create_mesh((2, 2, 2))
+        sharded = replace(
+            models, transformer_params=shard_params(models.transformer_params, mesh)
+        )
+        out = generate_video(sharded, text, mesh=mesh, **kw)
+        np.testing.assert_allclose(out.latents, ref.latents, atol=5e-4)
+
     def test_batched_rejects_audio_and_conditioning(self, models):
         text = _text(models.transformer_config)
         with pytest.raises(ValueError, match="audio"):
