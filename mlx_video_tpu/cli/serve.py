@@ -60,6 +60,8 @@ class GenerationService:
         pipeline_tensor: int = 1,
         dtype=None,
         loaded_pipeline: str = "distilled",
+        max_batch: int = 1,
+        batch_window: float = 0.05,
     ) -> None:
         import jax.numpy as jnp
 
@@ -76,7 +78,18 @@ class GenerationService:
         self.loaded_pipeline = loaded_pipeline
         self.lock = threading.Lock()
         self.requests_served = 0
+        self.batches_run = 0
         self.started = time.time()
+        # Dynamic request batching: queued compatible requests coalesce into
+        # one batched denoise (generate_video num_videos/seeds) — the
+        # transformer scan dominates cost and batch amortizes it.
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window = float(batch_window)
+        self._pending: list = []
+        self._cv = threading.Condition()
+        if self.max_batch > 1:
+            worker = threading.Thread(target=self._batch_worker, daemon=True)
+            worker.start()
 
     def _text_for(self, req: dict):
         from mlx_video_tpu.pipelines.generate import TextConditioning
@@ -102,9 +115,7 @@ class GenerationService:
             )
         return self.default_text
 
-    def generate(self, req: dict) -> dict:
-        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
-
+    def _validate(self, req: dict) -> None:
         pipeline = str(req.get("pipeline", self.loaded_pipeline)).lower()
         if pipeline not in _PIPELINES:
             raise RequestError(f"pipeline must be one of {_PIPELINES}")
@@ -122,8 +133,132 @@ class GenerationService:
                 "each run, defeating a resident server — shard with --mesh "
                 "instead"
             )
+
+    # Everything that affects compiled shapes / schedules; requests sharing
+    # this key can share one batched denoise (prompt/seed stay per-request).
+    _BATCH_FIELDS = (
+        "pipeline", "height", "width", "num_frames", "fps", "stage1_steps",
+        "stage2_steps", "num_inference_steps", "cfg_cache_interval",
+        "attn_broadcast_interval", "cfg_scale", "audio", "audio_mode",
+        "tiling", "num_videos", "negative_prompt",
+    )
+
+    def _batch_key(self, req: dict):
+        return tuple(repr(req.get(f)) for f in self._BATCH_FIELDS)
+
+    def generate(self, req: dict) -> dict:
+        self._validate(req)
+        if self.max_batch <= 1:
+            return self._generate_one(req)
+        item = {"req": req, "done": threading.Event(), "result": None, "error": None}
+        with self._cv:
+            self._pending.append(item)
+            self._cv.notify_all()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _batch_worker(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                head = self._pending.pop(0)
+                hkey = self._batch_key(head["req"])
+                group = [head]
+                deadline = time.time() + self.batch_window
+                while len(group) < self.max_batch:
+                    for it in list(self._pending):
+                        if self._batch_key(it["req"]) == hkey:
+                            self._pending.remove(it)
+                            group.append(it)
+                            if len(group) >= self.max_batch:
+                                break
+                    if len(group) >= self.max_batch:
+                        break
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+            try:
+                solo = (
+                    len(group) == 1
+                    or bool(group[0]["req"].get("audio", False))
+                    or int(group[0]["req"].get("num_videos", 1)) != 1
+                )
+                if solo:
+                    for it in group:
+                        try:
+                            it["result"] = self._generate_one(it["req"])
+                        except Exception as e:  # noqa: BLE001
+                            it["error"] = e
+                else:
+                    self._generate_group(group)
+            except Exception as e:  # noqa: BLE001
+                for it in group:
+                    if it["error"] is None and it["result"] is None:
+                        it["error"] = e
+            for it in group:
+                it["done"].set()
+
+    def _generate_group(self, group: list) -> None:
+        """One batched generate_video for N coalesced requests: per-request
+        prompts encode (serialized) and stack; per-request seeds pass via
+        ``seeds``; result paths map back one per request."""
+        import jax.numpy as jnp
+
+        from mlx_video_tpu.pipelines.generate import TextConditioning, generate_video
+
+        req0 = group[0]["req"]
+        kwargs = self._kwargs_for(req0)
+        kwargs["num_videos"] = len(group)
+        kwargs.pop("seed", None)
+        with self.lock:
+            t0 = time.time()
+            texts = [self._text_for(it["req"]) for it in group]
+            if all(t is texts[0] for t in texts):
+                text = texts[0]  # shared --embeddings default: broadcast
+            else:
+                def cat(field):
+                    vals = [getattr(t, field) for t in texts]
+                    if any(v is None for v in vals):
+                        return None
+                    return jnp.concatenate([jnp.asarray(v) for v in vals], axis=0)
+
+                text = TextConditioning(
+                    video_embeddings=cat("video_embeddings"),
+                    video_neg_embeddings=cat("video_neg_embeddings"),
+                )
+            out = self.output_dir / (
+                f"gen_{int(time.time() * 1000)}_{self.requests_served}_batch.mp4"
+            )
+            result = generate_video(
+                self.models, text, prompt=req0.get("prompt", ""),
+                output_path=out,
+                seeds=[int(it["req"].get("seed", 0)) for it in group],
+                **kwargs,
+            )
+            wall = time.time() - t0
+            self.requests_served += len(group)
+            self.batches_run += 1
+        phases = {k: round(v, 3) for k, v in result.phase_timer.phases.items()}
+        for i, it in enumerate(group):
+            it["result"] = {
+                "path": str(result.video_paths[i]),
+                "paths": None,
+                "wall_seconds": round(wall, 3),
+                "phases": phases,
+                "requests_served": self.requests_served,
+                "batched": len(group),
+            }
+
+    def _kwargs_for(self, req: dict) -> dict:
+        from mlx_video_tpu.pipelines.generate import PipelineType
+
+        pipeline = str(req.get("pipeline", self.loaded_pipeline)).lower()
         seed = int(req.get("seed", 0))
-        kwargs = dict(
+        return dict(
             height=int(req.get("height", 512)),
             width=int(req.get("width", 512)),
             num_frames=int(req.get("num_frames", 33)),
@@ -147,6 +282,12 @@ class GenerationService:
             pipeline_tensor=self.pipeline_tensor,
             profile=True,
         )
+
+    def _generate_one(self, req: dict) -> dict:
+        from mlx_video_tpu.pipelines.generate import generate_video
+
+        seed = int(req.get("seed", 0))
+        kwargs = self._kwargs_for(req)
         with self.lock:
             # Text encoding (a 12B-LM device forward when a text encoder is
             # loaded) must also be serialized: running it concurrently with
@@ -170,12 +311,15 @@ class GenerationService:
             "wall_seconds": round(wall, 3),
             "phases": {k: round(v, 3) for k, v in result.phase_timer.phases.items()},
             "requests_served": self.requests_served,
+            "batched": 1,
         }
 
     def health(self) -> dict:
         return {
             "status": "ok",
             "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "max_batch": self.max_batch,
             "uptime_seconds": round(time.time() - self.started, 1),
         }
 
@@ -249,6 +393,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--output-dir", default="/tmp/mlx_video_tpu_serve")
+    p.add_argument("--max-batch", type=int, default=1,
+                   help="Dynamic request batching: up to N queued requests "
+                        "with identical shapes/schedules coalesce into one "
+                        "batched denoise (per-request prompt + seed).")
+    p.add_argument("--batch-window", type=float, default=0.05,
+                   help="Seconds to wait for same-shape requests to join a "
+                        "batch once one is pending.")
     p.add_argument("--warmup", default=None,
                    help="WxHxF to precompile at startup, e.g. 512x512x33 "
                         "(first request then runs at steady-state latency)")
@@ -327,6 +478,8 @@ def main(argv=None) -> None:
         pipeline_parallel=args.pipeline_parallel,
         pipeline_tensor=args.pipeline_tensor,
         loaded_pipeline=args.pipeline,
+        max_batch=args.max_batch,
+        batch_window=args.batch_window,
     )
 
     if args.warmup:

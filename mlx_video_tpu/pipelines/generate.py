@@ -301,6 +301,7 @@ def generate_video(
     fps: float = 24.0,
     seed: int = 0,
     num_videos: int = 1,
+    seeds: Optional[Sequence[int]] = None,
     pipeline: PipelineType = PipelineType.DISTILLED,
     # distilled options
     stage1_steps: int = 8,
@@ -547,6 +548,14 @@ def generate_video(
     # with the SAME split(8) schedule as a single run, so a batched run's
     # latents are bit-identical to N independent runs at seeds s..s+N-1
     # (pinned by tests). Decode + write stay per-video loops (host-driven).
+    if seeds is not None:
+        # Explicit per-video seeds (batch serving coalesces requests with
+        # arbitrary seeds); overrides the seed+i derivation.
+        if num_videos == 1:
+            num_videos = len(seeds)
+        elif len(seeds) != num_videos:
+            raise ValueError(f"len(seeds)={len(seeds)} != num_videos={num_videos}")
+        seed = int(seeds[0])
     if num_videos < 1:
         raise ValueError("num_videos must be >= 1")
     if num_videos > 1:
@@ -559,7 +568,8 @@ def generate_video(
 
     key = jax.random.key(seed)
     keys = jax.random.split(key, 8)
-    vid_keys = [jax.random.split(jax.random.key(seed + i), 8) for i in range(num_videos)]
+    vid_seeds = list(seeds) if seeds is not None else [seed + i for i in range(num_videos)]
+    vid_keys = [jax.random.split(jax.random.key(int(si)), 8) for si in vid_seeds]
 
     def _batched_noise(kidx: int, shape) -> jax.Array:
         """fp32 noise with per-video keys; bit-equal to the single-run

@@ -165,3 +165,82 @@ class TestServeParser:
             ["--model-repo", "/x", "--port", "9", "--warmup", "512x512x33", "--w4a8"]
         )
         assert a.port == 9 and a.warmup == "512x512x33" and a.w4a8
+
+
+class TestDynamicBatching:
+    """--max-batch N: queued same-shape requests coalesce into ONE batched
+    denoise (generate_video num_videos/seeds); mismatched shapes run solo."""
+
+    @pytest.fixture(scope="class")
+    def batch_service(self, tmp_path_factory):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        rng = np.random.default_rng(0)
+        text = TextConditioning(
+            video_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            )
+        )
+        return GenerationService(
+            models, default_text=text,
+            output_dir=tmp_path_factory.mktemp("serve_batch_out"),
+            dtype=jnp.float32, max_batch=3, batch_window=1.0,
+        )
+
+    @pytest.fixture(scope="class")
+    def batch_url(self, batch_service):
+        httpd = serve(batch_service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 1, "stage2_steps": 1, "tiling": "none"}
+
+    def test_concurrent_same_shape_requests_coalesce(self, batch_url, batch_service):
+        import os
+
+        results = [None] * 3
+
+        def post(i):
+            results[i] = _post(batch_url, dict(self.REQ, seed=10 + i))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        paths = set()
+        batched_counts = []
+        for code, out in results:
+            assert code == 200, out
+            assert os.path.exists(out["path"])
+            paths.add(out["path"])
+            batched_counts.append(out.get("batched", 1))
+        assert len(paths) == 3, "each request must get its own video"
+        # at least two of the three must have shared a batch (the first can
+        # start solo if it dequeued before the others arrived)
+        assert max(batched_counts) >= 2, batched_counts
+        assert batch_service.batches_run >= 1
+
+    def test_mismatched_shape_runs_solo(self, batch_url):
+        code, out = _post(batch_url, dict(self.REQ, num_frames=17, seed=1))
+        assert code == 200, out
+        assert out.get("batched", 1) == 1
+
+    def test_request_error_still_400_in_batch_mode(self, batch_url):
+        code, out = _post(batch_url, dict(self.REQ, pipeline="dev"))
+        assert code == 400 and "distilled" in out["error"]
