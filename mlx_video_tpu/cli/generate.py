@@ -417,10 +417,14 @@ def main(argv=None) -> None:
         from mlx_video_tpu.io.media import frames_to_uint8
         from PIL import Image
 
-        frames_dir = output_path.with_suffix("")
-        frames_dir.mkdir(parents=True, exist_ok=True)
-        for i, frame in enumerate(frames_to_uint8(result.video)):
-            Image.fromarray(frame).save(frames_dir / f"frame_{i:05d}.png")
+        # result.video is (N, 3, F, H, W); one frames dir per video
+        for vid in range(result.video.shape[0]):
+            frames_dir = output_path.with_suffix("")
+            if result.video.shape[0] > 1:
+                frames_dir = frames_dir.with_name(f"{frames_dir.name}_{vid}")
+            frames_dir.mkdir(parents=True, exist_ok=True)
+            for i, frame in enumerate(frames_to_uint8(result.video[vid : vid + 1])):
+                Image.fromarray(frame).save(frames_dir / f"frame_{i:05d}.png")
 
     if args.profile_json_path and result.phase_timer is not None:
         result.phase_timer.dump_json(args.profile_json_path)

@@ -134,17 +134,17 @@ class GenerationService:
                 "instead"
             )
 
-    # Everything that affects compiled shapes / schedules; requests sharing
-    # this key can share one batched denoise (prompt/seed stay per-request).
-    _BATCH_FIELDS = (
-        "pipeline", "height", "width", "num_frames", "fps", "stage1_steps",
-        "stage2_steps", "num_inference_steps", "cfg_cache_interval",
-        "attn_broadcast_interval", "cfg_scale", "audio", "audio_mode",
-        "tiling", "num_videos", "negative_prompt",
-    )
-
     def _batch_key(self, req: dict):
-        return tuple(repr(req.get(f)) for f in self._BATCH_FIELDS)
+        """Everything that affects compiled shapes / schedules; requests
+        sharing this key can share one batched denoise (prompt/seed stay
+        per-request). Built from the COERCED kwargs — raw JSON reprs would
+        split identical requests on int-vs-float or omitted-vs-default."""
+        kw = self._kwargs_for(req)
+        kw.pop("seed", None)
+        return (
+            tuple(sorted((k, repr(v)) for k, v in kw.items())),
+            str(req.get("negative_prompt")),
+        )
 
     def generate(self, req: dict) -> dict:
         self._validate(req)
@@ -154,53 +154,63 @@ class GenerationService:
         with self._cv:
             self._pending.append(item)
             self._cv.notify_all()
-        item["done"].wait()
+        # Generous bound (cold compiles run minutes, not hours): if the
+        # worker thread ever died, surface a server fault instead of
+        # wedging every handler thread forever behind a healthy /healthz.
+        if not item["done"].wait(timeout=3600):
+            raise RuntimeError("generation batch worker unresponsive")
         if item["error"] is not None:
             raise item["error"]
         return item["result"]
 
     def _batch_worker(self) -> None:
         while True:
-            with self._cv:
-                while not self._pending:
-                    self._cv.wait()
-                head = self._pending.pop(0)
-                hkey = self._batch_key(head["req"])
-                group = [head]
-                deadline = time.time() + self.batch_window
-                while len(group) < self.max_batch:
-                    for it in list(self._pending):
-                        if self._batch_key(it["req"]) == hkey:
-                            self._pending.remove(it)
-                            group.append(it)
-                            if len(group) >= self.max_batch:
-                                break
-                    if len(group) >= self.max_batch:
-                        break
-                    remaining = deadline - time.time()
-                    if remaining <= 0:
-                        break
-                    self._cv.wait(timeout=remaining)
             try:
-                solo = (
-                    len(group) == 1
-                    or bool(group[0]["req"].get("audio", False))
-                    or int(group[0]["req"].get("num_videos", 1)) != 1
-                )
-                if solo:
-                    for it in group:
-                        try:
-                            it["result"] = self._generate_one(it["req"])
-                        except Exception as e:  # noqa: BLE001
-                            it["error"] = e
-                else:
-                    self._generate_group(group)
-            except Exception as e:  # noqa: BLE001
+                self._batch_worker_once()
+            except Exception as e:  # noqa: BLE001 — the worker must survive
+                print(f"[serve] batch worker error: {type(e).__name__}: {e}")
+
+    def _batch_worker_once(self) -> None:
+        with self._cv:
+            while not self._pending:
+                self._cv.wait()
+            head = self._pending.pop(0)
+            hkey = self._batch_key(head["req"])
+            group = [head]
+            deadline = time.time() + self.batch_window
+            while len(group) < self.max_batch:
+                for it in list(self._pending):
+                    if self._batch_key(it["req"]) == hkey:
+                        self._pending.remove(it)
+                        group.append(it)
+                        if len(group) >= self.max_batch:
+                            break
+                if len(group) >= self.max_batch:
+                    break
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+        try:
+            solo = (
+                len(group) == 1
+                or bool(group[0]["req"].get("audio", False))
+                or int(group[0]["req"].get("num_videos", 1)) != 1
+            )
+            if solo:
                 for it in group:
-                    if it["error"] is None and it["result"] is None:
+                    try:
+                        it["result"] = self._generate_one(it["req"])
+                    except Exception as e:  # noqa: BLE001
                         it["error"] = e
+            else:
+                self._generate_group(group)
+        except Exception as e:  # noqa: BLE001
             for it in group:
-                it["done"].set()
+                if it["error"] is None and it["result"] is None:
+                    it["error"] = e
+        for it in group:
+            it["done"].set()
 
     def _generate_group(self, group: list) -> None:
         """One batched generate_video for N coalesced requests: per-request
@@ -242,16 +252,10 @@ class GenerationService:
             wall = time.time() - t0
             self.requests_served += len(group)
             self.batches_run += 1
-        phases = {k: round(v, 3) for k, v in result.phase_timer.phases.items()}
         for i, it in enumerate(group):
-            it["result"] = {
-                "path": str(result.video_paths[i]),
-                "paths": None,
-                "wall_seconds": round(wall, 3),
-                "phases": phases,
-                "requests_served": self.requests_served,
-                "batched": len(group),
-            }
+            it["result"] = self._response(
+                result.video_paths[i], result, wall, batched=len(group)
+            )
 
     def _kwargs_for(self, req: dict) -> dict:
         from mlx_video_tpu.pipelines.generate import PipelineType
@@ -305,13 +309,19 @@ class GenerationService:
             )
             wall = time.time() - t0
             self.requests_served += 1
+        return self._response(
+            result.video_path or out, result, wall, batched=1,
+            paths=[str(p) for p in result.video_paths] if result.video_paths else None,
+        )
+
+    def _response(self, path, result, wall, batched, paths=None) -> dict:
         return {
-            "path": str(result.video_path or out),
-            "paths": [str(p) for p in result.video_paths] if result.video_paths else None,
+            "path": str(path),
+            "paths": paths,
             "wall_seconds": round(wall, 3),
             "phases": {k: round(v, 3) for k, v in result.phase_timer.phases.items()},
             "requests_served": self.requests_served,
-            "batched": 1,
+            "batched": batched,
         }
 
     def health(self) -> dict:

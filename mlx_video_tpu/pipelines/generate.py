@@ -375,6 +375,19 @@ def generate_video(
     None afterwards; reload before reuse.
     """
     timer = PhaseTimer()
+    if seeds is not None:
+        # Explicit per-video seeds (batch serving coalesces requests with
+        # arbitrary seeds); overrides the seed+i derivation. Resolved FIRST:
+        # the text-conditioning broadcast below needs the final num_videos.
+        if not seeds:
+            raise ValueError("seeds must be non-empty")
+        if num_videos == 1:
+            num_videos = len(seeds)
+        elif len(seeds) != num_videos:
+            raise ValueError(f"len(seeds)={len(seeds)} != num_videos={num_videos}")
+        seed = int(seeds[0])
+    if num_videos < 1:
+        raise ValueError("num_videos must be >= 1")
     # Text conditioning casts to the pipeline dtype at the boundary:
     # precomputed embeddings load as fp32 (cli --embeddings), and an fp32
     # context against bf16 weights makes attention reject the mixed
@@ -548,16 +561,6 @@ def generate_video(
     # with the SAME split(8) schedule as a single run, so a batched run's
     # latents are bit-identical to N independent runs at seeds s..s+N-1
     # (pinned by tests). Decode + write stay per-video loops (host-driven).
-    if seeds is not None:
-        # Explicit per-video seeds (batch serving coalesces requests with
-        # arbitrary seeds); overrides the seed+i derivation.
-        if num_videos == 1:
-            num_videos = len(seeds)
-        elif len(seeds) != num_videos:
-            raise ValueError(f"len(seeds)={len(seeds)} != num_videos={num_videos}")
-        seed = int(seeds[0])
-    if num_videos < 1:
-        raise ValueError("num_videos must be >= 1")
     if num_videos > 1:
         if audio:
             raise ValueError("num_videos > 1 does not compose with audio yet")
@@ -898,7 +901,11 @@ def generate_video(
                 decode_latents(
                     models,
                     latents[vid_idx : vid_idx + 1] if num_videos > 1 else latents,
-                    tiling_config, decode_timestep=0.05, noise_key=keys[2],
+                    tiling_config, decode_timestep=0.05,
+                    # per-video key: the timestep-conditioned decoder injects
+                    # noise, and video i must decode identically to its
+                    # independent seed-i run regardless of batching
+                    noise_key=keys[2] if num_videos == 1 else vid_keys[vid_idx][2],
                     on_frames_ready=on_ready,
                 )
             )

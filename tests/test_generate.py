@@ -597,6 +597,43 @@ class TestBatchedGeneration:
         assert result.video_path == result.video_paths[0]
         assert result.video.shape[0] == 2
 
+    def test_seeds_only_api_and_empty_seeds(self, models):
+        """generate_video(seeds=[...]) without num_videos derives the batch
+        BEFORE the text broadcast (regression: batch-1 embeddings used to
+        reach batch-N latents and crash cross-attention); empty seeds raise
+        the designed error, not IndexError."""
+        text = _text(models.transformer_config)
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, decode_latents_only=True,
+            dtype=jnp.float32,
+        )
+        out = generate_video(models, text, seeds=[5, 11], **kw)
+        assert out.latents.shape[0] == 2
+        single = generate_video(models, text, seed=11, **kw)
+        np.testing.assert_allclose(out.latents[1], single.latents[0], rtol=2e-4, atol=1e-5)
+        with pytest.raises(ValueError, match="non-empty"):
+            generate_video(models, text, seeds=[], **kw)
+
+    def test_batched_decode_uses_per_video_noise(self, models, tmp_path):
+        """The timestep-conditioned decoder injects noise: batched video i
+        must decode with seed-i's key, so its PIXELS (not just latents)
+        match an independent run regardless of batching."""
+        text = _text(models.transformer_config)
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=1, stage2_steps=1, tiling="none", dtype=jnp.float32,
+        )
+        batched = generate_video(
+            models, text, seed=4, num_videos=2, output_path=tmp_path / "b.mp4", **kw
+        )
+        single1 = generate_video(
+            models, text, seed=5, output_path=tmp_path / "s.mp4", **kw
+        )
+        np.testing.assert_allclose(
+            batched.video[1], single1.video[0], rtol=5e-4, atol=5e-4
+        )
+
     def test_batched_on_data_parallel_mesh(self, models):
         """num_videos=2 over a (data=2, fsdp=2, tensor=2) mesh: the video
         batch rides the data axis (DP inference — the multi-chip batch
