@@ -307,6 +307,67 @@ def main() -> None:
     if "--pab" in sys.argv:
         pab = int(sys.argv[sys.argv.index("--pab") + 1])
 
+    # --teacache X: adaptive TeaCache dial. The full/cached step mix is
+    # DATA-dependent (it follows the trajectory, not a fixed interval), so
+    # the two-run fixed-cost-cancellation protocol does not apply: we A/B
+    # the SAME realistic schedule with the dial off and on and report the
+    # measured end-to-end denoise ratio (both runs carry the same per-call
+    # dispatch overhead, so the ratio is conservative for the dial).
+    teacache = 0.0
+    if "--teacache" in sys.argv:
+        teacache = float(sys.argv[sys.argv.index("--teacache") + 1])
+        assert cfg_cache == 1 and pab == 1, "--teacache is exclusive with --cfg-cache/--pab"
+    if teacache > 0.0:
+        if dev_cfg:
+            from mlx_video_tpu.pipelines.schedulers import ltx2_scheduler
+
+            tc_steps = 40
+            if "--steps" in sys.argv:
+                tc_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+            sched = [float(s) for s in ltx2_scheduler(steps=tc_steps, num_tokens=f * h * w)]
+        else:
+            sched = sigmas  # the 8-step distilled recipe
+        nst = len(sched) - 1
+
+        def run_tc(thr):
+            v, _ = dn.denoise(
+                params, config, latents, positions, context, sched,
+                neg_context=neg_context, cfg_scale=4.5 if dev_cfg else 1.0,
+                teacache_threshold=thr,
+            )
+            return v
+
+        t0 = time.time()
+        assert np.isfinite(float(sum_jit(run_tc(0.0)))), "non-finite baseline output"
+        print(f"baseline compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        assert np.isfinite(float(sum_jit(run_tc(teacache)))), "non-finite teacache output"
+        print(f"teacache compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+        base_ts, tc_ts = [], []
+        for _ in range(3):
+            t0 = time.time()
+            float(sum_jit(run_tc(0.0)))
+            base_ts.append(time.time() - t0)
+            t0 = time.time()
+            float(sum_jit(run_tc(teacache)))
+            tc_ts.append(time.time() - t0)
+        base_t, tc_t = float(np.median(base_ts)), float(np.median(tc_ts))
+        steps_per_sec = nst * batch / tc_t
+        fmode = ("w4a8" if w4a8 else "q4") if flagship else ("w8a8" if w8a8 else "bf16")
+        geom = "dim4096 19B-geometry" if flagship else "dim2048"
+        kind = "dev_cfg" if dev_cfg else "denoise"
+        print(json.dumps({
+            "metric": f"dit_{'19b' if flagship else 'proxy3b'}_{fmode}_{kind}_steps_per_sec_teacache{teacache}",
+            "value": round(steps_per_sec, 3),
+            "unit": (
+                f"steps/s e2e-denoise (48L {geom} DiT, {f*h*w} tokens, {nst}-step "
+                f"schedule, TeaCache thr={teacache}; off->on wall "
+                f"{base_t:.2f}s->{tc_t:.2f}s = {base_t/tc_t:.2f}x, 1 chip)"
+            ),
+            "vs_baseline": round(steps_per_sec / ANCHOR_STEPS_PER_SEC, 3),
+        }))
+        return
+
     # Interval dials (cfg_cache / pab, mutually exclusive) make steps
     # heterogeneous: a full recompute every k-th step, cheap cached steps in
     # between. The two-run fixed-cost cancellation only yields the true

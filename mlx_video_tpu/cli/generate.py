@@ -159,6 +159,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch-1 forward instead of the batched 2B one) - "
                         "~25%% fewer denoise FLOPs at k=2 for a small "
                         "guidance drift. Video-only CFG.")
+    p.add_argument("--teacache-threshold", type=float, default=0.0,
+                   help="TeaCache adaptive caching: accumulate the relative "
+                        "change of the transformer's timestep-modulated input "
+                        "across steps and only run the full forward when it "
+                        "crosses this threshold (cached steps reuse the "
+                        "previous velocity and skip the forward entirely). "
+                        "0 disables; try 0.05-0.3 (higher = faster, lossier). "
+                        "Video-only; exclusive with the fixed-interval dials.")
     p.add_argument("--low-memory", action="store_true",
                    help="Single-chip HBM staging: keep the VAE decoder/"
                         "upsampler/audio weights on the host during denoise "
@@ -391,6 +399,7 @@ def main(argv=None) -> None:
             num_inference_steps=args.steps,
             cfg_cache_interval=args.cfg_cache_interval,
             attn_broadcast_interval=args.attn_broadcast_interval,
+            teacache_threshold=args.teacache_threshold,
             images=[_cond_arg(v) for v in args.image],
             video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
             audio=args.audio,

@@ -16,8 +16,8 @@ Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
   (must match the server's --pipeline; requests for the other schedule are
   rejected with 400), stage1_steps, stage2_steps, num_inference_steps,
-  cfg_scale, cfg_cache_interval, attn_broadcast_interval, audio,
-  audio_mode, tiling.
+  cfg_scale, cfg_cache_interval, attn_broadcast_interval,
+  teacache_threshold, audio, audio_mode, tiling.
 
 Generation is serialized with a lock (one device); requests queue.
 `low_memory` is rejected: it frees the transformer after each run, which
@@ -275,6 +275,7 @@ class GenerationService:
             num_inference_steps=int(req.get("num_inference_steps", 40)),
             cfg_cache_interval=int(req.get("cfg_cache_interval", 1)),
             attn_broadcast_interval=int(req.get("attn_broadcast_interval", 1)),
+            teacache_threshold=float(req.get("teacache_threshold", 0.0)),
             cfg_scale=float(req.get("cfg_scale", 4.0)),
             audio=bool(req.get("audio", False)),
             audio_mode=str(req.get("audio_mode", "auto")),

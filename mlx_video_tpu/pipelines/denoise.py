@@ -28,7 +28,9 @@ import numpy as np
 
 from mlx_video_tpu.config import LTXModelConfig
 from mlx_video_tpu.models.ltx import rope as rope_lib
-from mlx_video_tpu.models.ltx.model import Modality, ltx_apply, to_denoised
+from mlx_video_tpu.models.ltx.model import Modality, adaln_apply, ltx_apply, to_denoised
+from mlx_video_tpu.ops.linear import linear
+from mlx_video_tpu.ops.norms import rms_norm
 from mlx_video_tpu.pipelines.conditioning import LatentState, apply_denoise_mask
 
 
@@ -123,6 +125,34 @@ def _host_step_event(step, sigma, total: int):
     step_event(int(step) + 1, total, sigma=float(sigma))
 
 
+def _tc_signal(params, config, v_tokens, ts):
+    """TeaCache change signal: block-0's adaLN-modulated self-attention input.
+
+    The timestep-modulated input to the first transformer block tracks how
+    much a denoise step will change the velocity field far better than the
+    raw latent does (TeaCache, arXiv:2411.19108). Cost: one 128->4096
+    patchify matmul + the adaLN MLP — ~3% of a full forward. fp32, (B,S,D).
+    """
+    vparams = params["video"]
+    x = linear(vparams["patchify_proj"], v_tokens)
+    mod, _ = adaln_apply(
+        vparams["adaln_single"],
+        (ts * config.timestep_scale_multiplier).reshape(-1),
+        x.dtype,
+    )
+    # ts is (B, S) with conditioning, (B, 1) without (shared sigma); the
+    # modulation broadcasts over the token axis either way.
+    b, s_t = ts.shape[0], ts.shape[1]
+    d = x.shape[-1]
+    mod = mod.reshape(b, s_t, 6, d).astype(jnp.float32)
+    # block 0's scale_shift_table (blocks are scan-stacked on axis 0)
+    tab0 = params["blocks"]["scale_shift_table"][0].astype(jnp.float32)
+    shift = tab0[0][None, None, :] + mod[:, :, 0, :]
+    scale = tab0[1][None, None, :] + mod[:, :, 1, :]
+    xn = rms_norm(x, eps=config.norm_eps).astype(jnp.float32)
+    return xn * (1.0 + scale) + shift
+
+
 def _make_apply(pp):
     """Forward selector: plain ``ltx_apply`` or the pipeline-parallel one.
 
@@ -140,7 +170,7 @@ def _make_apply(pp):
 
 def _denoise_step(
     params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
-    cfg_cache_interval, pp, attn_broadcast_interval, carry, xs
+    cfg_cache_interval, pp, attn_broadcast_interval, teacache_threshold, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -159,10 +189,15 @@ def _denoise_step(
     quality/speed dial otherwise.
     """
     apply = _make_apply(pp)
+    tc = teacache_threshold > 0.0 and not enable_audio
     cfg_caching = use_cfg and cfg_cache_interval > 1 and not enable_audio
     pab_k = attn_broadcast_interval if not enable_audio else 1
     pab_cache = None
-    if cfg_caching:
+    tc_carry = None
+    if tc:
+        v_lat, a_lat, tc_carry = carry
+        v_delta = None
+    elif cfg_caching:
         v_lat, a_lat, v_delta = carry
     elif pab_k > 1:
         v_lat, a_lat, pab_cache = carry
@@ -177,6 +212,53 @@ def _denoise_step(
             partial(_host_step_event, total=num_steps), step_idx, sigma, ordered=True
         )
     dtype = v_lat.dtype if not enable_audio or v_lat.ndim == 5 else a_lat.dtype
+
+    if tc:
+        # TeaCache (arXiv:2411.19108), adaptive full-forward reuse: the
+        # relative L1 change of block-0's timestep-modulated input is
+        # accumulated across steps; while it stays under the threshold the
+        # cached velocity is reused and the ENTIRE 48-block forward is
+        # skipped. Unlike the fixed-interval dials (cfg_cache_interval,
+        # attn_broadcast_interval) this spends compute where the trajectory
+        # actually bends — e.g. refreshing densely at high sigma and
+        # coasting through the tail. Step 0 is always a full step.
+        vel_cache, prev_sig, accum = tc_carry
+        vshape = v_lat.shape
+        v_tokens = flatten_video_latents(v_lat)
+        ts = (sigma * bundle["v_mask"]).astype(v_lat.dtype)
+
+        sig = _tc_signal(params, config, v_tokens, ts)
+        rel = jnp.mean(jnp.abs(sig - prev_sig)) / (jnp.mean(jnp.abs(prev_sig)) + 1e-8)
+        accum_new = accum + rel
+        full = jnp.logical_or(step_idx == 0, accum_new >= teacache_threshold)
+
+        def _tc_full(cache_prev):
+            if use_cfg:
+                mod = Modality(
+                    latent=_double(v_tokens), timesteps=_double(ts),
+                    context=bundle["context"], positions=bundle["positions"],
+                    pe=(bundle["pe_cos"], bundle["pe_sin"]),
+                )
+                vel, _ = apply(params, config, video=mod, sp=sp)
+                pos, neg = jnp.split(vel, 2, axis=0)
+                return _cfg_combine(pos, neg, cfg_scale).astype(jnp.float32)
+            mod = Modality(
+                latent=v_tokens, timesteps=ts,
+                context=bundle["context"], positions=bundle["positions"],
+                pe=(bundle["pe_cos"], bundle["pe_sin"]),
+            )
+            vel, _ = apply(params, config, video=mod, sp=sp)
+            return vel.astype(jnp.float32)
+
+        v_vel = jax.lax.cond(full, _tc_full, lambda cache_prev: cache_prev, vel_cache)
+        accum_out = jnp.where(full, jnp.float32(0.0), accum_new)
+
+        v_vel_t = unflatten_video_latents(v_vel.astype(v_lat.dtype), vshape)
+        denoised = to_denoised(v_lat, v_vel_t, sigma)
+        if "denoise_mask" in bundle:
+            denoised = apply_denoise_mask(denoised, bundle["clean_latent"], bundle["denoise_mask"])
+        v_out = _euler_step(v_lat, denoised, sigma, sigma_next)
+        return (v_out, a_lat, (v_vel, sig, accum_out)), None
 
     if cfg_caching:
         vshape = v_lat.shape
@@ -296,13 +378,14 @@ def _denoise_step(
 @partial(
     jax.jit,
     static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp",
-                     "cfg_cache_interval", "pp", "attn_broadcast_interval"),
+                     "cfg_cache_interval", "pp", "attn_broadcast_interval",
+                     "teacache_threshold"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
-    cfg_cache_interval=1, pp=None, attn_broadcast_interval=1,
+    cfg_cache_interval=1, pp=None, attn_broadcast_interval=1, teacache_threshold=0.0,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -326,9 +409,22 @@ def _denoise_scan(
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
         progress, num_steps, sp, cfg_cache_interval, pp, attn_broadcast_interval,
+        teacache_threshold,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
-    if use_cfg and cfg_cache_interval > 1 and not enable_audio:
+    if teacache_threshold > 0.0 and not enable_audio:
+        # TeaCache carry: cached combined velocity (fp32 tokens), previous
+        # change signal, accumulated relative change. Step 0 is always full
+        # so the zeros velocity init is never read.
+        b, c = latents.shape[0], latents.shape[1]
+        seq = latents.shape[2] * latents.shape[3] * latents.shape[4]
+        init_tc = (
+            jnp.zeros((b, seq, c), dtype=jnp.float32),
+            jnp.zeros((b, seq, config.inner_dim), dtype=jnp.float32),
+            jnp.float32(0.0),
+        )
+        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_tc), xs)
+    elif use_cfg and cfg_cache_interval > 1 and not enable_audio:
         # guidance-delta carry (fp32 tokens); step 0 is always a full step
         # (0 % k == 0) so the zeros init is never read.
         init_delta = jnp.zeros(
@@ -357,7 +453,7 @@ def _denoise_scan(
 def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None):
     out, _ = _denoise_step(
         params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp, 1,
-        carry, (sig_pair, jnp.int32(0)),
+        0.0, carry, (sig_pair, jnp.int32(0)),
     )
     return out
 
@@ -429,6 +525,7 @@ def denoise(
     cfg_cache_interval: int = 1,
     pipeline_parallel=None,
     attn_broadcast_interval: int = 1,
+    teacache_threshold: float = 0.0,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -456,9 +553,33 @@ def denoise(
       mutually exclusive with ``sequence_parallel``. num_microbatches must
       divide the batch.
 
+    - ``teacache_threshold``: > 0 enables TeaCache (arXiv:2411.19108)
+      adaptive full-forward reuse: the relative L1 change of block-0's
+      timestep-modulated input accumulates across steps and the transformer
+      only runs when it crosses the threshold (cached steps reuse the
+      previous velocity and skip the forward entirely). Video-only;
+      typical values 0.05-0.3 (higher = faster, lossier). Mutually
+      exclusive with the fixed-interval caching dials.
+
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
     use_cfg = cfg_scale != 1.0 and neg_context is not None
+    if teacache_threshold > 0.0:
+        if audio_latents is not None:
+            raise ValueError("teacache_threshold supports the video-only path")
+        if cfg_cache_interval > 1 or attn_broadcast_interval > 1:
+            raise ValueError(
+                "teacache_threshold cannot be combined with cfg_cache_interval "
+                "or attn_broadcast_interval (one caching dial at a time)"
+            )
+        if pipeline_parallel is not None or sequence_parallel is not None:
+            raise ValueError(
+                "teacache_threshold does not compose with pipeline/sequence "
+                "parallelism (data-dependent lax.cond around shard_map bodies)"
+            )
+        if progress_callback is not None:
+            raise ValueError("teacache_threshold is a scan-mode feature; "
+                             "per-step progress_callback is unsupported with it")
     if attn_broadcast_interval > 1:
         if audio_latents is not None:
             raise ValueError("attn_broadcast_interval supports the video-only path")
@@ -511,6 +632,7 @@ def denoise(
             progress=progress_echo_enabled(), sp=sequence_parallel,
             cfg_cache_interval=cfg_cache_interval, pp=pipeline_parallel,
             attn_broadcast_interval=attn_broadcast_interval,
+            teacache_threshold=float(teacache_threshold),
         )
     else:
         bundle = _make_bundle(

@@ -313,6 +313,7 @@ def generate_video(
     num_inference_steps: int = 40,
     cfg_cache_interval: int = 1,
     attn_broadcast_interval: int = 1,
+    teacache_threshold: float = 0.0,
     # conditioning
     images: Sequence[Tuple[str, int, float]] = (),
     video_conditionings: Sequence[Tuple[str, int, float]] = (),
@@ -611,6 +612,7 @@ def generate_video(
     # audio_kwargs is decided, so every denoise call site below agrees.
     cfg_cache_interval = cfg_cache_interval if not audio_kwargs else 1
     attn_broadcast_interval = attn_broadcast_interval if not audio_kwargs else 1
+    teacache_threshold = teacache_threshold if not audio_kwargs else 0.0
 
     if is_distilled:
         if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:
@@ -659,6 +661,7 @@ def generate_video(
                 state=state1, progress_callback=progress_callback, sequence_parallel=sp,
                 pipeline_parallel=pp,
                 attn_broadcast_interval=attn_broadcast_interval,
+                teacache_threshold=teacache_threshold,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -729,6 +732,7 @@ def generate_video(
                     state=state2, progress_callback=progress_callback,
                     sequence_parallel=sp, pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
+                    teacache_threshold=teacache_threshold,
                     **audio_kwargs,
                 )
             else:
@@ -737,6 +741,7 @@ def generate_video(
                     state=state2, progress_callback=progress_callback, sequence_parallel=sp,
                     pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
+                    teacache_threshold=teacache_threshold,
                     **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -775,6 +780,7 @@ def generate_video(
                 # (video-only; see denoise.py)
                 cfg_cache_interval=cfg_cache_interval,
                 attn_broadcast_interval=attn_broadcast_interval,
+                teacache_threshold=teacache_threshold,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)

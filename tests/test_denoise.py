@@ -419,3 +419,129 @@ class TestAttentionBroadcast:
             dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
                        neg_context=ctx, cfg_scale=3.0,
                        cfg_cache_interval=2, attn_broadcast_interval=2)
+
+
+class TestTeaCache:
+    """teacache_threshold: adaptive full-forward reuse (arXiv:2411.19108).
+    The relative L1 change of block-0's timestep-modulated input accumulates
+    across steps; the transformer only runs when it crosses the threshold."""
+
+    def _setup(self, b=1):
+        config = tiny_test_config(LTXModelType.VideoOnly, rope_type=LTXRopeType.SPLIT, num_layers=4)
+        params = init_ltx_params(jax.random.key(0), config, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(b, 16, 2, 4, 4)).astype(np.float32))
+        pos = jnp.asarray(create_position_grid(b, 2, 4, 4))
+        ctx = jnp.asarray(rng.normal(size=(b, 8, config.caption_channels)).astype(np.float32))
+        return config, params, lat, pos, ctx
+
+    def _signal_and_step(self, config, params, lat, pos, ctx, sigma, sigma_next):
+        """One manual full denoise step + the TeaCache signal at its input.
+
+        Returns (signal, velocity, next_latents) using the same primitives the
+        scan uses, so threshold arithmetic in the tests is exact."""
+        tok = dn.flatten_video_latents(lat)
+        ts = jnp.full((lat.shape[0], 1), sigma, dtype=lat.dtype)
+        sig = dn._tc_signal(params, config, tok, ts)
+        mod = Modality(latent=tok, timesteps=ts, context=ctx, positions=pos)
+        vel, _ = ltx_apply(params, config, video=mod)
+        vel_t = dn.unflatten_video_latents(vel, lat.shape)
+        den = to_denoised(lat, vel_t, sigma)
+        nxt = dn._euler_step(lat, den, jnp.float32(sigma), jnp.float32(sigma_next))
+        return sig, vel_t, nxt
+
+    def test_threshold_zero_is_plain(self):
+        config, params, lat, pos, ctx = self._setup()
+        sig = [1.0, 0.6, 0.3, 0.0]
+        ref, _ = dn.denoise(params, config, lat, pos, ctx, sig)
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sig, teacache_threshold=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_threshold_crossing_routes_full_vs_cached(self):
+        """Derive the exact step-0 -> step-1 signal change, then show a
+        threshold just below it runs step 1 full (== plain loop) and a
+        threshold just above it caches step 1 (== frozen-velocity oracle)."""
+        config, params, lat, pos, ctx = self._setup()
+        s0, s1 = 1.0, 0.6
+        sig0, vel0, lat1 = self._signal_and_step(config, params, lat, pos, ctx, s0, s1)
+        tok1 = dn.flatten_video_latents(lat1)
+        ts1 = jnp.full((lat.shape[0], 1), s1, dtype=lat.dtype)
+        sig1 = dn._tc_signal(params, config, tok1, ts1)
+        rel01 = float(jnp.mean(jnp.abs(sig1 - sig0)) / (jnp.mean(jnp.abs(sig0)) + 1e-8))
+        assert rel01 > 0
+
+        sched = [s0, s1, 0.0]
+        plain, _ = dn.denoise(params, config, lat, pos, ctx, sched)
+        below, _ = dn.denoise(params, config, lat, pos, ctx, sched,
+                              teacache_threshold=rel01 * 0.5)
+        np.testing.assert_allclose(np.asarray(below), np.asarray(plain), atol=1e-5)
+
+        # above the change: step 1 reuses step 0's velocity exactly
+        den1 = to_denoised(lat1, vel0, s1)
+        oracle = dn._euler_step(lat1, den1, jnp.float32(s1), jnp.float32(0.0))
+        above, _ = dn.denoise(params, config, lat, pos, ctx, sched,
+                              teacache_threshold=rel01 * 1.5)
+        np.testing.assert_allclose(np.asarray(above), np.asarray(oracle), atol=1e-5)
+        # and the two sides genuinely differ
+        assert not np.allclose(np.asarray(above), np.asarray(below), atol=1e-5)
+
+    def test_tiny_threshold_matches_plain_cfg(self):
+        """A threshold below every per-step change -> every step runs full ->
+        bit-level agreement with the plain CFG loop."""
+        config, params, lat, pos, ctx = self._setup()
+        neg = ctx * 0.5
+        sig = [1.0, 0.7, 0.4, 0.0]
+        ref, _ = dn.denoise(params, config, lat, pos, ctx, sig,
+                            neg_context=neg, cfg_scale=3.0)
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sig,
+                            neg_context=neg, cfg_scale=3.0, teacache_threshold=1e-9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_huge_threshold_freezes_velocity(self):
+        """thr=1e9 -> only step 0 runs the transformer; the rest integrate the
+        frozen step-0 velocity. Oracle built from the module's own pieces."""
+        config, params, lat, pos, ctx = self._setup()
+        sched = [1.0, 0.7, 0.4, 0.2, 0.0]
+        _, vel0, _ = self._signal_and_step(config, params, lat, pos, ctx, 1.0, 0.7)
+        cur = lat
+        for s, sn in zip(sched[:-1], sched[1:]):
+            den = to_denoised(cur, vel0, s)
+            cur = dn._euler_step(cur, den, jnp.float32(s), jnp.float32(sn))
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sched, teacache_threshold=1e9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-5)
+
+    def test_conditioning_state_respected(self):
+        """With a conditioning state the cached steps must still re-apply the
+        denoise mask: the conditioned tokens stay pinned to the clean latent."""
+        config, params, lat, pos, ctx = self._setup()
+        state = create_initial_state(lat.shape, key=jax.random.key(1))
+        state = apply_conditioning(
+            state, [VideoConditionByLatentIndex(latent=lat[:, :, :1], frame_idx=0, strength=1.0)]
+        )
+        sched = [1.0, 0.6, 0.3, 0.0]
+        out, _ = dn.denoise(params, config, lat, pos, ctx, sched,
+                            state=state, teacache_threshold=1e9)
+        ref, _ = dn.denoise(params, config, lat, pos, ctx, sched, state=state)
+        # frame 0 is fully conditioned (strength 1): identical under any dial
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 0]), np.asarray(ref[:, :, 0]), atol=1e-5
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_validation(self):
+        config, params, lat, pos, ctx = self._setup()
+        a_lat = jnp.zeros((1, 8, 5, 16))
+        with pytest.raises(ValueError, match="video-only"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       audio_latents=a_lat, audio_positions=pos, audio_context=ctx,
+                       teacache_threshold=0.1)
+        with pytest.raises(ValueError, match="one caching dial"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       neg_context=ctx, cfg_scale=3.0,
+                       cfg_cache_interval=2, teacache_threshold=0.1)
+        with pytest.raises(ValueError, match="one caching dial"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       attn_broadcast_interval=2, teacache_threshold=0.1)
+        with pytest.raises(ValueError, match="progress_callback"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       teacache_threshold=0.1, progress_callback=lambda i, n: None)

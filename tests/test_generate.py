@@ -542,6 +542,39 @@ class TestQualitySpeedDials:
         assert result.audio_latents is not None
         assert np.isfinite(result.audio_latents).all()
 
+    def test_teacache_through_generate(self, models):
+        """teacache_threshold flows through both distilled stages; a tiny
+        threshold (every step full) reproduces the plain run exactly."""
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+            stage1_steps=2, stage2_steps=1, seed=11,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        base = generate_video(models, _text(models.transformer_config), **kw)
+        tc = generate_video(
+            models, _text(models.transformer_config),
+            teacache_threshold=1e-9, **kw,
+        )
+        np.testing.assert_allclose(tc.latents, base.latents, atol=1e-5)
+        lossy = generate_video(
+            models, _text(models.transformer_config),
+            teacache_threshold=1e9, **kw,
+        )
+        assert np.isfinite(lossy.latents).all()
+        assert not np.allclose(lossy.latents, base.latents, atol=1e-5)
+
+    def test_joint_audio_forces_teacache_off(self):
+        m = TestJointAudioVideo()
+        models, text = m._make_av_models()
+        result = generate_video(
+            models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
+            height=128, width=128, num_frames=9, seed=3, audio=True,
+            teacache_threshold=0.1,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        assert np.isfinite(result.latents).all()
+        assert result.audio_latents is not None
+
 
 class TestBatchedGeneration:
     """num_videos > 1 (new capability vs the reference's single-video
