@@ -80,7 +80,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, val
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -129,6 +129,46 @@ def flash_attention(
 
     out = out[:, :s].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable entry: Pallas kernel forward, XLA recompute backward.
+
+    Pallas calls have no autodiff rule, so without this wrapper a training
+    step that routed self-attention through the kernel would fail inside
+    ``jax.grad``. The VJP recomputes attention with
+    ``jax.nn.dot_product_attention`` (XLA's fused flash-style lowering on
+    TPU) and differentiates that — same math, O(S) memory, one extra
+    forward in the backward pass (the standard flash remat trade). A
+    dedicated Pallas backward kernel is a measured follow-up (PERF.md).
+    """
+    return _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    _, pull = jax.vjp(
+        lambda q, k, v: jax.nn.dot_product_attention(q, k, v, scale=scale), q, k, v
+    )
+    return pull(g)
+
+
+flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
@@ -270,7 +310,7 @@ def _flash_rope_kernel(
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
-def flash_attention_split_rope(
+def _flash_attention_split_rope_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -328,6 +368,60 @@ def flash_attention_split_rope(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention_split_rope(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable entry for the fused split-RoPE kernel (see
+    :func:`flash_attention` for the VJP strategy)."""
+    return _flash_attention_split_rope_impl(
+        q, k, v, cos, sin, scale, block_q, block_k, interpret
+    )
+
+
+def _xla_split_rope_attention(q, k, v, cos, sin, scale):
+    """XLA reference of the fused kernel's math: fp32 split-RoPE on q/k
+    (rotation halves along the head dim), cast back, flash-style attention."""
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        x1, x2 = jnp.split(xf, 2, axis=-1)  # (B, S, H, D/2)
+        c = jnp.transpose(cos.astype(jnp.float32), (0, 2, 1, 3))  # (B,H,S,·) -> (B,S,H,·)
+        s_ = jnp.transpose(sin.astype(jnp.float32), (0, 2, 1, 3))
+        return jnp.concatenate([x1 * c - x2 * s_, x2 * c + x1 * s_], axis=-1).astype(x.dtype)
+
+    return jax.nn.dot_product_attention(rope(q), rope(k), v, scale=scale)
+
+
+def _fa_rope_fwd(q, k, v, cos, sin, scale, block_q, block_k, interpret):
+    out = _flash_attention_split_rope_impl(
+        q, k, v, cos, sin, scale, block_q, block_k, interpret
+    )
+    return out, (q, k, v, cos, sin)
+
+
+def _fa_rope_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, cos, sin = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    _, pull = jax.vjp(
+        lambda q, k, v, cos, sin: _xla_split_rope_attention(q, k, v, cos, sin, scale),
+        q, k, v, cos, sin,
+    )
+    return pull(g)
+
+
+flash_attention_split_rope.defvjp(_fa_rope_fwd, _fa_rope_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Cross-attention (short KV) kernel
 # ---------------------------------------------------------------------------
@@ -366,7 +460,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, valid_l
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
-def flash_cross_attention(
+def _flash_cross_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -428,6 +522,46 @@ def flash_cross_attention(
 
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable entry for the short-KV cross kernel (see
+    :func:`flash_attention` for the VJP strategy)."""
+    return _flash_cross_attention_impl(q, k, v, bias, scale, block_q, interpret)
+
+
+def _fca_fwd(q, k, v, bias, scale, block_q, interpret):
+    return _flash_cross_attention_impl(q, k, v, bias, scale, block_q, interpret), (q, k, v, bias)
+
+
+def _fca_bwd(scale, block_q, interpret, res, g):
+    q, k, v, bias = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if bias is None:
+        _, pull = jax.vjp(
+            lambda q, k, v: jax.nn.dot_product_attention(q, k, v, scale=scale), q, k, v
+        )
+        return (*pull(g), None)
+
+    def f(q, k, v, bias):
+        b4 = bias.astype(q.dtype)[:, None, None, :]  # (B, Skv) -> additive logits bias
+        return jax.nn.dot_product_attention(q, k, v, bias=b4, scale=scale)
+
+    _, pull = jax.vjp(f, q, k, v, bias)
+    return pull(g)
+
+
+flash_cross_attention.defvjp(_fca_fwd, _fca_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ def test_online_and_single_pass_kernels_match(rng, monkeypatch):
     v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
     scale = d**-0.5
     ref = _ref_attention(q, k, v, scale)
-    raw = fa.flash_attention.__wrapped__
+    raw = fa._flash_attention_impl.__wrapped__  # un-jitted: globals take effect
 
     monkeypatch.setattr(fa, "SINGLE_PASS_MAX_S", 2048)  # -> single pass
     single = raw(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
@@ -261,3 +261,136 @@ def test_single_pass_no_max_padding_mask(rng):
     ref = jax.nn.dot_product_attention(q, k, v)
     out = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+class TestFlashGradients:
+    """Pallas kernels carry a custom VJP (forward = kernel, backward = XLA
+    recompute): without it, jax.grad through any flash-routed attention
+    fails — i.e. TRAINING on TPU would crash at eligible shapes."""
+
+    def _qkv(self, rng, b=1, s=256, h=2, d=128):
+        return (
+            jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)),
+        )
+
+    def test_flash_attention_grads_match_xla(self, rng):
+        q, k, v = self._qkv(rng)
+        scale = 128**-0.5
+        co = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))  # cotangent
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) * co)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(jax.nn.dot_product_attention(q, k, v, scale=scale) * co)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+    def test_cross_attention_grads_with_bias(self, rng):
+        from mlx_video_tpu.ops.flash_attention import flash_cross_attention
+
+        b, sq, skv, h, d = 1, 256, 96, 2, 128
+        q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+        bias = jnp.where(jnp.arange(skv) < 64, 0.0, -1e9).astype(np.float32)[None, :]
+        scale = d**-0.5
+        co = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+
+        def loss_flash(q, k, v, bias):
+            return jnp.sum(flash_cross_attention(q, k, v, bias=bias, scale=scale, interpret=True) * co)
+
+        def loss_xla(q, k, v, bias):
+            b4 = bias[:, None, None, :]
+            return jnp.sum(jax.nn.dot_product_attention(q, k, v, bias=b4, scale=scale) * co)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+        # masked keys get zero gradient
+        np.testing.assert_array_equal(np.asarray(gf[1][:, 64:]), 0.0)
+
+    def test_split_rope_grads_match_unfused(self, rng):
+        from mlx_video_tpu.ops.flash_attention import (
+            _xla_split_rope_attention,
+            flash_attention_split_rope,
+        )
+
+        b, s, h, d = 1, 256, 2, 128
+        q, k, v = self._qkv(rng, b, s, h, d)
+        theta = rng.uniform(0, np.pi, size=(b, h, s, d // 2)).astype(np.float32)
+        cos, sin = jnp.asarray(np.cos(theta)), jnp.asarray(np.sin(theta))
+        scale = d**-0.5
+        co = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+        def loss_flash(q, k, v, cos, sin):
+            return jnp.sum(
+                flash_attention_split_rope(q, k, v, cos, sin, scale=scale, interpret=True) * co
+            )
+
+        def loss_xla(q, k, v, cos, sin):
+            return jnp.sum(_xla_split_rope_attention(q, k, v, cos, sin, scale) * co)
+
+        # the unfused reference itself matches the kernel forward
+        np.testing.assert_allclose(
+            np.asarray(flash_attention_split_rope(q, k, v, cos, sin, scale=scale, interpret=True)),
+            np.asarray(_xla_split_rope_attention(q, k, v, cos, sin, scale)),
+            atol=2e-5, rtol=1e-4,
+        )
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, cos, sin)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, cos, sin)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+    def test_model_grad_through_flash_routing(self, rng):
+        """End-to-end: grad of a DiT forward with self-attention ROUTED
+        through the Pallas kernel (flash-eligible geometry, interpret mode)
+        matches the XLA-attention grad — the exact training-on-TPU path."""
+        import mlx_video_tpu.ops.attention as attn
+        import mlx_video_tpu.ops.flash_attention as fa
+        from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType
+        from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        config = LTXModelConfig(
+            model_type=LTXModelType.VideoOnly, num_attention_heads=2,
+            attention_head_dim=128, in_channels=8, out_channels=8, num_layers=1,
+            cross_attention_dim=256, caption_channels=32,
+            rope_type=LTXRopeType.SPLIT,
+        )
+        params = init_ltx_params(jax.random.key(0), config, dtype=jnp.float32)
+        b, f, h, w = 1, 4, 8, 8  # 256 tokens -> flash-eligible
+        lat = jnp.asarray(rng.normal(size=(b, 256, 8)).astype(np.float32))
+        pos = jnp.asarray(create_position_grid(b, f, h, w))
+        ctx = jnp.asarray(rng.normal(size=(b, 8, 32)).astype(np.float32))
+        ts = jnp.full((b, 1), 0.7, dtype=jnp.float32)
+        mod = Modality(latent=lat, timesteps=ts, context=ctx, positions=pos)
+
+        def loss(params):
+            out, _ = ltx_apply(params, config, video=mod)
+            return jnp.mean(out**2)
+
+        g_xla = jax.grad(loss)(params)
+
+        orig = fa.flash_attention
+        calls = []
+        fa.flash_attention = lambda *a, **kw: calls.append(1) or orig(*a, **kw, interpret=True)
+        attn.use_pallas_flash(True)
+        try:
+            g_flash = jax.grad(loss)(params)
+        finally:
+            fa.flash_attention = orig
+            attn.use_pallas_flash(None)
+        assert calls, "flash kernel was not routed"
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            ),
+            g_flash, g_xla,
+        )
