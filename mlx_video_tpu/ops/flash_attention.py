@@ -30,11 +30,15 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, valid_len: int):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, scale: float, valid_len: int
+):
     """One (head, q-block): online softmax over key blocks.
 
     q_ref: (block_q, d); k_ref/v_ref: (S_pad, d); o_ref: (block_q, d).
     Keys at index >= valid_len (sequence padding) are masked to -inf.
+    ``lse_ref`` (optional, (block_q, 128) fp32 lane-replicated): per-row
+    logsumexp residual for the Pallas backward pass.
     """
     block_q, d = q_ref.shape
     s = k_ref.shape[0]
@@ -75,10 +79,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, val
     acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = (m + jnp.log(l))[:, 0]
+        lse_ref[:] = jax.lax.broadcast_in_dim(lse, lse_ref.shape, (0,))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "save_lse")
 )
 def _flash_attention_impl(
     q: jax.Array,
@@ -88,11 +95,17 @@ def _flash_attention_impl(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
-) -> jax.Array:
+    save_lse: bool = False,
+):
     """Full bidirectional attention over (B, S, H, D) tensors.
 
     Sequence length is padded to a block multiple internally; padded keys are
     masked out by giving them -inf logits via key padding below.
+
+    With ``save_lse`` returns ``(out, lse)`` where lse is the per-row
+    logsumexp, (B*H, S_pad, 128) fp32 lane-replicated (the TPU-legal layout
+    for a per-row scalar; jax's own TPU flash kernel stores l/m the same
+    way) — consumed by the Pallas backward kernels.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -114,7 +127,15 @@ def _flash_attention_impl(
     else:
         kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale, valid_len=s)
     grid = (b * h, s_pad // block_q)
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype)
+    if save_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((None, block_q, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, s_pad, 128), jnp.float32)]
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -122,13 +143,194 @@ def _flash_attention_impl(
             pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(qh, kh, vh)
 
+    out, lse = res if save_lse else (res, None)
     out = out[:, :s].reshape(b, h, s, d)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    return (out, lse) if save_lse else out
+
+
+# Backward policy: above this sequence length the VJP uses the Pallas
+# backward kernels (O(S) memory — XLA's recompute backward materializes
+# (B, H, S, S) softmax intermediates, which at ring/long-video lengths
+# stops fitting HBM next to the weights); below it the XLA recompute is a
+# single well-fused tile and stays the default until the kernels win a
+# chip A/B. MLX_VIDEO_TPU_FLASH_BWD=1/0 forces it either way.
+FLASH_BWD_MIN_S = 2048
+_FORCE_FLASH_BWD: Optional[bool] = (
+    {"1": True, "0": False}.get(os.environ.get("MLX_VIDEO_TPU_FLASH_BWD", ""), None)
+)
+
+
+def _use_bwd_kernel(s: int) -> bool:
+    if _FORCE_FLASH_BWD is not None:
+        return _FORCE_FLASH_BWD
+    return s >= FLASH_BWD_MIN_S
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
+    *, block_k: int, scale: float, valid_len: int
+):
+    """dQ for one (head, q-block): stream K/V in key blocks.
+
+    p  = exp(scale*q k^T - lse)            (softmax row, recomputed)
+    dp = dO V^T
+    dS = p * (dp - D),  D = rowsum(dO * O) (the softmax-jacobian dot)
+    dQ = scale * dS K
+    """
+    block_q, d = q_ref.shape
+    s = k_ref.shape[0]
+    num_kb = s // block_k
+    q = q_ref[:]
+    do = do_ref[:]
+    lse = lse_ref[:][:, 0:1]
+    dcap = dcap_ref[:][:, 0:1]
+    needs_mask = valid_len < s
+
+    def body(kb, dq_acc):
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        logits = scale * jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if needs_mask:
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+        p = jnp.exp(logits - lse)  # masked keys: exp(-inf) = 0
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dcap) * scale).astype(k.dtype)
+        return dq_acc + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref, dv_ref,
+    *, block_q: int, scale: float, valid_len: int
+):
+    """dK/dV for one (head, k-block): stream Q/dO in query blocks.
+
+    dV = p^T dO;  dK = scale * dS^T Q  (same p/dS as the dq kernel).
+    Padded keys produce p = 0 rows, so their dk/dv stay zero and are
+    sliced away by the caller.
+    """
+    block_k, d = k_ref.shape
+    s = q_ref.shape[0]
+    num_qb = s // block_q
+    k = k_ref[:]
+    v = v_ref[:]
+    j = pl.program_id(1)
+    needs_mask = valid_len < k_ref.shape[0] * (pl.num_programs(1))  # s_pad > valid_len
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(qb * block_q, block_q), :]
+        do = do_ref[pl.ds(qb * block_q, block_q), :]
+        lse = lse_ref[pl.ds(qb * block_q, block_q), :][:, 0:1]
+        dcap = dcap_ref[pl.ds(qb * block_q, block_q), :][:, 0:1]
+        logits = scale * jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        if needs_mask:
+            key_idx = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            logits = jnp.where(key_idx < valid_len, logits, -jnp.inf)
+        p = jnp.exp(logits - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_k, d)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dcap) * scale).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_k, d)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_bwd_impl(
+    q, k, v, out, lse, g, scale, block_q, block_k, interpret
+):
+    """Pallas flash backward: dq over q-blocks, dk/dv over k-blocks.
+
+    ``lse`` is the forward's (B*H, S_pad, 128) lane-replicated logsumexp;
+    D = rowsum(dO * O) is computed in XLA (one fused elementwise+reduce)
+    and fed lane-replicated the same way.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, s, h, d = q.shape
+    block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
+
+    def to_heads(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh, kh, vh, doh, oh = to_heads(q), to_heads(k), to_heads(v), to_heads(g), to_heads(out)
+    dcap = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+    dcap = jnp.broadcast_to(dcap[..., None], (b * h, s_pad, 128))
+
+    full = lambda i, j: (i, 0, 0)
+    blk_q = pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    full_d = pl.BlockSpec((None, s_pad, d), full, memory_space=pltpu.VMEM)
+    full_l = pl.BlockSpec((None, s_pad, 128), full, memory_space=pltpu.VMEM)
+    blk_q_l = pl.BlockSpec((None, block_q, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale, valid_len=s),
+        grid=(b * h, s_pad // block_q),
+        in_specs=[blk_q, full_d, full_d, blk_q, blk_q_l, blk_q_l],
+        out_specs=blk_q,
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, dcap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale, valid_len=s),
+        grid=(b * h, s_pad // block_k),
+        in_specs=[full_d, blk_k, blk_k, full_d, full_l, full_l],
+        out_specs=[blk_k, blk_k],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, dcap)
+
+    def from_heads(x):
+        x = x[:, :s].reshape(b, h, s, d)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return from_heads(dq), from_heads(dk), from_heads(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -141,25 +343,34 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
-    """Differentiable entry: Pallas kernel forward, XLA recompute backward.
+    """Differentiable entry: Pallas kernel forward, flash backward.
 
     Pallas calls have no autodiff rule, so without this wrapper a training
     step that routed self-attention through the kernel would fail inside
-    ``jax.grad``. The VJP recomputes attention with
-    ``jax.nn.dot_product_attention`` (XLA's fused flash-style lowering on
-    TPU) and differentiates that — same math, O(S) memory, one extra
-    forward in the backward pass (the standard flash remat trade). A
-    dedicated Pallas backward kernel is a measured follow-up (PERF.md).
+    ``jax.grad``. Long sequences (>= FLASH_BWD_MIN_S) save the logsumexp
+    residual and run the Pallas backward kernels (O(S) memory); short ones
+    recompute through ``jax.nn.dot_product_attention`` and differentiate
+    that (same math, one extra forward — the standard flash remat trade).
     """
     return _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
 
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+    if _use_bwd_kernel(q.shape[1]):
+        out, lse = _flash_attention_impl(
+            q, k, v, scale, block_q, block_k, interpret, save_lse=True
+        )
+        return out, (q, k, v, out, lse)
+    out = _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, None, None)
 
 
 def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if lse is not None:
+        return _flash_attention_bwd_impl(
+            q, k, v, out, lse, g, scale, block_q, block_k, interpret
+        )
     if scale is None:
         scale = q.shape[-1] ** -0.5
     _, pull = jax.vjp(
@@ -171,7 +382,9 @@ def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
-def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+def _single_pass_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, valid_len: int
+):
     """One (head, q-block) with the WHOLE key range in one dot: single-pass
     softmax, no online rescaling. Profitable when the fp32 logits tile
     (block_q, S_pad) fits VMEM comfortably — short/medium sequences where
@@ -208,6 +421,10 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: 
         preferred_element_type=jnp.float32,
     )
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # no max subtraction in this kernel: lse = log(sum exp(clipped));
+        # exact whenever logits stay within the +/-80 clamp (see above).
+        lse_ref[:] = jax.lax.broadcast_in_dim(jnp.log(l)[:, 0], lse_ref.shape, (0,))
 
 
 # Above this padded sequence length the single-pass fp32 logits tile gets too
