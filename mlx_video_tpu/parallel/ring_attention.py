@@ -51,6 +51,70 @@ def _combine(m_a, l_a, acc_a, m_b, l_b, acc_b):
     return m, l, acc
 
 
+# Pallas kernel inside the ring: each local block runs the flash kernel
+# (logits stay in VMEM; the XLA einsum path materializes (B, H, Sq, Sk)
+# fp32 logits in HBM per ring step) and its (normalized out, lse) converts
+# to equivalent online-softmax partials: acc=out, m=lse, l=1. None = auto
+# (TPU backend + eligible local shapes); tests force it with interpret.
+_FORCE_RING_KERNEL: Optional[bool] = None
+_RING_KERNEL_INTERPRET: bool = False
+
+
+def use_ring_kernel(enable: Optional[bool], interpret: bool = False) -> None:
+    global _FORCE_RING_KERNEL, _RING_KERNEL_INTERPRET
+    _FORCE_RING_KERNEL = enable
+    _RING_KERNEL_INTERPRET = interpret
+
+
+def _ring_kernel_enabled(sq_local: int, d: int) -> bool:
+    eligible = d % 128 == 0 and sq_local >= 256
+    if _FORCE_RING_KERNEL is not None:
+        return _FORCE_RING_KERNEL and eligible
+    from mlx_video_tpu.ops.attention import _tpu_backend
+
+    return _tpu_backend() and eligible
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _local_stats_flash(q, k, v, scale):
+    """Flash-kernel local block returning online-softmax partials.
+
+    Same contract as :func:`_local_attention_stats` up to the equivalent
+    (acc, m, l) parameterization: the kernel's normalized output with
+    m=lse and l=1 merges identically under :func:`_combine`.
+    """
+    from mlx_video_tpu.ops.flash_attention import _flash_attention_impl
+
+    b, sq, h, d = q.shape
+    out, lse = _flash_attention_impl(
+        q, k, v, scale, interpret=_RING_KERNEL_INTERPRET, save_lse=True
+    )
+    m = lse[:, :sq, 0].reshape(b, h, sq)
+    acc = jnp.transpose(out, (0, 2, 1, 3)).astype(jnp.float32)  # (B, H, Sq, D)
+    return acc, m, jnp.ones_like(m)
+
+
+def _local_stats_flash_fwd(q, k, v, scale):
+    return _local_stats_flash(q, k, v, scale), (q, k, v)
+
+
+def _local_stats_flash_bwd(scale, res, cts):
+    """XLA recompute backward in the kernel's (normalized, lse, 1)
+    parameterization — the constant l=1 output naturally zeroes its
+    cotangent. Same memory as the einsum training path it replaces."""
+    q, k, v = res
+
+    def f(q, k, v):
+        acc, m, l = _local_attention_stats(q, k, v, scale)
+        return acc / l[..., None], m + jnp.log(l), jnp.ones_like(m)
+
+    _, pull = jax.vjp(f, q, k, v)
+    return pull(cts)
+
+
+_local_stats_flash.defvjp(_local_stats_flash_fwd, _local_stats_flash_bwd)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -72,11 +136,13 @@ def ring_attention(
         raise ValueError(f"Sequence length {q.shape[1]} not divisible by mesh axis {axis}={n}")
 
     spec = P(None, axis, None, None)
+    use_kernel = _ring_kernel_enabled(q.shape[1] // n, q.shape[-1])
+    local_stats = _local_stats_flash if use_kernel else _local_attention_stats
 
     def ring(q_loc, k_loc, v_loc):
         def step(carry, _):
             k_cur, v_cur, m, l, acc = carry
-            acc_b, m_b, l_b = _local_attention_stats(q_loc, k_cur, v_cur, scale)
+            acc_b, m_b, l_b = local_stats(q_loc, k_cur, v_cur, scale)
             m, l, acc = _combine(m, l, acc, m_b, l_b, acc_b)
             # rotate k/v to the next device on the ring
             perm = [(i, (i + 1) % n) for i in range(n)]

@@ -197,6 +197,48 @@ class TestRingAttention:
             with mesh:
                 ring_attention(q, q, q, mesh, axis="fsdp")
 
+    def test_pallas_kernel_inside_ring_matches(self, rng):
+        """Each ring step's local block through the flash kernel (out + lse
+        -> online-softmax partials) must equal both the einsum ring and
+        single-device attention — forward AND grad (SP training path)."""
+        from mlx_video_tpu.parallel import ring_attention as ra
+
+        mesh = create_mesh((1, 2, 4))
+        b, s, h, d = 1, 512, 2, 128  # local Sq = 256 -> kernel-eligible
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        ref = jax.nn.dot_product_attention(q, k, v)
+
+        def loss(q, k, v):
+            return jnp.sum(ra.ring_attention(q, k, v, mesh, axis="fsdp") ** 2)
+
+        with mesh:
+            plain = ra.ring_attention(q, k, v, mesh, axis="fsdp")
+            g_plain = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            ra.use_ring_kernel(True, interpret=True)
+            try:
+                kern = ra.ring_attention(q, k, v, mesh, axis="fsdp")
+                g_kern = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            finally:
+                ra.use_ring_kernel(None)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(ref), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(kern), np.asarray(ref), atol=5e-5, rtol=1e-4)
+        for a, b_ in zip(g_kern, g_plain):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-4)
+
+    def test_ring_kernel_eligibility_gate(self):
+        from mlx_video_tpu.parallel import ring_attention as ra
+
+        ra.use_ring_kernel(True)
+        try:
+            assert ra._ring_kernel_enabled(256, 128)
+            assert not ra._ring_kernel_enabled(128, 128)  # too few local tokens
+            assert not ra._ring_kernel_enabled(512, 64)  # lane-misaligned head
+        finally:
+            ra.use_ring_kernel(None)
+        assert not ra._ring_kernel_enabled(512, 128)  # auto: CPU backend
+
 
 class TestFull19BSharding:
     def test_19b_av_step_aot_compiles_sharded(self):
