@@ -17,7 +17,8 @@ Request fields (all optional except prompt unless --embeddings is given):
   (must match the server's --pipeline; requests for the other schedule are
   rejected with 400), stage1_steps, stage2_steps, num_inference_steps,
   cfg_scale, cfg_cache_interval, attn_broadcast_interval,
-  teacache_threshold, audio, audio_mode, tiling.
+  teacache_threshold, audio, audio_mode, tiling, lora (adapter file name(s)
+  under --lora-dir), lora_strength (scalar or per-adapter list).
 
 Generation is serialized with a lock (one device); requests queue.
 `low_memory` is rejected: it frees the transformer after each run, which
@@ -62,10 +63,19 @@ class GenerationService:
         loaded_pipeline: str = "distilled",
         max_batch: int = 1,
         batch_window: float = 0.05,
+        lora_dir: Optional[Path] = None,
+        lora_cache: int = 4,
     ) -> None:
         import jax.numpy as jnp
 
         self.models = models
+        # Per-request LoRA hot-swap: adapters under --lora-dir attach as
+        # runtime leaves over the SHARED base weights (lora.py
+        # attach_runtime_lora keeps base leaves by reference, so each cached
+        # adapted view costs only the adapter factors in HBM). Keyed LRU.
+        self.lora_dir = Path(lora_dir).resolve() if lora_dir else None
+        self.lora_cache_size = max(1, int(lora_cache))
+        self._lora_cache: "dict" = {}  # key -> transformer params (LRU by insertion)
         self.text_encoder = text_encoder
         self.default_text = default_text
         self.output_dir = Path(output_dir)
@@ -133,6 +143,65 @@ class GenerationService:
                 "each run, defeating a resident server — shard with --mesh "
                 "instead"
             )
+        self._lora_key(req)  # validates names/paths; raises RequestError
+
+    def _lora_key(self, req: dict):
+        """Resolve the request's LoRA selection to a hashable cache key
+        ((name, strength), ...); () means the plain base."""
+        sel = req.get("lora")
+        if not sel:
+            return ()
+        if self.lora_dir is None:
+            raise RequestError(
+                "this server has no adapter directory; start it with "
+                "--lora-dir to serve per-request LoRA"
+            )
+        names = [sel] if isinstance(sel, str) else list(sel)
+        strength = req.get("lora_strength", 1.0)
+        strengths = (
+            [float(strength)] * len(names)
+            if isinstance(strength, (int, float))
+            else [float(s) for s in strength]
+        )
+        if len(strengths) != len(names):
+            raise RequestError("lora_strength list must match lora list length")
+        key = []
+        for name, s in zip(names, strengths):
+            p = (self.lora_dir / str(name)).resolve()
+            if self.lora_dir not in p.parents and p != self.lora_dir:
+                raise RequestError(f"lora {name!r} escapes the adapter directory")
+            if not p.is_file():
+                raise RequestError(f"lora {name!r} not found under the adapter directory")
+            key.append((str(p.relative_to(self.lora_dir)), s))
+        return tuple(key)
+
+    def _transformer_params_for(self, key):
+        """Base params for (), else the LRU-cached runtime-attached view."""
+        if not key:
+            return self.models.transformer_params
+        if key in self._lora_cache:
+            self._lora_cache[key] = self._lora_cache.pop(key)  # refresh LRU
+            return self._lora_cache[key]
+        from mlx_video_tpu.lora import LoraSpec, attach_runtime_lora
+
+        specs = [LoraSpec(self.lora_dir / name, s) for name, s in key]
+        attached = attach_runtime_lora(
+            self.models.transformer_params, specs, self.models.transformer_config
+        )
+        while len(self._lora_cache) >= self.lora_cache_size:
+            self._lora_cache.pop(next(iter(self._lora_cache)))
+        self._lora_cache[key] = attached
+        return attached
+
+    def _models_for(self, req: dict):
+        import dataclasses
+
+        key = self._lora_key(req)
+        if not key:
+            return self.models
+        return dataclasses.replace(
+            self.models, transformer_params=self._transformer_params_for(key)
+        )
 
     def _batch_key(self, req: dict):
         """Everything that affects compiled shapes / schedules; requests
@@ -144,6 +213,7 @@ class GenerationService:
         return (
             tuple(sorted((k, repr(v)) for k, v in kw.items())),
             str(req.get("negative_prompt")),
+            self._lora_key(req),
         )
 
     def generate(self, req: dict) -> dict:
@@ -244,7 +314,7 @@ class GenerationService:
                 f"gen_{int(time.time() * 1000)}_{self.requests_served}_batch.mp4"
             )
             result = generate_video(
-                self.models, text, prompt=req0.get("prompt", ""),
+                self._models_for(req0), text, prompt=req0.get("prompt", ""),
                 output_path=out,
                 seeds=[int(it["req"].get("seed", 0)) for it in group],
                 **kwargs,
@@ -305,7 +375,7 @@ class GenerationService:
                 f"gen_{int(time.time() * 1000)}_{self.requests_served}_{seed}.mp4"
             )
             result = generate_video(
-                self.models, text, prompt=req.get("prompt", ""),
+                self._models_for(req), text, prompt=req.get("prompt", ""),
                 output_path=out, **kwargs,
             )
             wall = time.time() - t0
@@ -411,6 +481,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-window", type=float, default=0.05,
                    help="Seconds to wait for same-shape requests to join a "
                         "batch once one is pending.")
+    p.add_argument("--lora-dir", default=None,
+                   help="Directory of LoRA .safetensors the server may "
+                        "attach per request (request fields: lora, "
+                        "lora_strength). Adapters attach as runtime leaves "
+                        "over the shared base weights - works over "
+                        "quantized bases; each cached view costs only the "
+                        "adapter factors in HBM.")
+    p.add_argument("--lora-cache", type=int, default=4,
+                   help="How many adapter-attached transformer views to "
+                        "keep resident (LRU).")
     p.add_argument("--warmup", default=None,
                    help="WxHxF to precompile at startup, e.g. 512x512x33 "
                         "(first request then runs at steady-state latency)")
@@ -491,6 +571,8 @@ def main(argv=None) -> None:
         loaded_pipeline=args.pipeline,
         max_batch=args.max_batch,
         batch_window=args.batch_window,
+        lora_dir=Path(args.lora_dir) if args.lora_dir else None,
+        lora_cache=args.lora_cache,
     )
 
     if args.warmup:

@@ -156,10 +156,19 @@ def attach_runtime_lora(
     Restriction (scan layout): either every layer of a block linear has a
     LoRA pair or none; partially-covered block linears get zero factors for
     the missing layers.
-    """
-    import copy
 
-    params = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    The returned tree shares every base-weight leaf with the input (fresh
+    dicts only): attaching costs O(adapter) device memory, never a copy of
+    the base — a resident server can hold several adapted views of one 19B
+    base. (A deepcopy here would device-copy all ~10 GB per adapter.)
+    """
+
+    def _structural_copy(node):
+        if isinstance(node, dict):
+            return {k: _structural_copy(v) for k, v in node.items()}
+        return node  # jax arrays are immutable: sharing leaves is safe
+
+    params = _structural_copy(params)
     num_layers = config.num_layers
 
     for spec in lora_specs:

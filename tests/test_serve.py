@@ -244,3 +244,114 @@ class TestDynamicBatching:
     def test_request_error_still_400_in_batch_mode(self, batch_url):
         code, out = _post(batch_url, dict(self.REQ, pipeline="dev"))
         assert code == 400 and "distilled" in out["error"]
+
+
+class TestServeLoRA:
+    """Per-request LoRA hot-swap: adapters under --lora-dir attach as runtime
+    leaves over the SHARED base weights (no base copy), LRU-cached, and the
+    selection is part of the batching key."""
+
+    @pytest.fixture()
+    def lora_service(self, tmp_path):
+        from mlx_video_tpu.io.safetensors import save_safetensors as save_st
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        rng = np.random.default_rng(0)
+        text = TextConditioning(
+            video_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            )
+        )
+        lora_dir = tmp_path / "adapters"
+        lora_dir.mkdir()
+        in_dim = cfg.inner_dim
+        save_st(lora_dir / "style.safetensors", {
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(4, in_dim)).astype(np.float32) * 0.5,
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(in_dim, 4)).astype(np.float32) * 0.5,
+        })
+        return GenerationService(
+            models, default_text=text, output_dir=tmp_path / "out",
+            dtype=jnp.float32, lora_dir=lora_dir, lora_cache=2,
+        )
+
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 1, "stage2_steps": 1, "tiling": "none", "seed": 3}
+
+    def test_lora_changes_output_and_caches(self, lora_service):
+        base = lora_service.generate(dict(self.REQ))
+        lora = lora_service.generate(dict(self.REQ, lora="style.safetensors"))
+        with open(base["path"], "rb") as f:
+            base_bytes = f.read()
+        with open(lora["path"], "rb") as f:
+            lora_bytes = f.read()
+        assert base_bytes != lora_bytes, "adapter did not change the video"
+        key = (("style.safetensors", 1.0),)
+        assert key in lora_service._lora_cache
+        cached = lora_service._lora_cache[key]
+        again = lora_service._transformer_params_for(key)
+        assert again is cached, "second request must hit the adapter cache"
+
+    def test_base_leaves_shared_not_copied(self, lora_service):
+        key = lora_service._lora_key({"lora": "style.safetensors"})
+        attached = lora_service._transformer_params_for(key)
+        base = lora_service.models.transformer_params
+        # base weights are the SAME device buffers (structural copy only)
+        assert attached["video"]["patchify_proj"]["weight"] is base["video"]["patchify_proj"]["weight"]
+        assert attached["blocks"]["attn1"]["to_q"]["weight"] is base["blocks"]["attn1"]["to_q"]["weight"]
+        assert "lora_A" in attached["blocks"]["attn1"]["to_q"]
+        assert "lora_A" not in base["blocks"]["attn1"]["to_q"]
+
+    def test_lru_eviction(self, lora_service):
+        import shutil
+
+        d = lora_service.lora_dir
+        shutil.copy(d / "style.safetensors", d / "b.safetensors")
+        shutil.copy(d / "style.safetensors", d / "c.safetensors")
+        for name in ("style.safetensors", "b.safetensors", "c.safetensors"):
+            lora_service._transformer_params_for(
+                lora_service._lora_key({"lora": name})
+            )
+        assert len(lora_service._lora_cache) == 2  # lora_cache=2
+        assert (("style.safetensors", 1.0),) not in lora_service._lora_cache
+
+    def test_validation_errors(self, lora_service, tmp_path):
+        from mlx_video_tpu.cli.serve import RequestError
+
+        with pytest.raises(RequestError, match="not found"):
+            lora_service.generate(dict(self.REQ, lora="missing.safetensors"))
+        with pytest.raises(RequestError, match="escapes"):
+            lora_service.generate(dict(self.REQ, lora="../evil.safetensors"))
+        with pytest.raises(RequestError, match="must match"):
+            lora_service.generate(
+                dict(self.REQ, lora=["style.safetensors"], lora_strength=[1.0, 2.0])
+            )
+        no_dir = GenerationService(
+            lora_service.models, default_text=lora_service.default_text,
+            output_dir=tmp_path / "out2", dtype=jnp.float32,
+        )
+        with pytest.raises(RequestError, match="--lora-dir"):
+            no_dir.generate(dict(self.REQ, lora="style.safetensors"))
+
+    def test_lora_in_batch_key(self, lora_service):
+        plain = lora_service._batch_key(dict(self.REQ))
+        withl = lora_service._batch_key(dict(self.REQ, lora="style.safetensors"))
+        assert plain != withl
+        strong = lora_service._batch_key(
+            dict(self.REQ, lora="style.safetensors", lora_strength=2.0)
+        )
+        assert withl != strong
