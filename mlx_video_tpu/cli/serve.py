@@ -11,6 +11,9 @@ mesh-sharded), and every request reuses the compiled programs.
 HTTP (stdlib only):
   GET  /healthz            -> {"status": "ok", ...}
   POST /generate {json}    -> {"path", "wall_seconds", "phases", ...}
+  POST /generate {"stream": true, ...} -> NDJSON event stream: one line per
+       denoise_step / phase event, then a final {"kind": "result", ...}
+       line (requires --max-batch 1).
 
 Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
@@ -216,6 +219,23 @@ class GenerationService:
             self._lora_key(req),
         )
 
+    def validate_streaming(self, req: dict) -> None:
+        """Everything that should 400 BEFORE a streamed 200 header goes out."""
+        self._validate(req)
+        if self.max_batch > 1:
+            raise RequestError(
+                "streaming requires --max-batch 1: events cannot be "
+                "attributed to one request inside a coalesced batch"
+            )
+
+    def generate_streamed(self, req: dict, sink) -> dict:
+        """Generate with ``sink`` subscribed to the in-process ui_event
+        stream (denoise_step / phase payloads) for the duration of THIS
+        request's generation — the lock serializes requests, so the sink
+        only sees its own events."""
+        self.validate_streaming(req)
+        return self._generate_one(req, sink=sink)
+
     def generate(self, req: dict) -> dict:
         self._validate(req)
         if self.max_batch <= 1:
@@ -358,28 +378,40 @@ class GenerationService:
             profile=True,
         )
 
-    def _generate_one(self, req: dict) -> dict:
+    def _generate_one(self, req: dict, sink=None) -> dict:
         from mlx_video_tpu.pipelines.generate import generate_video
+        from mlx_video_tpu.utils.profiling import add_event_sink, remove_event_sink
 
         seed = int(req.get("seed", 0))
         kwargs = self._kwargs_for(req)
         with self.lock:
-            # Text encoding (a 12B-LM device forward when a text encoder is
-            # loaded) must also be serialized: running it concurrently with
-            # an in-flight generation contends for the same chips' HBM.
-            t0 = time.time()
-            text = self._text_for(req)
-            # Unique output name: wall-clock ms can collide when requests
-            # queue behind a long generation; the served counter cannot.
-            out = self.output_dir / (
-                f"gen_{int(time.time() * 1000)}_{self.requests_served}_{seed}.mp4"
-            )
-            result = generate_video(
-                self._models_for(req), text, prompt=req.get("prompt", ""),
-                output_path=out, **kwargs,
-            )
-            wall = time.time() - t0
-            self.requests_served += 1
+            if sink is not None:
+                add_event_sink(sink)
+            try:
+                return self._generate_locked(req, kwargs, seed)
+            finally:
+                if sink is not None:
+                    remove_event_sink(sink)
+
+    def _generate_locked(self, req: dict, kwargs: dict, seed: int) -> dict:
+        from mlx_video_tpu.pipelines.generate import generate_video
+
+        # Text encoding (a 12B-LM device forward when a text encoder is
+        # loaded) must also be serialized: running it concurrently with
+        # an in-flight generation contends for the same chips' HBM.
+        t0 = time.time()
+        text = self._text_for(req)
+        # Unique output name: wall-clock ms can collide when requests
+        # queue behind a long generation; the served counter cannot.
+        out = self.output_dir / (
+            f"gen_{int(time.time() * 1000)}_{self.requests_served}_{seed}.mp4"
+        )
+        result = generate_video(
+            self._models_for(req), text, prompt=req.get("prompt", ""),
+            output_path=out, **kwargs,
+        )
+        wall = time.time() - t0
+        self.requests_served += 1
         return self._response(
             result.video_path or out, result, wall, batched=1,
             paths=[str(p) for p in result.video_paths] if result.video_paths else None,
@@ -421,6 +453,53 @@ def make_handler(service: GenerationService):
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _stream_generate(self, req: dict) -> None:
+            """NDJSON event stream: one line per denoise_step/phase event,
+            then a final {"kind": "result"|"error"} line. The 400-able
+            validation runs BEFORE the 200 header goes out."""
+            import queue
+
+            service.validate_streaming(req)
+            q: queue.Queue = queue.Queue()
+            done = object()
+            holder: dict = {}
+
+            def run():
+                try:
+                    holder["result"] = service.generate_streamed(req, q.put)
+                except Exception as e:  # noqa: BLE001 — forwarded as an event
+                    holder["error"] = e
+                finally:
+                    q.put(done)
+
+            threading.Thread(target=run, daemon=True).start()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")  # length = until close
+            self.end_headers()
+            gone = False
+            while True:
+                ev = q.get()
+                if ev is done:
+                    break
+                if gone:
+                    continue  # drain so the worker never blocks on a dead pipe
+                try:
+                    self.wfile.write((json.dumps(ev) + "\n").encode())
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    gone = True
+            if "error" in holder:
+                err = holder["error"]
+                final = {"kind": "error", "error": f"{type(err).__name__}: {err}"}
+            else:
+                final = {"kind": "result", **holder["result"]}
+            if not gone:
+                try:
+                    self.wfile.write((json.dumps(final) + "\n").encode())
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
         def do_POST(self):  # noqa: N802
             if self.path != "/generate":
                 self._send(404, {"error": "unknown path"})
@@ -433,7 +512,10 @@ def make_handler(service: GenerationService):
                     raise RequestError(f"body is not valid JSON: {e}")
                 if not isinstance(req, dict):
                     raise RequestError("body must be a JSON object")
-                self._send(200, service.generate(req))
+                if req.get("stream"):
+                    self._stream_generate(req)
+                else:
+                    self._send(200, service.generate(req))
             except RequestError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server

@@ -16,19 +16,51 @@ from pathlib import Path
 from typing import Dict, Optional
 
 
+# In-process subscribers (beyond the reference's stdout stream): callables
+# receiving every ui_event payload regardless of the env gates. Used by the
+# serve streaming endpoint to forward denoise_step/phase events per request.
+import threading as _threading
+
+_SINKS: list = []
+_SINKS_LOCK = _threading.Lock()
+
+
+def add_event_sink(fn) -> None:
+    with _SINKS_LOCK:
+        _SINKS.append(fn)
+
+
+def remove_event_sink(fn) -> None:
+    with _SINKS_LOCK:
+        if fn in _SINKS:
+            _SINKS.remove(fn)
+
+
 def ui_event(payload: dict) -> None:
     """Machine-readable event line, gated by MLX_VIDEO_UI_JSON=1
-    (reference: generate.py:43-61)."""
+    (reference: generate.py:43-61). In-process sinks always receive it."""
     if os.environ.get("MLX_VIDEO_UI_JSON") == "1":
         print("MLX_VIDEO_UI_EVENT " + json.dumps(payload), flush=True)
+    if _SINKS:
+        with _SINKS_LOCK:
+            sinks = list(_SINKS)
+        for fn in sinks:
+            try:
+                fn(payload)
+            except Exception:  # noqa: BLE001 — a dead sink must not kill events
+                pass
 
 
 def progress_echo_enabled() -> bool:
     """Whether per-step denoise progress should be emitted
-    (reference: generate.py:43-61 UI json + 765-775 plain echo)."""
+    (reference: generate.py:43-61 UI json + 765-775 plain echo). Also true
+    while an in-process sink is subscribed (serve streaming): the denoise
+    scan's progress callback is a trace-time static, so the first streamed
+    request compiles the progress variant and later ones reuse it."""
     return (
         os.environ.get("MLX_VIDEO_UI_JSON") == "1"
         or os.environ.get("MLX_VIDEO_PROGRESS_ECHO") == "1"
+        or bool(_SINKS)
     )
 
 

@@ -355,3 +355,57 @@ class TestServeLoRA:
             dict(self.REQ, lora="style.safetensors", lora_strength=2.0)
         )
         assert withl != strong
+
+
+class TestServeStreaming:
+    """POST /generate with stream=true: NDJSON per-event lines (denoise_step
+    via the in-process ui_event sink, phase timings) then a final result."""
+
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 2, "stage2_steps": 1, "tiling": "none", "seed": 5,
+           "stream": True}
+
+    def test_stream_events_then_result(self, server_url, service):
+        import os
+
+        req = urllib.request.Request(
+            server_url + "/generate", json.dumps(self.REQ).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(l) for l in r.read().decode().splitlines()]
+        kinds = [l.get("kind") for l in lines]
+        assert kinds[-1] == "result", kinds
+        assert "denoise_step" in kinds, kinds
+        assert "phase" in kinds, kinds
+        steps = [l for l in lines if l.get("kind") == "denoise_step"]
+        assert steps[0]["step"] == 1 and steps[0]["total"] == 2
+        assert os.path.exists(lines[-1]["path"])
+        # the sink must be gone once the request finished
+        from mlx_video_tpu.utils import profiling
+
+        assert not profiling._SINKS
+
+    def test_stream_rejected_in_batch_mode(self, service):
+        from mlx_video_tpu.cli.serve import RequestError
+
+        service.max_batch = 2
+        try:
+            with pytest.raises(RequestError, match="streaming requires"):
+                service.validate_streaming(dict(self.REQ))
+        finally:
+            service.max_batch = 1
+
+    def test_stream_error_arrives_as_event(self, server_url):
+        bad = dict(self.REQ, stage1_steps=99)  # out of range -> pipeline ValueError
+        req = urllib.request.Request(
+            server_url + "/generate", json.dumps(bad).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200  # stream already committed
+            lines = [json.loads(l) for l in r.read().decode().splitlines()]
+        assert lines[-1]["kind"] == "error"
+        assert "error" in lines[-1]
