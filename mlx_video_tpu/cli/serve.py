@@ -14,6 +14,9 @@ HTTP (stdlib only):
   POST /generate {"stream": true, ...} -> NDJSON event stream: one line per
        denoise_step / phase event, then a final {"kind": "result", ...}
        line (requires --max-batch 1).
+  POST /enhance {prompt, mode?, max_tokens?, temperature?} -> {enhanced}
+       Gemma prompt enhancement (needs a loaded text encoder); /generate
+       also takes enhance_prompt/enhance_max_tokens/enhance_temperature.
 
 Request fields (all optional except prompt unless --embeddings is given):
   prompt, negative_prompt, height, width, num_frames, fps, seed, pipeline
@@ -109,6 +112,13 @@ class GenerationService:
 
         prompt = req.get("prompt", "")
         if self.text_encoder is not None:
+            if req.get("enhance_prompt"):
+                prompt = self.text_encoder.enhance_t2v(
+                    prompt,
+                    max_new_tokens=int(req.get("enhance_max_tokens", 512)),
+                    temperature=float(req.get("enhance_temperature", 0.7)),
+                )
+                req["_enhanced_prompt"] = prompt
             video, audio = self.text_encoder.encode(prompt)
             neg = req.get("negative_prompt")
             video_neg = audio_neg = None
@@ -145,6 +155,11 @@ class GenerationService:
                 "low_memory is not served: it frees the transformer after "
                 "each run, defeating a resident server — shard with --mesh "
                 "instead"
+            )
+        if req.get("enhance_prompt") and self.text_encoder is None:
+            raise RequestError(
+                "enhance_prompt needs a text encoder; this server runs on "
+                "precomputed --embeddings"
             )
         self._lora_key(req)  # validates names/paths; raises RequestError
 
@@ -218,6 +233,38 @@ class GenerationService:
             str(req.get("negative_prompt")),
             self._lora_key(req),
         )
+
+    def enhance(self, req: dict) -> dict:
+        """Standalone prompt enhancement (the cli/enhance.py surface over
+        HTTP): Gemma chat generation with the bundled system prompts."""
+        if self.text_encoder is None:
+            raise RequestError(
+                "this server has no text encoder loaded; /enhance needs one"
+            )
+        prompt = str(req.get("prompt", ""))
+        if not prompt:
+            raise RequestError("prompt is required")
+        mode = str(req.get("mode", "t2v")).lower()
+        if mode not in ("t2v", "i2v", "negative"):
+            raise RequestError("mode must be one of t2v, i2v, negative")
+        kw = dict(
+            max_new_tokens=int(req.get("max_tokens", 512)),
+            temperature=float(req.get("temperature", 0.7)),
+        )
+        with self.lock:  # a 12B LM forward: serialize with generation
+            t0 = time.time()
+            if mode == "t2v":
+                enhanced = self.text_encoder.enhance_t2v(prompt, **kw)
+            elif mode == "i2v":
+                enhanced = self.text_encoder.enhance_i2v(prompt, **kw)
+            else:
+                enhanced = self.text_encoder.enhance_negative(
+                    prompt, str(req.get("negative_prompt", "")), **kw
+                )
+        return {
+            "prompt": prompt, "enhanced": enhanced, "mode": mode,
+            "wall_seconds": round(time.time() - t0, 3),
+        }
 
     def validate_streaming(self, req: dict) -> None:
         """Everything that should 400 BEFORE a streamed 200 header goes out."""
@@ -412,10 +459,13 @@ class GenerationService:
         )
         wall = time.time() - t0
         self.requests_served += 1
-        return self._response(
+        resp = self._response(
             result.video_path or out, result, wall, batched=1,
             paths=[str(p) for p in result.video_paths] if result.video_paths else None,
         )
+        if "_enhanced_prompt" in req:
+            resp["enhanced_prompt"] = req["_enhanced_prompt"]
+        return resp
 
     def _response(self, path, result, wall, batched, paths=None) -> dict:
         return {
@@ -501,7 +551,7 @@ def make_handler(service: GenerationService):
                     pass
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/enhance"):
                 self._send(404, {"error": "unknown path"})
                 return
             try:
@@ -512,7 +562,9 @@ def make_handler(service: GenerationService):
                     raise RequestError(f"body is not valid JSON: {e}")
                 if not isinstance(req, dict):
                     raise RequestError("body must be a JSON object")
-                if req.get("stream"):
+                if self.path == "/enhance":
+                    self._send(200, service.enhance(req))
+                elif req.get("stream"):
                     self._stream_generate(req)
                 else:
                     self._send(200, service.generate(req))

@@ -409,3 +409,102 @@ class TestServeStreaming:
             lines = [json.loads(l) for l in r.read().decode().splitlines()]
         assert lines[-1]["kind"] == "error"
         assert "error" in lines[-1]
+
+
+class _StubTextEncoder:
+    """Text-encoder stand-in: deterministic embeddings + marker enhancement."""
+
+    def __init__(self, caption_channels):
+        self.caption_channels = caption_channels
+        self.encoded = []
+
+    def encode(self, prompt):
+        self.encoded.append(prompt)
+        rng = np.random.default_rng(abs(hash(prompt)) % (2**32))
+        emb = jnp.asarray(rng.normal(size=(1, 8, self.caption_channels)).astype(np.float32))
+        return emb, None
+
+    def enhance_t2v(self, prompt, **kw):
+        return f"{prompt}, cinematic lighting (t2v max={kw.get('max_new_tokens')})"
+
+    def enhance_i2v(self, prompt, **kw):
+        return f"{prompt} (i2v)"
+
+    def enhance_negative(self, prompt, negative="", **kw):
+        return f"{negative} blurry"
+
+
+class TestServeEnhance:
+    """POST /enhance + the enhance_prompt generate field (Gemma prompt
+    enhancement surface over HTTP; stubbed LM)."""
+
+    @pytest.fixture()
+    def enhance_service(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        return GenerationService(
+            models, text_encoder=_StubTextEncoder(cfg.caption_channels),
+            output_dir=tmp_path / "out", dtype=jnp.float32,
+        )
+
+    def test_enhance_modes(self, enhance_service):
+        out = enhance_service.enhance({"prompt": "a cat", "max_tokens": 99})
+        assert out["enhanced"] == "a cat, cinematic lighting (t2v max=99)"
+        assert out["mode"] == "t2v"
+        out = enhance_service.enhance({"prompt": "a cat", "mode": "i2v"})
+        assert out["enhanced"] == "a cat (i2v)"
+        out = enhance_service.enhance(
+            {"prompt": "a cat", "mode": "negative", "negative_prompt": "ugly"}
+        )
+        assert out["enhanced"] == "ugly blurry"
+
+    def test_enhance_validation(self, enhance_service, service):
+        from mlx_video_tpu.cli.serve import RequestError
+
+        with pytest.raises(RequestError, match="prompt is required"):
+            enhance_service.enhance({})
+        with pytest.raises(RequestError, match="mode must be"):
+            enhance_service.enhance({"prompt": "x", "mode": "bogus"})
+        # `service` fixture has no text encoder
+        with pytest.raises(RequestError, match="text encoder"):
+            service.enhance({"prompt": "x"})
+        with pytest.raises(RequestError, match="enhance_prompt needs"):
+            service.generate({"prompt": "x", "enhance_prompt": True,
+                              "height": 64, "width": 64, "num_frames": 9})
+
+    def test_generate_with_enhance_prompt(self, enhance_service):
+        req = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+               "stage1_steps": 1, "stage2_steps": 1, "tiling": "none",
+               "seed": 2, "enhance_prompt": True}
+        out = enhance_service.generate(req)
+        assert out["enhanced_prompt"].startswith("a cat, cinematic")
+        assert enhance_service.text_encoder.encoded[0] == out["enhanced_prompt"]
+
+    def test_enhance_over_http(self, enhance_service):
+        httpd = serve(enhance_service, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}/enhance"
+            req = urllib.request.Request(
+                url, json.dumps({"prompt": "a dog"}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 200
+                body = json.loads(r.read())
+            assert "cinematic" in body["enhanced"]
+        finally:
+            httpd.shutdown()
