@@ -12,8 +12,9 @@ HTTP (stdlib only):
   GET  /healthz            -> {"status": "ok", ...}
   POST /generate {json}    -> {"path", "wall_seconds", "phases", ...}
   POST /generate {"stream": true, ...} -> NDJSON event stream: one line per
-       denoise_step / phase event, then a final {"kind": "result", ...}
-       line (requires --max-batch 1).
+       denoise_step / phase / preview (base64 JPEG of the latest decoded
+       frame) event, then a final {"kind": "result", ...} line (requires
+       --max-batch 1).
   POST /enhance {prompt, mode?, max_tokens?, temperature?} -> {enhanced}
        Gemma prompt enhancement (needs a loaded text encoder); /generate
        also takes enhance_prompt/enhance_max_tokens/enhance_temperature.

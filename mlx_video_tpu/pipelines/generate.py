@@ -848,7 +848,13 @@ def generate_video(
     last_preview = [-preview_every]
 
     def _emit_preview(frame_u8: np.ndarray, idx: int) -> None:
-        if preview_path is None or idx - last_preview[0] < preview_every:
+        from mlx_video_tpu.utils.profiling import has_event_sinks
+
+        # Two consumers: an atomically-replaced JPEG file (env-configured,
+        # reference parity) and in-process event sinks (serve's streaming
+        # endpoint forwards base64 preview frames to the HTTP client).
+        want_stream = has_event_sinks()
+        if (preview_path is None and not want_stream) or idx - last_preview[0] < preview_every:
             return
         try:
             from PIL import Image
@@ -856,9 +862,21 @@ def generate_video(
             img = Image.fromarray(frame_u8)
             if preview_max_dim > 0:
                 img.thumbnail((preview_max_dim, preview_max_dim))
-            tmp = preview_path + ".tmp"
-            img.save(tmp, format="JPEG", quality=85)
-            _os.replace(tmp, preview_path)
+            if preview_path is not None:
+                tmp = preview_path + ".tmp"
+                img.save(tmp, format="JPEG", quality=85)
+                _os.replace(tmp, preview_path)
+            if want_stream:
+                import base64
+                import io as _io
+
+                buf = _io.BytesIO()
+                img.save(buf, format="JPEG", quality=85)
+                ui_event({
+                    "kind": "preview",
+                    "frame": int(idx),
+                    "jpeg_b64": base64.b64encode(buf.getvalue()).decode(),
+                })
             last_preview[0] = idx
         except Exception:
             pass

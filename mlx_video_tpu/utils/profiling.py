@@ -36,6 +36,12 @@ def remove_event_sink(fn) -> None:
             _SINKS.remove(fn)
 
 
+def has_event_sinks() -> bool:
+    """Whether anything subscribes in-process — producers of EXPENSIVE
+    payloads (e.g. base64 preview frames) should check before building."""
+    return bool(_SINKS)
+
+
 def ui_event(payload: dict) -> None:
     """Machine-readable event line, gated by MLX_VIDEO_UI_JSON=1
     (reference: generate.py:43-61). In-process sinks always receive it."""

@@ -380,6 +380,12 @@ class TestServeStreaming:
         assert kinds[-1] == "result", kinds
         assert "denoise_step" in kinds, kinds
         assert "phase" in kinds, kinds
+        previews = [l for l in lines if l.get("kind") == "preview"]
+        assert previews, kinds
+        import base64
+
+        jpeg = base64.b64decode(previews[-1]["jpeg_b64"])
+        assert jpeg[:3] == b"\xff\xd8\xff"  # JPEG magic
         steps = [l for l in lines if l.get("kind") == "denoise_step"]
         assert steps[0]["step"] == 1 and steps[0]["total"] == 2
         assert os.path.exists(lines[-1]["path"])
