@@ -122,7 +122,11 @@ def _flash_attention_impl(
 
     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
 
-    if s_pad <= SINGLE_PASS_MAX_S:
+    # save_lse consumers (Pallas backward, ring-attention combine) need the
+    # EXACT logsumexp: the single-pass kernel's clamped, no-max-subtraction
+    # lse saturates past +/-80 logits, and feeding it to a backward that
+    # recomputes unclamped logits turns exp(logits - lse) into Inf/NaN.
+    if s_pad <= SINGLE_PASS_MAX_S and not save_lse:
         kernel = functools.partial(_single_pass_kernel, scale=scale, valid_len=s)
     else:
         kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale, valid_len=s)
@@ -173,14 +177,17 @@ def _use_bwd_kernel(s: int) -> bool:
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
     *, block_k: int, scale: float, valid_len: int
 ):
     """dQ for one (head, q-block): stream K/V in key blocks.
 
     p  = exp(scale*q k^T - lse)            (softmax row, recomputed)
     dp = dO V^T
-    dS = p * (dp - D),  D = rowsum(dO * O) (the softmax-jacobian dot)
+    dS = p * (dp - D),  D = rowsum(dO * O) (the softmax-jacobian dot,
+                                            computed here from the O block
+                                            instead of a precomputed
+                                            lane-replicated buffer)
     dQ = scale * dS K
     """
     block_q, d = q_ref.shape
@@ -189,7 +196,9 @@ def _flash_bwd_dq_kernel(
     q = q_ref[:]
     do = do_ref[:]
     lse = lse_ref[:][:, 0:1]
-    dcap = dcap_ref[:][:, 0:1]
+    dcap = jnp.sum(
+        do.astype(jnp.float32) * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True
+    )
     needs_mask = valid_len < s
 
     def body(kb, dq_acc):
@@ -218,7 +227,7 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref, dv_ref,
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
     *, block_q: int, scale: float, valid_len: int
 ):
     """dK/dV for one (head, k-block): stream Q/dO in query blocks.
@@ -239,8 +248,11 @@ def _flash_bwd_dkv_kernel(
         dk_acc, dv_acc = carry
         q = q_ref[pl.ds(qb * block_q, block_q), :]
         do = do_ref[pl.ds(qb * block_q, block_q), :]
+        o = o_ref[pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[pl.ds(qb * block_q, block_q), :][:, 0:1]
-        dcap = dcap_ref[pl.ds(qb * block_q, block_q), :][:, 0:1]
+        dcap = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+        )
         logits = scale * jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -279,9 +291,10 @@ def _flash_attention_bwd_impl(
 ):
     """Pallas flash backward: dq over q-blocks, dk/dv over k-blocks.
 
-    ``lse`` is the forward's (B*H, S_pad, 128) lane-replicated logsumexp;
-    D = rowsum(dO * O) is computed in XLA (one fused elementwise+reduce)
-    and fed lane-replicated the same way.
+    ``lse`` is the forward's logsumexp saved single-lane, (B*H, S_pad, 1)
+    fp32 — re-broadcast to the TPU-legal 128-lane layout here, transiently,
+    so the residual held across fwd->bwd stays O(S) rather than O(128 S).
+    D = rowsum(dO * O) is computed inside the kernels from the O blocks.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -295,8 +308,7 @@ def _flash_attention_bwd_impl(
         return x
 
     qh, kh, vh, doh, oh = to_heads(q), to_heads(k), to_heads(v), to_heads(g), to_heads(out)
-    dcap = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
-    dcap = jnp.broadcast_to(dcap[..., None], (b * h, s_pad, 128))
+    lse = jnp.broadcast_to(lse, (b * h, s_pad, 128))
 
     full = lambda i, j: (i, 0, 0)
     blk_q = pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
@@ -308,23 +320,23 @@ def _flash_attention_bwd_impl(
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale, valid_len=s),
         grid=(b * h, s_pad // block_q),
-        in_specs=[blk_q, full_d, full_d, blk_q, blk_q_l, blk_q_l],
+        in_specs=[blk_q, full_d, full_d, blk_q, blk_q, blk_q_l],
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
         interpret=interpret,
-    )(qh, kh, vh, doh, lse, dcap)
+    )(qh, kh, vh, doh, oh, lse)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale, valid_len=s),
         grid=(b * h, s_pad // block_k),
-        in_specs=[full_d, blk_k, blk_k, full_d, full_l, full_l],
+        in_specs=[full_d, blk_k, blk_k, full_d, full_d, full_l],
         out_specs=[blk_k, blk_k],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s_pad, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, s_pad, d), v.dtype),
         ],
         interpret=interpret,
-    )(qh, kh, vh, doh, lse, dcap)
+    )(qh, kh, vh, doh, oh, lse)
 
     def from_heads(x):
         x = x[:, :s].reshape(b, h, s, d)
@@ -360,7 +372,9 @@ def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
         out, lse = _flash_attention_impl(
             q, k, v, scale, block_q, block_k, interpret, save_lse=True
         )
-        return out, (q, k, v, out, lse)
+        # keep only one lane of the lane-replicated lse as the residual:
+        # O(S) held across fwd->bwd instead of O(128 S)
+        return out, (q, k, v, out, lse[..., :1])
     out = _flash_attention_impl(q, k, v, scale, block_q, block_k, interpret)
     return out, (q, k, v, None, None)
 
@@ -383,7 +397,7 @@ flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def _single_pass_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, valid_len: int
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int
 ):
     """One (head, q-block) with the WHOLE key range in one dot: single-pass
     softmax, no online rescaling. Profitable when the fp32 logits tile
@@ -421,10 +435,6 @@ def _single_pass_kernel(
         preferred_element_type=jnp.float32,
     )
     o_ref[:] = (acc / l).astype(o_ref.dtype)
-    if lse_ref is not None:
-        # no max subtraction in this kernel: lse = log(sum exp(clipped));
-        # exact whenever logits stay within the +/-80 clamp (see above).
-        lse_ref[:] = jax.lax.broadcast_in_dim(jnp.log(l)[:, 0], lse_ref.shape, (0,))
 
 
 # Above this padded sequence length the single-pass fp32 logits tile gets too

@@ -456,3 +456,42 @@ class TestFlashBackwardKernel:
 
         assert fa._use_bwd_kernel(fa.FLASH_BWD_MIN_S)
         assert not fa._use_bwd_kernel(fa.FLASH_BWD_MIN_S - 1)
+
+    def test_bwd_kernel_saturated_logits_finite(self, rng):
+        """Regression: logits beyond +/-80 must yield finite, XLA-matching
+        grads. The single-pass forward's clamped lse once fed the Pallas
+        backward (which recomputes unclamped logits), exploding
+        exp(logits - lse) to Inf/NaN; save_lse now always uses the exact
+        online-softmax kernel."""
+        import mlx_video_tpu.ops.flash_attention as fa
+
+        b, h, s, d = 1, 1, 256, 128
+        # q = k rows scaled so some self-logits exceed 80 after 1/sqrt(d)
+        base = rng.normal(size=(b, s, h, d)).astype(np.float32)
+        q = jnp.asarray(base * 12.0)
+        k = jnp.asarray(base * 12.0)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        co = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        scale = d**-0.5
+        raw = np.asarray(
+            jnp.einsum("bshd,bthd->bhst", q, k) * scale
+        )
+        assert raw.max() > 80.0, "test setup must push logits past the clamp"
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) * co)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(jax.nn.dot_product_attention(q, k, v, scale=scale) * co)
+
+        orig = fa._FORCE_FLASH_BWD
+        fa._FORCE_FLASH_BWD = True
+        try:
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa._FORCE_FLASH_BWD = orig
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("qkv", gf, gx):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            assert np.all(np.isfinite(a)), f"non-finite d{name}"
+            np.testing.assert_allclose(a, b_, atol=5e-3, rtol=1e-3, err_msg=f"d{name}")
