@@ -198,16 +198,26 @@ def attach_runtime_lora(
             out_dim = sample_B.shape[0]
             if None in layers:  # top-level linear
                 A, B = layers[None]
-                node["lora_A"] = jnp.asarray(A.astype(np.float32)) * spec.strength
-                node["lora_B"] = jnp.asarray(B.astype(np.float32))
+                A_new = jnp.asarray(A.astype(np.float32)) * spec.strength
+                B_new = jnp.asarray(B.astype(np.float32))
             else:  # stacked block linear
                 A_stack = np.zeros((num_layers, r, in_dim), dtype=np.float32)
                 B_stack = np.zeros((num_layers, out_dim, r), dtype=np.float32)
                 for layer, (A, B) in layers.items():
                     A_stack[layer] = A.astype(np.float32) * spec.strength
                     B_stack[layer] = B.astype(np.float32)
-                node["lora_A"] = jnp.asarray(A_stack)
-                node["lora_B"] = jnp.asarray(B_stack)
+                A_new = jnp.asarray(A_stack)
+                B_new = jnp.asarray(B_stack)
+            if "lora_A" in node:
+                # a previous adapter in this request already covers this
+                # linear: compose by rank concatenation, which is exactly
+                # the sum of the two low-rank updates
+                # (x A1^T B1^T + x A2^T B2^T == x [A1;A2]^T [B1|B2]^T)
+                node["lora_A"] = jnp.concatenate([node["lora_A"], A_new], axis=-2)
+                node["lora_B"] = jnp.concatenate([node["lora_B"], B_new], axis=-1)
+            else:
+                node["lora_A"] = A_new
+                node["lora_B"] = B_new
             applied += 1
         if verbose or applied == 0:
             print(f"[LoRA] runtime attach {spec.path} applied={applied}")

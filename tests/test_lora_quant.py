@@ -197,6 +197,38 @@ class TestLoRA:
         base_out, _ = ltx_apply(params, cfg, video=video)
         assert np.max(np.abs(np.asarray(m_out) - np.asarray(base_out))) > 1e-5
 
+    def test_runtime_attach_two_adapters_same_target(self, tmp_path):
+        """Regression: two adapters covering the same linear must BOTH take
+        effect (rank-concat composition), not last-writer-wins."""
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(7)
+        in_dim = cfg.inner_dim
+        paths = []
+        for i in range(2):
+            state = {
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                    rng.normal(size=(4, in_dim)).astype(np.float32) * 0.1,
+                "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                    rng.normal(size=(in_dim, 4)).astype(np.float32) * 0.1,
+            }
+            p = tmp_path / f"lora{i}.safetensors"
+            save_safetensors(p, state)
+            paths.append(p)
+
+        video = _video_inputs(cfg)
+        specs = [LoraSpec(paths[0], strength=0.7), LoraSpec(paths[1], strength=0.3)]
+        merged = merge_lora_into_params(params, specs)
+        attached = attach_runtime_lora(params, specs, cfg)
+        m_out, _ = ltx_apply(merged, cfg, video=video)
+        a_out, _ = ltx_apply(attached, cfg, video=video)
+        np.testing.assert_allclose(np.asarray(a_out), np.asarray(m_out), atol=5e-4)
+        # and the composed output differs from either adapter alone
+        solo, _ = ltx_apply(
+            attach_runtime_lora(params, specs[1:], cfg), cfg, video=video
+        )
+        assert np.max(np.abs(np.asarray(a_out) - np.asarray(solo))) > 1e-5
+
     def test_lora_on_quantized_base(self, rng):
         """Runtime adapters compose with quantized weights."""
         params = {
