@@ -162,26 +162,75 @@ class GenerationService:
                 "enhance_prompt needs a text encoder; this server runs on "
                 "precomputed --embeddings"
             )
+        # Coerce every numeric field now so a malformed-but-plausible body
+        # ("0.8" for a float, a dict for an int) is a 400, not a 500 raised
+        # deep inside generation.
+        try:
+            kw = self._kwargs_for(req)
+        except (TypeError, ValueError) as e:
+            raise RequestError(f"bad request field: {e}")
+        # Dial-compatibility rules that denoise() enforces with ValueError —
+        # pre-check them here so client mistakes are 400s and (in batch
+        # mode) never burn a batch slot.
+        tc = kw["teacache_threshold"] > 0.0
+        pab = kw["attn_broadcast_interval"] > 1
+        cc = kw["cfg_cache_interval"] > 1
+        if tc and (pab or cc):
+            raise RequestError(
+                "teacache_threshold cannot be combined with "
+                "cfg_cache_interval or attn_broadcast_interval "
+                "(one caching dial at a time)"
+            )
+        if pab and cc:
+            raise RequestError(
+                "attn_broadcast_interval and cfg_cache_interval cannot be combined"
+            )
+        if kw["audio"] and (tc or pab or cc):
+            raise RequestError(
+                "the caching dials (teacache_threshold, cfg_cache_interval, "
+                "attn_broadcast_interval) support the video-only path"
+            )
+        if (tc or pab) and (self.sequence_parallel or self.pipeline_parallel):
+            raise RequestError(
+                "teacache_threshold/attn_broadcast_interval do not compose "
+                "with this server's sequence/pipeline parallelism"
+            )
         self._lora_key(req)  # validates names/paths; raises RequestError
 
     def _lora_key(self, req: dict):
         """Resolve the request's LoRA selection to a hashable cache key
-        ((name, strength), ...); () means the plain base."""
+        ((name, strength), ...); () means the plain base.
+
+        The key is computed once per request and stashed on the req dict —
+        _validate, _batch_key and _models_for all need it, and recomputing
+        would re-stat the adapter files (a TOCTOU window where a later call
+        could fail after the response already started)."""
+        if "_lora_key" in req:
+            return req["_lora_key"]
         sel = req.get("lora")
         if not sel:
+            req["_lora_key"] = ()
             return ()
         if self.lora_dir is None:
             raise RequestError(
                 "this server has no adapter directory; start it with "
                 "--lora-dir to serve per-request LoRA"
             )
-        names = [sel] if isinstance(sel, str) else list(sel)
+        if isinstance(sel, str):
+            names = [sel]
+        elif isinstance(sel, list) and all(isinstance(n, str) for n in sel):
+            names = list(sel)
+        else:
+            raise RequestError("lora must be a file name or a list of file names")
         strength = req.get("lora_strength", 1.0)
-        strengths = (
-            [float(strength)] * len(names)
-            if isinstance(strength, (int, float))
-            else [float(s) for s in strength]
-        )
+        if isinstance(strength, bool) or not isinstance(strength, (int, float, list)):
+            raise RequestError("lora_strength must be a number or a list of numbers")
+        if isinstance(strength, list):
+            if not all(isinstance(s, (int, float)) and not isinstance(s, bool) for s in strength):
+                raise RequestError("lora_strength must be a number or a list of numbers")
+            strengths = [float(s) for s in strength]
+        else:
+            strengths = [float(strength)] * len(names)
         if len(strengths) != len(names):
             raise RequestError("lora_strength list must match lora list length")
         key = []
@@ -192,7 +241,8 @@ class GenerationService:
             if not p.is_file():
                 raise RequestError(f"lora {name!r} not found under the adapter directory")
             key.append((str(p.relative_to(self.lora_dir)), s))
-        return tuple(key)
+        req["_lora_key"] = tuple(key)
+        return req["_lora_key"]
 
     def _transformer_params_for(self, key):
         """Base params for (), else the LRU-cached runtime-attached view."""
@@ -280,8 +330,11 @@ class GenerationService:
         """Generate with ``sink`` subscribed to the in-process ui_event
         stream (denoise_step / phase payloads) for the duration of THIS
         request's generation — the lock serializes requests, so the sink
-        only sees its own events."""
-        self.validate_streaming(req)
+        only sees its own events.
+
+        The caller must have run :meth:`validate_streaming` BEFORE sending
+        the 200 header (the HTTP handler does); it is not repeated here —
+        a second pass could fail mid-stream after success was signalled."""
         return self._generate_one(req, sink=sink)
 
     def generate(self, req: dict) -> dict:
@@ -394,6 +447,10 @@ class GenerationService:
             it["result"] = self._response(
                 result.video_paths[i], result, wall, batched=len(group)
             )
+            if "_enhanced_prompt" in it["req"]:
+                # parity with the unbatched path: the client must see the
+                # prompt that actually conditioned its video
+                it["result"]["enhanced_prompt"] = it["req"]["_enhanced_prompt"]
 
     def _kwargs_for(self, req: dict) -> dict:
         from mlx_video_tpu.pipelines.generate import PipelineType
@@ -715,6 +772,14 @@ def main(argv=None) -> None:
         print(f"[serve] warmup {w}x{h}x{f} (compiles cache in-process)...")
         t0 = time.time()
         service.generate({"prompt": "warmup", "width": w, "height": h, "num_frames": f})
+        if service.max_batch == 1:
+            # Streamed requests trace a DIFFERENT denoise scan (per-step
+            # progress callbacks are compiled in); without this the first
+            # stream=true client stalls minutes on a cold compile emitting
+            # zero events — indistinguishable from a hang.
+            req = {"prompt": "warmup", "width": w, "height": h, "num_frames": f}
+            service.validate_streaming(req)
+            service.generate_streamed(req, lambda ev: None)
         print(f"[serve] warmup done in {time.time() - t0:.1f}s")
 
     httpd = serve(service, args.host, args.port)

@@ -170,7 +170,8 @@ def _make_apply(pp):
 
 def _denoise_step(
     params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
-    cfg_cache_interval, pp, attn_broadcast_interval, teacache_threshold, carry, xs
+    cfg_cache_interval, pp, attn_broadcast_interval, use_teacache, teacache_threshold,
+    carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -189,7 +190,7 @@ def _denoise_step(
     quality/speed dial otherwise.
     """
     apply = _make_apply(pp)
-    tc = teacache_threshold > 0.0 and not enable_audio
+    tc = use_teacache and not enable_audio
     cfg_caching = use_cfg and cfg_cache_interval > 1 and not enable_audio
     pab_k = attn_broadcast_interval if not enable_audio else 1
     pab_cache = None
@@ -377,21 +378,28 @@ def _denoise_step(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "progress", "sp",
+    static_argnames=("config", "use_cfg", "enable_audio", "progress", "sp",
                      "cfg_cache_interval", "pp", "attn_broadcast_interval",
-                     "teacache_threshold"),
+                     "use_teacache"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
-    cfg_cache_interval=1, pp=None, attn_broadcast_interval=1, teacache_threshold=0.0,
+    cfg_cache_interval=1, pp=None, attn_broadcast_interval=1, use_teacache=False,
+    teacache_threshold=0.0,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
     eagerly costs a long chain of per-op dispatches (~100 ms of fixed
     overhead per call through the axon tunnel, measured); inside the jit it
     is one dispatch and XLA hoists the loop-invariant prep out of the scan.
+
+    ``cfg_scale`` and ``teacache_threshold`` are traced scalar operands, not
+    statics: only their on/off-ness (``use_cfg`` / ``use_teacache``) shapes
+    the program, so sweeping values shares ONE compiled scan instead of
+    paying a full multi-minute recompile per value (a serve client tuning a
+    dial would otherwise grow the compile cache without bound).
     """
     bundle = _make_bundle(
         config, latents, positions, context, state, use_cfg, neg_context,
@@ -409,10 +417,10 @@ def _denoise_scan(
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
         progress, num_steps, sp, cfg_cache_interval, pp, attn_broadcast_interval,
-        teacache_threshold,
+        use_teacache, teacache_threshold,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
-    if teacache_threshold > 0.0 and not enable_audio:
+    if use_teacache and not enable_audio:
         # TeaCache carry: cached combined velocity (fp32 tokens), previous
         # change signal, accumulated relative change. Step 0 is always full
         # so the zeros velocity init is never read.
@@ -449,11 +457,11 @@ def _denoise_scan(
     return v, a
 
 
-@partial(jax.jit, static_argnames=("config", "cfg_scale", "use_cfg", "enable_audio", "sp", "pp"))
+@partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp"))
 def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None):
     out, _ = _denoise_step(
         params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp, 1,
-        0.0, carry, (sig_pair, jnp.int32(0)),
+        False, 0.0, carry, (sig_pair, jnp.int32(0)),
     )
     return out
 
@@ -632,6 +640,7 @@ def denoise(
             progress=progress_echo_enabled(), sp=sequence_parallel,
             cfg_cache_interval=cfg_cache_interval, pp=pipeline_parallel,
             attn_broadcast_interval=attn_broadcast_interval,
+            use_teacache=teacache_threshold > 0.0,
             teacache_threshold=float(teacache_threshold),
         )
     else:

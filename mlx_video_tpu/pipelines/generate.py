@@ -846,36 +846,40 @@ def generate_video(
     preview_every = int(_os.environ.get("MLX_VIDEO_PREVIEW_EVERY", "12"))
     preview_max_dim = int(_os.environ.get("MLX_VIDEO_PREVIEW_MAX_DIM", "512"))
     last_preview = [-preview_every]
+    from mlx_video_tpu.utils.profiling import has_event_sinks
 
     def _emit_preview(frame_u8: np.ndarray, idx: int) -> None:
-        from mlx_video_tpu.utils.profiling import has_event_sinks
-
         # Two consumers: an atomically-replaced JPEG file (env-configured,
         # reference parity) and in-process event sinks (serve's streaming
         # endpoint forwards base64 preview frames to the HTTP client).
+        # One JPEG encode feeds both — this runs on the generation thread
+        # while the device lock is held.
         want_stream = has_event_sinks()
         if (preview_path is None and not want_stream) or idx - last_preview[0] < preview_every:
             return
         try:
+            import io as _io
+
             from PIL import Image
 
             img = Image.fromarray(frame_u8)
             if preview_max_dim > 0:
                 img.thumbnail((preview_max_dim, preview_max_dim))
+            buf = _io.BytesIO()
+            img.save(buf, format="JPEG", quality=85)
+            jpeg = buf.getvalue()
             if preview_path is not None:
                 tmp = preview_path + ".tmp"
-                img.save(tmp, format="JPEG", quality=85)
+                with open(tmp, "wb") as fh:
+                    fh.write(jpeg)
                 _os.replace(tmp, preview_path)
             if want_stream:
                 import base64
-                import io as _io
 
-                buf = _io.BytesIO()
-                img.save(buf, format="JPEG", quality=85)
                 ui_event({
                     "kind": "preview",
                     "frame": int(idx),
-                    "jpeg_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "jpeg_b64": base64.b64encode(jpeg).decode(),
                 })
             last_preview[0] = idx
         except Exception:

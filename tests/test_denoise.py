@@ -457,6 +457,24 @@ class TestTeaCache:
         out, _ = dn.denoise(params, config, lat, pos, ctx, sig, teacache_threshold=0.0)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_threshold_values_share_one_compile(self):
+        """teacache_threshold and cfg_scale are traced operands: sweeping
+        values must NOT grow the _denoise_scan jit cache (each recompile is
+        minutes at real geometry and unbounded on a server)."""
+        config, params, lat, pos, ctx = self._setup()
+        sched = [1.0, 0.6, 0.3, 0.0]
+        neg = ctx * 0.5
+        dn.denoise(params, config, lat, pos, ctx, sched, teacache_threshold=0.05)
+        base = dn._denoise_scan._cache_size()
+        for thr in (0.1, 0.15, 0.2):
+            dn.denoise(params, config, lat, pos, ctx, sched, teacache_threshold=thr)
+        assert dn._denoise_scan._cache_size() == base, "threshold value recompiled the scan"
+        dn.denoise(params, config, lat, pos, ctx, sched, neg_context=neg, cfg_scale=3.0)
+        base = dn._denoise_scan._cache_size()
+        for s in (3.5, 4.0, 4.5):
+            dn.denoise(params, config, lat, pos, ctx, sched, neg_context=neg, cfg_scale=s)
+        assert dn._denoise_scan._cache_size() == base, "cfg_scale value recompiled the scan"
+
     def test_threshold_crossing_routes_full_vs_cached(self):
         """Derive the exact step-0 -> step-1 signal change, then show a
         threshold just below it runs step 1 full (== plain loop) and a

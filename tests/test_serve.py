@@ -139,6 +139,29 @@ class TestServe:
         finally:
             G.generate_video = orig
 
+    def test_dial_conflicts_are_400(self, server_url):
+        """denoise()'s dial-compatibility ValueErrors are client mistakes:
+        they must pre-validate to 400, not surface as 500 server faults."""
+        code, out = _post(
+            server_url, dict(self.REQ, teacache_threshold=0.1, cfg_cache_interval=2)
+        )
+        assert code == 400 and "one caching dial" in out["error"]
+        code, out = _post(
+            server_url,
+            dict(self.REQ, attn_broadcast_interval=2, cfg_cache_interval=2),
+        )
+        assert code == 400 and "cannot be combined" in out["error"]
+        code, out = _post(
+            server_url, dict(self.REQ, audio=True, teacache_threshold=0.1)
+        )
+        assert code == 400 and "video-only" in out["error"]
+
+    def test_malformed_numeric_field_is_400(self, server_url):
+        code, out = _post(server_url, dict(self.REQ, num_frames={"oops": 1}))
+        assert code == 400 and "bad request field" in out["error"]
+        code, out = _post(server_url, dict(self.REQ, cfg_scale=[1, 2]))
+        assert code == 400
+
     def test_unknown_path_404(self, server_url):
         try:
             urllib.request.urlopen(server_url + "/nope")
@@ -340,6 +363,16 @@ class TestServeLoRA:
             lora_service.generate(
                 dict(self.REQ, lora=["style.safetensors"], lora_strength=[1.0, 2.0])
             )
+        # malformed-but-plausible types are client mistakes (400), not
+        # TypeError/ValueError 500s
+        with pytest.raises(RequestError, match="number"):
+            lora_service.generate(
+                dict(self.REQ, lora="style.safetensors", lora_strength="0.8")
+            )
+        with pytest.raises(RequestError, match="file name"):
+            lora_service.generate(dict(self.REQ, lora={"name": "style"}))
+        with pytest.raises(RequestError, match="file name"):
+            lora_service.generate(dict(self.REQ, lora=[1, 2]))
         no_dir = GenerationService(
             lora_service.models, default_text=lora_service.default_text,
             output_dir=tmp_path / "out2", dtype=jnp.float32,
@@ -497,6 +530,42 @@ class TestServeEnhance:
         out = enhance_service.generate(req)
         assert out["enhanced_prompt"].startswith("a cat, cinematic")
         assert enhance_service.text_encoder.encoded[0] == out["enhanced_prompt"]
+
+    def test_enhance_prompt_in_batched_response(self, tmp_path):
+        """Regression: the batched path must return enhanced_prompt exactly
+        like the unbatched one (API consistency between the two modes)."""
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        svc = GenerationService(
+            models, text_encoder=_StubTextEncoder(cfg.caption_channels),
+            output_dir=tmp_path / "out", dtype=jnp.float32,
+            max_batch=2, batch_window=2.0,
+        )
+        base = {"height": 64, "width": 64, "num_frames": 9, "stage1_steps": 1,
+                "stage2_steps": 1, "tiling": "none", "enhance_prompt": True}
+        results = {}
+
+        def run(name, prompt, seed):
+            results[name] = svc.generate(dict(base, prompt=prompt, seed=seed))
+
+        t1 = threading.Thread(target=run, args=("a", "a cat", 1))
+        t2 = threading.Thread(target=run, args=("b", "a dog", 2))
+        t1.start(); t2.start(); t1.join(600); t2.join(600)
+        assert results["a"]["batched"] == 2, results
+        assert results["a"]["enhanced_prompt"].startswith("a cat, cinematic")
+        assert results["b"]["enhanced_prompt"].startswith("a dog, cinematic")
 
     def test_enhance_over_http(self, enhance_service):
         httpd = serve(enhance_service, "127.0.0.1", 0)
