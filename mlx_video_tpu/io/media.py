@@ -132,19 +132,33 @@ class VideoWriter:
         self._cv2 = None
         self.frames_written = 0
 
+        self._stderr_file = None
         if encoder == "ffmpeg" and shutil.which("ffmpeg"):
             cmd = [
-                "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                "ffmpeg", "-y", "-hide_banner", "-nostats", "-loglevel", "error",
+                "-f", "rawvideo", "-pix_fmt", "rgb24",
                 "-s", f"{width}x{height}", "-r", str(fps), "-i", "-", "-an",
                 "-c:v", codec, "-preset", preset, "-crf", str(crf),
                 "-pix_fmt", "yuv420p", str(self.path),
             ]
             try:
+                # stderr goes to a temp FILE, never a pipe: ffmpeg's default
+                # per-frame stats fill a 64 KB stderr pipe on long encodes
+                # and deadlock write()/close() (ffmpeg blocks on stderr,
+                # stops reading stdin). A file can't fill, and close() can
+                # still read it back to report a failed encode.
+                import tempfile
+
+                self._stderr_file = tempfile.TemporaryFile()
                 self._ffmpeg = subprocess.Popen(
-                    cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE
+                    cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+                    stderr=self._stderr_file,
                 )
             except Exception:
                 self._ffmpeg = None
+                if self._stderr_file is not None:
+                    self._stderr_file.close()
+                    self._stderr_file = None
         if self._ffmpeg is None:
             import cv2
 
@@ -161,9 +175,15 @@ class VideoWriter:
     def write(self, frames_uint8: np.ndarray) -> None:
         """Write (F, H, W, 3) RGB uint8 frames."""
         if self._ffmpeg is not None and self._ffmpeg.stdin is not None:
-            for frame in frames_uint8:
-                self._ffmpeg.stdin.write(np.ascontiguousarray(frame).tobytes())
-                self.frames_written += 1
+            try:
+                for frame in frames_uint8:
+                    self._ffmpeg.stdin.write(np.ascontiguousarray(frame).tobytes())
+                    self.frames_written += 1
+            except BrokenPipeError:
+                # ffmpeg died mid-encode: close() reads back its stderr and
+                # raises the diagnostic instead of a bare broken pipe
+                self.close()
+                raise
         else:
             import cv2
 
@@ -173,9 +193,24 @@ class VideoWriter:
 
     def close(self) -> None:
         if self._ffmpeg is not None:
-            if self._ffmpeg.stdin is not None:
-                self._ffmpeg.stdin.close()
-            self._ffmpeg.wait()
+            proc, self._ffmpeg = self._ffmpeg, None  # idempotent close
+            if proc.stdin is not None:
+                proc.stdin.close()
+            rc = proc.wait()
+            err = b""
+            if self._stderr_file is not None:
+                try:
+                    self._stderr_file.seek(0)
+                    err = self._stderr_file.read()[-4096:]
+                finally:
+                    self._stderr_file.close()
+                    self._stderr_file = None
+            if rc != 0:
+                # a failed encode must not 200 into a corrupt/empty MP4
+                raise RuntimeError(
+                    f"ffmpeg exited {rc} writing {self.path}: "
+                    f"{err.decode(errors='replace').strip()}"
+                )
         if self._cv2 is not None:
             self._cv2.release()
 

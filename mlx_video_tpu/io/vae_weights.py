@@ -93,9 +93,25 @@ def _read_all(path: Union[str, Path], prefixes: Iterable[str]) -> Dict[str, np.n
                 if key.startswith(prefix):
                     out[key[len(prefix) :]] = np.asarray(r.get(key))
                     break
-            else:
-                if "" in prefixes:
-                    out[key] = np.asarray(r.get(key))
+    return out
+
+
+def _read_stats(
+    path: Union[str, Path], prefixes: Iterable[str], names: Iterable[str]
+) -> Dict[str, np.ndarray]:
+    """Read ONLY the small per-channel stats vectors: keys that are
+    ``prefix + name`` for some prefix/name. The stats live next to the
+    weights under their own prefix (or bare, in stats-only files); a
+    catch-all ``_read_all(path, ("",))`` here would materialize the whole
+    multi-GB checkpoint a second time just to find two vectors."""
+    names = set(names)
+    out: Dict[str, np.ndarray] = {}
+    with SafetensorsReader(path) as r:
+        for key in r.keys():
+            for prefix in prefixes:
+                if key.startswith(prefix) and key[len(prefix) :] in names:
+                    out.setdefault(key[len(prefix) :], np.asarray(r.get(key)))
+                    break
     return out
 
 
@@ -139,10 +155,11 @@ def load_video_decoder_weights(
     prefixes = _detect_prefixes(path, [("vae.decoder.",), ("decoder.",), ("vae_decoder.",)])
     weights = _read_all(path, prefixes)
     # stats live next to the decoder under their own prefix
-    stats = _read_all(
+    stats = _read_stats(
         path,
         ("vae.per_channel_statistics.", "vae_decoder.per_channel_statistics.",
          "per_channel_statistics.", ""),
+        ("mean-of-means", "mean", "latents_mean", "std-of-means", "std", "latents_std"),
     )
     loaded = 0
     for mean_key in ("mean-of-means", "mean", "latents_mean"):
@@ -194,10 +211,11 @@ def load_video_encoder_weights(
     npd = _np_dtype(dtype)
     prefixes = _detect_prefixes(path, [("vae.encoder.",), ("encoder.",), ("vae_encoder.",)])
     weights = _read_all(path, prefixes)
-    stats = _read_all(
+    stats = _read_stats(
         path,
         ("vae.per_channel_statistics.", "vae_encoder.per_channel_statistics.",
          "per_channel_statistics.", ""),
+        ("mean-of-means", "mean", "std-of-means", "std"),
     )
     loaded = 0
     for mean_key in ("mean-of-means", "mean"):
@@ -271,12 +289,17 @@ def load_audio_vae_weights(
 ) -> int:
     npd = _np_dtype(dtype)
     loaded = 0
+    stats = _read_stats(
+        path,
+        ("per_channel_statistics.", "audio_vae.per_channel_statistics."),
+        ("std_of_means", "std-of-means", "_std_of_means",
+         "mean_of_means", "mean-of-means", "_mean_of_means"),
+    )
     for target, prefixes in ((encoder_params, ("encoder.", "audio_vae.encoder.")),
                              (decoder_params, ("decoder.", "audio_vae.decoder."))):
         if target is None:
             continue
         weights = _read_all(path, prefixes)
-        stats = _read_all(path, ("per_channel_statistics.", "audio_vae.per_channel_statistics."))
         for name in ("std_of_means", "std-of-means", "_std_of_means"):
             if name in stats:
                 target["per_channel_statistics"]["std_of_means"] = jnp.asarray(

@@ -224,6 +224,69 @@ def attach_runtime_lora(
     return params
 
 
+def load_lora_into_params(params: dict, path: Union[str, Path], config: LTXModelConfig) -> dict:
+    """REPLACE injected adapter leaves with factors from a saved adapter
+    file (``save_lora`` / reference ``lora_step_N.safetensors`` format) —
+    continue-training semantics (reference: trainer.py:282-293), distinct
+    from :func:`attach_runtime_lora` which composes adapters over a base.
+
+    Requires :func:`inject_lora` to have created the leaves already (their
+    shapes validate the file's rank/geometry against the config).
+    """
+    lora_sd = load_lora_state(path)
+    num_layers = config.num_layers
+    grouped: Dict[Tuple, Dict] = {}
+    for module_key, A, B in iter_lora_pairs(lora_sd):
+        mapped = dit_tree_path(module_key + ".weight")
+        if mapped is None:
+            continue
+        layer, tree_path = mapped
+        grouped.setdefault(tree_path[:-1], {})[layer] = (A, B)
+    if not grouped:
+        raise ValueError(f"{path}: no LoRA pairs found (not an adapter checkpoint?)")
+
+    def _structural_copy(node):
+        if isinstance(node, dict):
+            return {k: _structural_copy(v) for k, v in node.items()}
+        return node
+
+    params = _structural_copy(params)
+    for tree_path, layers in grouped.items():
+        node = params
+        for part in tree_path:
+            if not isinstance(node, dict) or part not in node:
+                node = None
+                break
+            node = node[part]
+        if node is None or "lora_A" not in node:
+            raise ValueError(
+                f"{path}: adapter targets {'.'.join(tree_path)} but no LoRA "
+                "leaves are injected there — check lora_rank/target_modules"
+            )
+        if None in layers:
+            A, B = layers[None]
+            A_new = jnp.asarray(A.astype(np.float32))
+            B_new = jnp.asarray(B.astype(np.float32))
+        else:
+            sample_A, sample_B = next(iter(layers.values()))
+            A_stack = np.zeros((num_layers, *sample_A.shape), dtype=np.float32)
+            B_stack = np.zeros((num_layers, *sample_B.shape), dtype=np.float32)
+            for layer, (A, B) in layers.items():
+                A_stack[layer] = A.astype(np.float32)
+                B_stack[layer] = B.astype(np.float32)
+            A_new, B_new = jnp.asarray(A_stack), jnp.asarray(B_stack)
+        if A_new.shape != node["lora_A"].shape or B_new.shape != node["lora_B"].shape:
+            raise ValueError(
+                f"{path}: adapter shapes A{A_new.shape}/B{B_new.shape} at "
+                f"{'.'.join(tree_path)} do not match the injected leaves "
+                f"A{node['lora_A'].shape}/B{node['lora_B'].shape} "
+                "(different lora_rank?)"
+            )
+        node["lora_A"] = A_new.astype(node["lora_A"].dtype)
+        node["lora_B"] = B_new.astype(node["lora_B"].dtype)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Training injection (reference: mlx_trainer/lora.py:78-131)
 # ---------------------------------------------------------------------------

@@ -121,18 +121,27 @@ def load_train_checkpoint(
 
 
 def prune_checkpoints(output_dir: Path, keep_last_n: int) -> None:
-    """Keep the newest N checkpoints (reference: trainer.py:662-674)."""
+    """Keep the newest N checkpoint STEPS (reference: trainer.py:662-674).
+
+    A save writes several files per step (the adapter/params export plus the
+    resume state), so pruning counts distinct steps, not files — counting
+    files would tie the same step's exports against each other and delete
+    one of them nondeterministically. Files without a ``step_<n>`` marker
+    (user files that happen to live in output_dir) are never touched.
+    """
     if keep_last_n is None or keep_last_n < 0:
         return
-    files = sorted(
-        Path(output_dir).glob("*.safetensors"),
-        key=lambda p: _step_of(p.name),
-    )
-    for f in files[: max(0, len(files) - keep_last_n)]:
-        try:
-            f.unlink()
-        except OSError:
-            pass
+    by_step: dict = {}
+    for f in Path(output_dir).glob("*.safetensors"):
+        step = _step_of(f.name)
+        if step >= 0:
+            by_step.setdefault(step, []).append(f)
+    for step in sorted(by_step)[: max(0, len(by_step) - keep_last_n)]:
+        for f in by_step[step]:
+            try:
+                f.unlink()
+            except OSError:
+                pass
 
 
 def _step_of(name: str) -> int:

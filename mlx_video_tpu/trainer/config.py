@@ -96,6 +96,26 @@ class TrainingConfig:
     pipeline_tensor: int = 1
     pipeline_fsdp: int = 1
 
+    def __post_init__(self) -> None:
+        # YAML 1.1 parses "2e-4" / "1e-2" as STRINGS; coerce every numeric
+        # field by its annotation so a string max_grad_norm (or lora_alpha,
+        # first_frame_conditioning_p, ...) cannot reach the optimizer / a
+        # static jit arg as str. Covers the CLI path identically.
+        import dataclasses
+
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v is None or isinstance(v, bool):
+                continue
+            t = str(f.type)
+            try:
+                if t in ("int", "Optional[int]"):
+                    setattr(self, f.name, int(v))
+                elif t in ("float", "Optional[float]"):
+                    setattr(self, f.name, float(v))
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"TrainingConfig.{f.name}: {e}") from None
+
 
 def _normalize_target_modules(targets):
     """PT-style target names -> sanitized names (reference: config.py:16-27)."""

@@ -101,7 +101,7 @@ def precompute_dataset(
     reference_fn: frames [0,1] -> reference frames (e.g. edge maps) for
     IC-LoRA training.
     """
-    from mlx_video_tpu.io.media import load_video
+    from mlx_video_tpu.io.media import load_video, prepare_video_for_encoding
     from mlx_video_tpu.io.safetensors import save_safetensors
 
     out = Path(output_root)
@@ -125,7 +125,9 @@ def precompute_dataset(
         valid_f = max(((f - 1) // 8) * 8 + 1, 1)
         frames = frames[:valid_f]
 
-        tensor = np.transpose(frames * 2.0 - 1.0, (3, 0, 1, 2))[None].astype(np.float32)
+        tensor = prepare_video_for_encoding(
+            frames, frames.shape[1], frames.shape[2]
+        ).astype(np.float32)
         latents = np.asarray(encode_fn(tensor), dtype=np.float32)[0]
 
         stem = video_path.stem
@@ -164,11 +166,20 @@ def precompute_dataset(
         if reference_dir is not None:
             ref_path = Path(reference_dir) / video_path.name
             if ref_path.exists():
-                ref_frames = load_video(ref_path, frame_cap=frame_cap)[:valid_f]
+                # Conform the reference clip to the TARGET's final geometry
+                # (bucketed frames/height/width): reference latents must
+                # stack against target latents in a batch, and a short ref
+                # clip must still honor the 1+8k frame contract.
+                ref_frames = resize_and_center_crop(
+                    match_frame_count(load_video(ref_path, frame_cap=frame_cap), valid_f),
+                    frames.shape[1], frames.shape[2],
+                )
         elif reference_fn is not None:
             ref_frames = reference_fn(frames)
         if ref_frames is not None:
-            ref_tensor = np.transpose(ref_frames * 2.0 - 1.0, (3, 0, 1, 2))[None].astype(np.float32)
+            ref_tensor = prepare_video_for_encoding(
+                ref_frames, frames.shape[1], frames.shape[2]
+            ).astype(np.float32)
             ref_lat = np.asarray(encode_fn(ref_tensor), np.float32)[0]
             save_safetensors(
                 out / "reference_latents" / f"latent_{stem}.safetensors",
@@ -341,16 +352,24 @@ def main(argv=None) -> None:
             "prompt_attention_mask": np.ones((video.shape[1],), bool),
         }
 
-    prompts = {}
-    if args.prompts_file:
-        for line in Path(args.prompts_file).read_text().splitlines():
-            if ":" in line:
-                stem, prompt = line.split(":", 1)
-                prompts[stem.strip()] = prompt.strip()
-
     videos = sorted(
         p for p in Path(args.videos).iterdir() if p.suffix.lower() in (".mp4", ".mov", ".webm")
     )
+
+    prompts = {}
+    if args.prompts_file:
+        text = Path(args.prompts_file).read_text()
+        stems = {p.stem for p in videos}
+        for line in text.splitlines():
+            if ":" in line:
+                stem, prompt = line.split(":", 1)
+                prompts[stem.strip()] = prompt.strip()
+        if text.strip() and not (prompts.keys() & stems):
+            # advertised "single shared prompt" mode: a file whose lines
+            # name no actual clip stem conditions every clip on its content
+            # (a colon INSIDE a shared prompt must not shadow this)
+            shared = " ".join(text.split())
+            prompts = {s: shared for s in stems}
     buckets = parse_buckets(args.resolution_buckets) if args.resolution_buckets else None
     caption_fn = None
     if args.caption:

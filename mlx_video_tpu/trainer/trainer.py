@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType
-from mlx_video_tpu.io.safetensors import save_safetensors
+from mlx_video_tpu.io.safetensors import SafetensorsReader, save_safetensors
 from mlx_video_tpu.io.weights import flatten_params, load_dit_params
 from mlx_video_tpu.lora import LoRAConfig, inject_lora, lora_mask, save_lora
 from mlx_video_tpu.models.ltx.model import init_ltx_params
@@ -118,6 +118,41 @@ class Trainer:
             trainable = lora_mask(self.params)
         else:
             trainable = None
+
+        if cfg.load_checkpoint:
+            # Continue-training entry (reference: trainer.py:282-293):
+            # either a saved adapter (lora_step_N.safetensors) overwriting
+            # the just-injected LoRA leaves, or a full transformer export.
+            ck_path = Path(cfg.load_checkpoint)
+            if not ck_path.exists():
+                raise FileNotFoundError(f"load_checkpoint: {ck_path} does not exist")
+            from mlx_video_tpu.io.weights import load_native_params
+            from mlx_video_tpu.lora import load_lora_into_params
+
+            with SafetensorsReader(ck_path) as _r:
+                is_adapter = any(".lora_A." in k for k in _r.keys())
+            if is_adapter:
+                if cfg.training_mode != "lora":
+                    raise ValueError(
+                        "load_checkpoint points at a LoRA adapter but "
+                        "training_mode is 'full'"
+                    )
+                self.params = load_lora_into_params(self.params, ck_path, self.model_config)
+            else:
+                loaded = load_native_params(ck_path)
+                tmpl = jax.tree_util.tree_structure(self.params)
+                got = jax.tree_util.tree_structure(loaded)
+                if tmpl != got:
+                    raise ValueError(
+                        f"load_checkpoint: {ck_path} tree structure does not "
+                        "match the model (wrong export / missing LoRA leaves?)"
+                    )
+                dt = jnp.bfloat16 if cfg.mixed_precision_mode == "bf16" else jnp.float32
+                self.params = jax.tree.map(
+                    lambda t, x: jnp.asarray(x, t.dtype if hasattr(t, "dtype") else dt),
+                    self.params, loaded,
+                )
+            print(f"[trainer] Loaded weights from {ck_path}")
 
         # Mesh-sharded training (new capability vs the single-device
         # reference, SURVEY §2.12): TP/FSDP-shard params over a
@@ -257,13 +292,16 @@ class Trainer:
         try:
             import wandb
 
-            self._wandb = wandb
             wandb.init(
                 project=self.cfg.wandb_project,
                 entity=self.cfg.wandb_entity,
                 tags=list(self.cfg.wandb_tags) if self.cfg.wandb_tags else None,
                 config={"strategy": self.cfg.strategy, "steps": self.cfg.steps, "lr": self.cfg.lr},
             )
+            # only after init succeeds: a failed init (no API key, no
+            # network) must leave _wandb unset or the first log() call
+            # would abort the whole training run
+            self._wandb = wandb
         except Exception:
             print("[trainer] W&B requested but unavailable.")
 
@@ -342,7 +380,10 @@ class Trainer:
                     sp=self.sp,
                     pp=self.pp,
                 )
-                accum = grads if accum is None else accumulate_grads(accum, grads)
+                if accum is None:
+                    accum, accum_count = grads, 1
+                else:
+                    accum, accum_count = accumulate_grads(accum, grads), accum_count + 1
 
                 if (step + 1) % accum_steps == 0:
                     self.params, self.opt_state = apply_updates(
@@ -405,8 +446,11 @@ class Trainer:
             epoch += 1
 
         if accum is not None:
+            # final PARTIAL window: divide by the microbatches actually
+            # accumulated, not the full accum_steps (which would underweight
+            # the last update by accum_count/accum_steps)
             self.params, self.opt_state = apply_updates(
-                self.params, self.opt_state, accum, self.optimizer, accum_steps
+                self.params, self.opt_state, accum, self.optimizer, accum_count
             )
         self.save_checkpoint(cfg.steps)
         ckpt.prune_checkpoints(Path(cfg.output_dir), cfg.checkpoint_keep_last_n)

@@ -357,6 +357,42 @@ class TestPrecompute:
         assert all(s[2] == 9 for s in shapes)
         assert (out_root / "reference_latents" / "latent_clip.safetensors").exists()
 
+    def test_reference_dir_conforms_to_target_geometry(self, tmp_path, rng):
+        """Reference clips must pass through the SAME bucket fit + frame
+        padding as targets: a mismatched/short ref clip previously produced
+        reference latents that could not stack against the target batch."""
+        import cv2
+
+        from mlx_video_tpu.trainer.precompute import precompute_dataset
+
+        def write_vid(path, frames, size):
+            w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 24, size)
+            for _ in range(frames):
+                w.write((rng.uniform(size=(size[1], size[0], 3)) * 255).astype(np.uint8))
+            w.release()
+
+        vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+        ref_dir = tmp_path / "refs"; ref_dir.mkdir()
+        write_vid(vid_dir / "clip.mp4", frames=20, size=(128, 96))
+        # shorter AND differently-sized reference
+        write_vid(ref_dir / "clip.mp4", frames=5, size=(64, 64))
+
+        shapes = []
+
+        def fake_encode(t):
+            shapes.append(t.shape)
+            b, c, f, h, w_ = t.shape
+            return rng.normal(size=(b, 8, 1 + (f - 1) // 8, h // 32, w_ // 32)).astype(np.float32)
+
+        n = precompute_dataset(
+            [vid_dir / "clip.mp4"], tmp_path / "data", encode_fn=fake_encode,
+            buckets=[(64, 64, 17)], reference_dir=ref_dir,
+        )
+        assert n == 1
+        # target bucketed to 64x64x17 and the ref conformed to the same
+        assert len(shapes) == 2 and shapes[0] == shapes[1], shapes
+        assert shapes[0][2:] == (17, 64, 64), shapes
+
 
 class TestHub:
     def test_alias_and_local(self, tmp_path):
@@ -413,6 +449,62 @@ class TestCLIParsers:
         assert args.audio_bitrate == "192k"
         assert args.include_reference_in_output is True
         assert build_parser().parse_args(["--prompt", "x"]).audio_bitrate is None
+
+
+class TestVideoWriterFfmpeg:
+    """The ffmpeg pipe writer must fail LOUDLY (with ffmpeg's stderr) when
+    the encode fails, and never deadlock on a filled stderr pipe."""
+
+    def _stub_ffmpeg(self, tmp_path, script_body: str) -> dict:
+        stub_dir = tmp_path / "bin"
+        stub_dir.mkdir()
+        stub = stub_dir / "ffmpeg"
+        stub.write_text("#!/bin/sh\n" + script_body)
+        stub.chmod(0o755)
+        import os
+
+        return {**os.environ, "PATH": f"{stub_dir}:{os.environ['PATH']}"}
+
+    def test_failed_encode_raises_with_stderr(self, tmp_path, monkeypatch):
+        import os
+
+        env = self._stub_ffmpeg(tmp_path, 'echo "stub encoder exploded" >&2\nexit 3\n')
+        monkeypatch.setattr(os, "environ", env)
+        monkeypatch.setenv("PATH", env["PATH"])
+        from mlx_video_tpu.io.media import VideoWriter
+
+        w = VideoWriter(tmp_path / "out.mp4", 64, 64, 24, encoder="ffmpeg")
+        assert w._ffmpeg is not None, "stub ffmpeg not picked up"
+        with pytest.raises((RuntimeError, BrokenPipeError)) as exc:
+            # the stub exits without reading stdin -> broken pipe -> close()
+            # raises the diagnostic; a tiny write may also buffer, in which
+            # case close() itself raises
+            w.write(np.zeros((30, 64, 64, 3), np.uint8))
+            w.close()
+        assert "stub encoder exploded" in str(exc.value) or isinstance(
+            exc.value, BrokenPipeError
+        )
+
+    def test_noisy_stderr_does_not_deadlock(self, tmp_path, monkeypatch):
+        """A chatty encoder (>64 KB stderr, the old pipe deadlock) must
+        still complete: stderr goes to a file, not a pipe."""
+        import os
+
+        env = self._stub_ffmpeg(
+            tmp_path,
+            # spew ~1 MB to stderr, then drain stdin and succeed
+            'i=0\nwhile [ $i -lt 16384 ]; do echo '
+            '"frame=$i fps=0.0 q=-1.0 size=N/A time=00:00:00.00" >&2; '
+            'i=$((i+1)); done\ncat > /dev/null\n'
+            'echo ok > "$(eval echo \\${$#})"\nexit 0\n',
+        )
+        monkeypatch.setenv("PATH", env["PATH"])
+        from mlx_video_tpu.io.media import VideoWriter
+
+        w = VideoWriter(tmp_path / "out.mp4", 64, 64, 24, encoder="ffmpeg")
+        assert w._ffmpeg is not None
+        w.write(np.zeros((8, 64, 64, 3), np.uint8))
+        w.close()  # must not hang or raise
 
 
 class TestMuxAudio:
