@@ -185,10 +185,14 @@ class GenerationService:
             raise RequestError(
                 "attn_broadcast_interval and cfg_cache_interval cannot be combined"
             )
-        if kw["audio"] and (tc or pab or cc):
+        audio_mode = kw["audio_mode"]
+        if audio_mode == "auto":  # generate_video's resolution rule
+            audio_mode = "separate" if self.loaded_pipeline == "distilled" else "joint"
+        if kw["audio"] and audio_mode == "joint" and (tc or pab or cc):
             raise RequestError(
                 "the caching dials (teacache_threshold, cfg_cache_interval, "
-                "attn_broadcast_interval) support the video-only path"
+                "attn_broadcast_interval) support the video-only denoise; "
+                "use audio_mode=separate to combine them with audio"
             )
         if (tc or pab) and (self.sequence_parallel or self.pipeline_parallel):
             raise RequestError(

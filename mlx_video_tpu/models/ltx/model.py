@@ -320,10 +320,14 @@ def block_apply(
     ``attn_cache``/``collect_attn`` implement Pyramid Attention Broadcast
     (PAB, arXiv:2408.12588) for the video branch: attention outputs drift
     slowly across adjacent diffusion steps, so a cached step reuses the
-    previous full step's raw attention outputs (pre-gate — the adaLN gate
-    is timestep-dependent and stays fresh) and skips the QKV/softmax/out
-    compute entirely. ``collect_attn`` returns {"self", "cross"} outputs
-    for caching; ``attn_cache`` consumes them instead of computing.
+    previous full step's raw SELF-attention outputs (pre-gate — the adaLN
+    gate is timestep-dependent and stays fresh) and skips that QKV/softmax/
+    out compute entirely. ``collect_attn`` returns {"self"} outputs for
+    caching; ``attn_cache`` consumes them instead of computing. Cross
+    (text) attention is always recomputed: its KV is ~128 caption tokens so
+    it is a small slice of the compute, while caching it would DOUBLE the
+    (L, B, S, dim) scan-carry HBM — at 19B geometry the cache is the
+    difference between fitting next to the weights and OOM.
     """
     vx = video.x if video is not None else None
     ax = audio.x if audio is not None else None
@@ -340,21 +344,18 @@ def block_apply(
                 bparams["attn1"], norm_vx, video_cfg.heads, rope_type, norm_eps, pe=video.pe, sp=sp
             )
         vx = vx + a1 * vgate
-        if attn_cache is not None:
-            a2 = attn_cache["cross"]
-        else:
-            a2 = attention_apply(
-                bparams["attn2"],
-                rms_norm(vx, eps=norm_eps),
-                video_cfg.heads,
-                rope_type,
-                norm_eps,
-                context=video.context,
-                bias=video.context_bias,
-            )
+        a2 = attention_apply(
+            bparams["attn2"],
+            rms_norm(vx, eps=norm_eps),
+            video_cfg.heads,
+            rope_type,
+            norm_eps,
+            context=video.context,
+            bias=video.context_bias,
+        )
         vx = vx + a2
         if collect_attn:
-            attn_outs = {"self": a1, "cross": a2}
+            attn_outs = {"self": a1}
 
     if audio is not None:
         ashift, ascale, agate = _ada_values(bparams["audio_scale_shift_table"], audio.timesteps, 0, 3, 6)

@@ -337,11 +337,11 @@ def _denoise_step(
         # gates/modulation and FFNs stay fresh. Exact when the cached and
         # fresh attention inputs coincide; a quality/speed dial otherwise.
         def _pab_full(cache_prev):
-            vel, _, cache = ltx_apply(params, config, video=video_mod, sp=sp, pab="collect")
+            vel, _, cache = apply(params, config, video=video_mod, sp=sp, pab="collect")
             return vel, cache
 
         def _pab_cached(cache_prev):
-            vel, _ = ltx_apply(params, config, video=video_mod, sp=sp, pab=cache_prev)
+            vel, _ = apply(params, config, video=video_mod, sp=sp, pab=cache_prev)
             return vel, cache_prev
 
         v_vel, pab_cache = jax.lax.cond(
@@ -442,14 +442,14 @@ def _denoise_scan(
         )
         (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_delta), xs)
     elif attn_broadcast_interval > 1 and not enable_audio:
-        # per-layer attention-output cache (model dtype); step 0 is always a
-        # full (collect) step so the zeros init is never read
+        # per-layer SELF-attention output cache (model dtype; cross-attn is
+        # recomputed — see block_apply); step 0 is always a full (collect)
+        # step so the zeros init is never read
         n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
         bf = latents.shape[0] * (2 if use_cfg else 1)
         seq = latents.shape[2] * latents.shape[3] * latents.shape[4]
         init_cache = {
             "self": jnp.zeros((n_layers, bf, seq, config.inner_dim), dtype=latents.dtype),
-            "cross": jnp.zeros((n_layers, bf, seq, config.inner_dim), dtype=latents.dtype),
         }
         (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_cache), xs)
     else:
@@ -596,8 +596,11 @@ def denoise(
                 "attn_broadcast_interval and cfg_cache_interval cannot be combined "
                 "(their forward batch shapes conflict inside the scan)"
             )
-        if pipeline_parallel is not None:
-            raise ValueError("attn_broadcast_interval does not compose with pipeline_parallel")
+        if pipeline_parallel is not None or sequence_parallel is not None:
+            raise ValueError(
+                "attn_broadcast_interval does not compose with pipeline/sequence "
+                "parallelism (data-dependent lax.cond around shard_map bodies)"
+            )
         if progress_callback is not None:
             raise ValueError("attn_broadcast_interval is a scan-mode feature; "
                              "per-step progress_callback is unsupported with it")

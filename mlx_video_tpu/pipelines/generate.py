@@ -607,12 +607,18 @@ def generate_video(
             audio_context=text.audio_embeddings,
             audio_neg_context=text.audio_neg_embeddings,
         )
-    # Quality/speed dials are video-only (denoise.py disables them when the
-    # audio modality is active); resolve the policy once, next to where
-    # audio_kwargs is decided, so every denoise call site below agrees.
-    cfg_cache_interval = cfg_cache_interval if not audio_kwargs else 1
-    attn_broadcast_interval = attn_broadcast_interval if not audio_kwargs else 1
-    teacache_threshold = teacache_threshold if not audio_kwargs else 0.0
+    # Quality/speed dials are video-only: reject the combination LOUDLY
+    # (matching denoise()'s ValueError and serve's 400) — silently running
+    # without the dial would let a user benchmark/quality-tune against a
+    # configuration that is not actually active.
+    if audio_kwargs and (
+        cfg_cache_interval > 1 or attn_broadcast_interval > 1 or teacache_threshold > 0.0
+    ):
+        raise ValueError(
+            "the caching dials (cfg_cache_interval, attn_broadcast_interval, "
+            "teacache_threshold) support the video-only path; drop the dial "
+            "or generate audio separately (audio_mode=separate)"
+        )
 
     if is_distilled:
         if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:

@@ -383,6 +383,9 @@ class TestAttentionBroadcast:
         v1, _, cache = ltx_apply(params, config, video=mod, pab="collect")
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(ref))
         assert cache["self"].shape == (4, 1, 32, config.inner_dim)
+        # cross-attn is recomputed, never cached: caching it would double
+        # the (L, B, S, dim) scan-carry HBM for a small compute saving
+        assert set(cache.keys()) == {"self"}
         v2, _ = ltx_apply(params, config, video=mod, pab=cache)
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref))
 
@@ -419,6 +422,12 @@ class TestAttentionBroadcast:
             dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
                        neg_context=ctx, cfg_scale=3.0,
                        cfg_cache_interval=2, attn_broadcast_interval=2)
+        # PAB + sequence parallelism: data-dependent lax.cond around
+        # shard_map bodies — must fail LOUDLY at the API, like teacache
+        with pytest.raises(ValueError, match="sequence"):
+            dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
+                       sequence_parallel=("fake_mesh", "fsdp"),
+                       attn_broadcast_interval=2)
 
 
 class TestTeaCache:

@@ -526,16 +526,23 @@ class TestQualitySpeedDials:
         )
         np.testing.assert_array_equal(base.latents, pab1.latents)
 
-    def test_joint_audio_forces_dials_off(self, tmp_path):
-        """With joint audio active the dials are forced to 1 at the call
-        sites — the run must complete (denoise.py would trace the cached
-        branches with an audio modality otherwise)."""
+    def test_joint_audio_rejects_dials_loudly(self, tmp_path):
+        """Joint audio + a caching dial must raise (matching denoise()'s
+        ValueError and serve's 400) — silently dropping the dial let users
+        benchmark against a configuration that was not active."""
         m = TestJointAudioVideo()
         models, text = m._make_av_models()
+        with pytest.raises(ValueError, match="video-only"):
+            generate_video(
+                models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
+                height=128, width=128, num_frames=9, seed=3, audio=True,
+                attn_broadcast_interval=2, cfg_cache_interval=2,
+                decode_latents_only=True, dtype=jnp.float32,
+            )
+        # without the dials the same joint-audio run completes
         result = generate_video(
             models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
             height=128, width=128, num_frames=9, seed=3, audio=True,
-            attn_broadcast_interval=2, cfg_cache_interval=2,
             decode_latents_only=True, dtype=jnp.float32,
         )
         assert np.isfinite(result.latents).all()
@@ -563,17 +570,16 @@ class TestQualitySpeedDials:
         assert np.isfinite(lossy.latents).all()
         assert not np.allclose(lossy.latents, base.latents, atol=1e-5)
 
-    def test_joint_audio_forces_teacache_off(self):
+    def test_joint_audio_rejects_teacache(self):
         m = TestJointAudioVideo()
         models, text = m._make_av_models()
-        result = generate_video(
-            models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
-            height=128, width=128, num_frames=9, seed=3, audio=True,
-            teacache_threshold=0.1,
-            decode_latents_only=True, dtype=jnp.float32,
-        )
-        assert np.isfinite(result.latents).all()
-        assert result.audio_latents is not None
+        with pytest.raises(ValueError, match="video-only"):
+            generate_video(
+                models, text, pipeline=PipelineType.DEV, num_inference_steps=3,
+                height=128, width=128, num_frames=9, seed=3, audio=True,
+                teacache_threshold=0.1,
+                decode_latents_only=True, dtype=jnp.float32,
+            )
 
 
 class TestBatchedGeneration:

@@ -152,7 +152,8 @@ class TestServe:
         )
         assert code == 400 and "cannot be combined" in out["error"]
         code, out = _post(
-            server_url, dict(self.REQ, audio=True, teacache_threshold=0.1)
+            server_url,
+            dict(self.REQ, audio=True, audio_mode="joint", teacache_threshold=0.1),
         )
         assert code == 400 and "video-only" in out["error"]
 
