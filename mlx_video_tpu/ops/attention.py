@@ -43,12 +43,19 @@ def _tpu_backend() -> bool:
 
 def _flash_eligible(q: jax.Array, k: jax.Array, bias) -> bool:
     """Self-attention shapes the Pallas kernel supports profitably: no bias,
-    square attention, lane-aligned head dim, enough tokens to tile."""
+    square attention, lane-aligned head dim, enough tokens to tile — and a
+    VMEM upper bound: the kernel keeps the full K and V resident in VMEM
+    (flash_attention.py in_specs), so past ~8 MiB of K+V the Mosaic compile
+    fails where the XLA path would have worked. Sequences beyond the bound
+    belong to ring attention (parallel/ring_attention.py), whose local
+    blocks are short again."""
+    kv_bytes = 2 * k.shape[1] * k.shape[-1] * k.dtype.itemsize
     return (
         bias is None
         and q.shape[1] == k.shape[1]
         and q.shape[-1] % 128 == 0
         and q.shape[1] >= 256
+        and kv_bytes <= 8 * 1024 * 1024
     )
 
 
@@ -102,7 +109,10 @@ def sdpa(
         from mlx_video_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    if use_flash and _cross_eligible(q, k, bias):
+    # The cross kernel is its own explicit opt-in (_USE_CROSS_KERNEL inside
+    # _cross_eligible): it must stay reachable when the flash master switch
+    # is off (e.g. MLX_VIDEO_TPU_FLASH=0 MLX_VIDEO_TPU_CROSS_KERNEL=1).
+    if _cross_eligible(q, k, bias):
         from mlx_video_tpu.ops.flash_attention import flash_cross_attention
 
         bias_rows = None

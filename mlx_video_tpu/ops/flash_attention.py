@@ -30,6 +30,18 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
+def _to_heads(x: jax.Array, s_pad: int) -> jax.Array:
+    """(B, S, H, D) -> (B*H, S_pad, D), zero-padding the sequence axis.
+
+    The one head/pad layout shared by every kernel entry here — forward and
+    backward MUST agree on it, so there is exactly one copy."""
+    b, s, h, d = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    return x
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, scale: float, valid_len: int
 ):
@@ -113,14 +125,7 @@ def _flash_attention_impl(
 
     block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
 
-    # (B, S, H, D) -> (B*H, S, D)
-    def to_heads(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        return x
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    qh, kh, vh = _to_heads(q, s_pad), _to_heads(k, s_pad), _to_heads(v, s_pad)
 
     # save_lse consumers (Pallas backward, ring-attention combine) need the
     # EXACT logsumexp: the single-pass kernel's clamped, no-max-subtraction
@@ -165,15 +170,22 @@ def _flash_attention_impl(
 # single well-fused tile and stays the default until the kernels win a
 # chip A/B. MLX_VIDEO_TPU_FLASH_BWD=1/0 forces it either way.
 FLASH_BWD_MIN_S = 2048
+# Upper bound: the dkv kernel keeps full q/dO/O plus the lane-replicated
+# lse resident in VMEM — (3*d*itemsize + 512) bytes per row, ~10 MiB at
+# S=8192/d=128/bf16. Past it the Mosaic compile fails; the XLA recompute
+# VJP at least compiles, and the intended mechanism for longer sequences
+# is ring attention over the mesh (local blocks short again).
+FLASH_BWD_MAX_BYTES = 10 * 1024 * 1024
 _FORCE_FLASH_BWD: Optional[bool] = (
     {"1": True, "0": False}.get(os.environ.get("MLX_VIDEO_TPU_FLASH_BWD", ""), None)
 )
 
 
-def _use_bwd_kernel(s: int) -> bool:
+def _use_bwd_kernel(s: int, d: int = 128, itemsize: int = 2) -> bool:
+    fits = s * (3 * d * itemsize + 512) <= FLASH_BWD_MAX_BYTES
     if _FORCE_FLASH_BWD is not None:
-        return _FORCE_FLASH_BWD
-    return s >= FLASH_BWD_MIN_S
+        return _FORCE_FLASH_BWD and fits
+    return s >= FLASH_BWD_MIN_S and fits
 
 
 def _flash_bwd_dq_kernel(
@@ -301,13 +313,8 @@ def _flash_attention_bwd_impl(
     b, s, h, d = q.shape
     block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
 
-    def to_heads(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        return x
-
-    qh, kh, vh, doh, oh = to_heads(q), to_heads(k), to_heads(v), to_heads(g), to_heads(out)
+    qh, kh, vh = _to_heads(q, s_pad), _to_heads(k, s_pad), _to_heads(v, s_pad)
+    doh, oh = _to_heads(g, s_pad), _to_heads(out, s_pad)
     lse = jnp.broadcast_to(lse, (b * h, s_pad, 128))
 
     full = lambda i, j: (i, 0, 0)
@@ -368,7 +375,7 @@ def flash_attention(
 
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
-    if _use_bwd_kernel(q.shape[1]):
+    if _use_bwd_kernel(q.shape[1], q.shape[-1], q.dtype.itemsize):
         out, lse = _flash_attention_impl(
             q, k, v, scale, block_q, block_k, interpret, save_lse=True
         )
@@ -560,13 +567,7 @@ def _flash_attention_split_rope_impl(
 
     block_q, block_k, s_pad = _pick_blocks(s, block_q, block_k)
 
-    def to_heads(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, x.shape[-1])
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        return x
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    qh, kh, vh = _to_heads(q, s_pad), _to_heads(k, s_pad), _to_heads(v, s_pad)
     cos_h = cos.astype(jnp.float32).reshape(b * h, s, d // 2)
     sin_h = sin.astype(jnp.float32).reshape(b * h, s, d // 2)
     if s_pad != s:
@@ -714,15 +715,9 @@ def _flash_cross_attention_impl(
     sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, 128)
 
-    def to_heads(x, s, s_pad):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        return x
-
-    qh = to_heads(q, sq, sq_pad)
-    kh = to_heads(k, skv, skv_pad)
-    vh = to_heads(v, skv, skv_pad)
+    qh = _to_heads(q, sq_pad)
+    kh = _to_heads(k, skv_pad)
+    vh = _to_heads(v, skv_pad)
     if bias is None:
         bias_rows = jnp.zeros((b, skv_pad), dtype=jnp.float32)
     else:
@@ -857,13 +852,7 @@ def flash_attention_int8(
 
     block_q, _, s_pad = _pick_blocks(s, block_q, block_q)
 
-    def to_heads(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        return x
-
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    qh, kh, vh = _to_heads(q, s_pad), _to_heads(k, s_pad), _to_heads(v, s_pad)
 
     def quant_tensor(x):
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))

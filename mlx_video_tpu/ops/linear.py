@@ -39,7 +39,11 @@ def _apply_lora(params: dict, x: jax.Array, y: jax.Array) -> jax.Array:
     a = params["lora_A"].astype(jnp.float32)
     bm = params["lora_B"].astype(jnp.float32)
     xf = x.astype(jnp.float32)
-    delta = jnp.dot(jnp.dot(xf, a.T), bm.T)
+    # fp32 island: default TPU precision would run these fp32 matmuls on
+    # the split-bf16 fast path and silently degrade the adapter delta
+    # (same rule as the dense branch below)
+    hi = jax.lax.Precision.HIGHEST
+    delta = jnp.dot(jnp.dot(xf, a.T, precision=hi), bm.T, precision=hi)
     scale = params.get("lora_scale")
     if scale is not None:
         delta = delta * scale

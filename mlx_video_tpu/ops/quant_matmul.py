@@ -41,9 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mlx_video_tpu.ops.flash_attention import _round_up
 
 
 def _qmm_kernel(xs_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits: int):

@@ -65,11 +65,26 @@ def initialize_multihost(
     on_tpu_pod = len(worker_hosts) > 1 or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     explicit = coordinator_address is not None and num_processes is not None and process_id is not None
     if not on_tpu_pod and not explicit:
-        if num_processes not in (None, 1):
+        # ANY partial explicit config must fail loudly: silently falling
+        # back to single-process would split the intended multi-host job
+        # into independent single-host jobs (wrong global batch, divergent
+        # checkpoints) with no error anywhere.
+        partial = [
+            name
+            for name, v in (
+                ("coordinator_address", coordinator_address),
+                ("num_processes", num_processes),
+                ("process_id", process_id),
+            )
+            if v is not None
+        ]
+        if partial and num_processes != 1:
+            missing = {"coordinator_address", "num_processes", "process_id"} - set(partial)
             raise ValueError(
-                "Multi-process init needs coordinator_address + num_processes + "
-                "process_id (args or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
-                "JAX_PROCESS_ID env vars)."
+                f"Partial multi-process config (got {', '.join(partial)}; "
+                f"missing {', '.join(sorted(missing))}): set all of "
+                "coordinator_address + num_processes + process_id (args or "
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)."
             )
         return False  # single-process: nothing to initialize
 

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax.experimental.shard_map is deprecated (v0.8)
 
 
 def _local_attention_stats(q, k, v, scale):
@@ -161,5 +161,5 @@ def ring_attention(
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q_loc.dtype)
 
     return shard_map(
-        ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_rep=False
+        ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )(q, k, v)

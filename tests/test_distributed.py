@@ -39,6 +39,19 @@ class TestInitializeMultihost:
         with pytest.raises(ValueError, match="coordinator_address"):
             initialize_multihost(num_processes=2)
 
+    def test_any_partial_spec_raises(self):
+        """EVERY partial combination must error — silently falling back to
+        single-process would split a multi-host job into independent
+        single-host jobs with wrong global batch and divergent checkpoints."""
+        with pytest.raises(ValueError, match="num_processes"):
+            initialize_multihost(coordinator_address="h:1234", process_id=0)
+        with pytest.raises(ValueError, match="process_id"):
+            initialize_multihost(coordinator_address="h:1234", num_processes=2)
+        with pytest.raises(ValueError, match="missing"):
+            initialize_multihost(process_id=1)
+        # num_processes=1 alone is a legitimate single-process declaration
+        assert initialize_multihost(num_processes=1) is False
+
     def test_single_process_helpers(self):
         assert is_primary_host()
         assert all_hosts_agree(42)

@@ -236,6 +236,48 @@ def test_sdpa_routes_cross_kernel(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=5e-5, rtol=1e-4)
 
 
+def test_cross_kernel_reachable_with_flash_off(rng):
+    """The cross kernel is its own explicit opt-in: it must route even when
+    the flash master switch is OFF (MLX_VIDEO_TPU_FLASH=0 +
+    MLX_VIDEO_TPU_CROSS_KERNEL=1 was silently dead)."""
+    import mlx_video_tpu.ops.flash_attention as fa
+    from mlx_video_tpu.ops.attention import use_cross_kernel
+
+    b, sq, skv, heads, d = 1, 256, 128, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, sq, heads * d)).astype(np.float32))
+    kv = jnp.asarray(rng.normal(size=(b, skv, heads * d)).astype(np.float32))
+    orig = fa.flash_cross_attention
+    calls = []
+    try:
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw, interpret=True)
+
+        fa.flash_cross_attention = spy
+        use_pallas_flash(False)  # master switch OFF
+        use_cross_kernel(True)
+        sdpa_flat(q, kv, kv, heads)
+    finally:
+        use_pallas_flash(False)
+        use_cross_kernel(False)
+        fa.flash_cross_attention = orig
+    assert calls, "explicitly-enabled cross kernel unreachable with flash off"
+
+
+def test_flash_eligibility_vmem_bound(rng):
+    """Sequences whose full K+V no longer fit VMEM must NOT route into the
+    flash kernel (Mosaic would fail to compile where XLA works)."""
+    from mlx_video_tpu.ops.attention import _flash_eligible
+
+    q = jnp.zeros((1, 4096, 1, 128), jnp.bfloat16)
+    assert _flash_eligible(q, q, None)
+    q_long = jnp.zeros((1, 40960, 1, 128), jnp.bfloat16)  # K+V ~20 MiB
+    assert not _flash_eligible(q_long, q_long, None)
+    # fp32 halves the bound
+    q_f32 = jnp.zeros((1, 20480, 1, 128), jnp.float32)
+    assert not _flash_eligible(q_f32, q_f32, None)
+
+
 def test_int8_attention_close(rng):
     """flash_attention_int8 (experimental, PERF.md): int8 MXU dots with
     per-tensor q/k and per-channel v scales; ~2-3% rel err by design."""
@@ -456,6 +498,15 @@ class TestFlashBackwardKernel:
 
         assert fa._use_bwd_kernel(fa.FLASH_BWD_MIN_S)
         assert not fa._use_bwd_kernel(fa.FLASH_BWD_MIN_S - 1)
+        # VMEM upper bound: past ~10 MiB of resident q/dO/O+lse rows the
+        # kernel cannot compile — fall back to the XLA VJP even when forced
+        assert not fa._use_bwd_kernel(16384, d=128, itemsize=2)
+        orig = fa._FORCE_FLASH_BWD
+        fa._FORCE_FLASH_BWD = True
+        try:
+            assert not fa._use_bwd_kernel(16384, d=128, itemsize=2)
+        finally:
+            fa._FORCE_FLASH_BWD = orig
 
     def test_bwd_kernel_saturated_logits_finite(self, rng):
         """Regression: logits beyond +/-80 must yield finite, XLA-matching
