@@ -280,9 +280,14 @@ def gemma3_logits(
     attention_mask: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     position_offset: int = 0,
+    last_only: bool = False,
 ):
     """Forward to logits (tied embedding head); optionally with KV caches for
-    generation. Returns (logits, new_caches)."""
+    generation. Returns (logits, new_caches).
+
+    ``last_only`` computes logits for the final position only: the 262k-vocab
+    projection over a full 1024-token prefill is a ~1 GB fp32 tensor and a
+    ~2 TFLOP matmul of which generation uses exactly one row."""
     b, t = input_ids.shape
     h = params["embed_tokens"]["weight"][input_ids]
     h = h * jnp.asarray(config.hidden_size**0.5, dtype=h.dtype)
@@ -334,6 +339,8 @@ def gemma3_logits(
         ]
 
     h = gemma_rms_norm(params["norm"], h, config.rms_norm_eps)
+    if last_only:
+        h = h[:, -1:]
     logits = jnp.einsum("btd,vd->btv", h.astype(jnp.float32),
                         params["embed_tokens"]["weight"].astype(jnp.float32))
     return logits, new_caches
@@ -351,7 +358,7 @@ def init_kv_caches(config: Gemma3TextConfig, batch: int, max_len: int, dtype=jnp
     ]
 
 
-_gemma3_logits_jit = jax.jit(gemma3_logits, static_argnames=("config",))
+_gemma3_logits_jit = jax.jit(gemma3_logits, static_argnames=("config", "last_only"))
 
 
 def generate(
@@ -377,7 +384,8 @@ def generate(
     mask[:, :prompt_len] = 1
 
     logits, caches = _gemma3_logits_jit(
-        params, config, jnp.asarray(input_ids), jnp.asarray(mask), caches, position_offset=0
+        params, config, jnp.asarray(input_ids), jnp.asarray(mask), caches,
+        position_offset=0, last_only=True,
     )
     out_tokens: List[int] = []
     next_logits = logits[:, -1]
@@ -401,7 +409,8 @@ def generate(
         out_tokens.append(token)
         mask[:, pos] = 1
         logits, caches = _gemma3_logits_jit(
-            params, config, jnp.asarray([[token]]), jnp.asarray(mask), caches, position_offset=pos
+            params, config, jnp.asarray([[token]]), jnp.asarray(mask), caches,
+            position_offset=pos, last_only=True,
         )
         next_logits = logits[:, -1]
         pos += 1

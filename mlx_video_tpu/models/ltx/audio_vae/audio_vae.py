@@ -21,7 +21,15 @@ from jax import lax
 
 
 class AudioVAEConfig(NamedTuple):
-    """Shared encoder/decoder geometry (reference: audio_vae.py:61-120, 228-311)."""
+    """Shared encoder/decoder geometry (reference: audio_vae.py:61-120, 228-311).
+
+    Defaults are the LTX-2 checkpoint geometry as the reference CONSTRUCTS
+    it (generate.py:1705-1724: ``attn_resolutions=set()``,
+    ``mid_block_add_attention=False`` — "Config says no attention in mid
+    block"), not the reference class defaults. With attention defaulted on,
+    init creates attn blocks the checkpoint has no weights for, and a
+    randomly-initialized attention ran mid-network on every audio decode.
+    """
 
     ch: int = 128
     ch_mult: Tuple[int, ...] = (1, 2, 4)
@@ -31,9 +39,9 @@ class AudioVAEConfig(NamedTuple):
     z_channels: int = 8
     double_z: bool = True
     resolution: int = 256
-    attn_resolutions: Tuple[int, ...] = ()  # encoder default: none
-    decoder_attn_resolutions: Tuple[int, ...] = (8, 16, 32)
-    mid_block_add_attention: bool = True
+    attn_resolutions: Tuple[int, ...] = ()  # encoder: none
+    decoder_attn_resolutions: Tuple[int, ...] = ()
+    mid_block_add_attention: bool = False
     mel_bins: int = 64
     latent_downsample_factor: int = 4
     sample_rate: int = 16000
@@ -196,7 +204,9 @@ def init_audio_encoder(key, config: AudioVAEConfig = AudioVAEConfig(), dtype=jnp
             stage["block"][str(i)] = init_resnet_block(bkeys[i], block_in, block_out, dtype)
             block_in = block_out
             if curr_res in config.attn_resolutions:
-                stage["attn"][str(i)] = init_attn_block(bkeys[config.num_res_blocks], block_in, dtype)
+                stage["attn"][str(i)] = init_attn_block(
+                    jax.random.fold_in(bkeys[config.num_res_blocks], i), block_in, dtype
+                )
         if level != n_res - 1:
             stage["downsample"] = init_downsample(bkeys[-1], block_in, dtype)
             curr_res //= 2
@@ -289,7 +299,9 @@ def init_audio_decoder(key, config: AudioVAEConfig = AudioVAEConfig(), dtype=jnp
             stage["block"][str(i)] = init_resnet_block(bkeys[i], block_in, block_out, dtype)
             block_in = block_out
             if curr_res in config.decoder_attn_resolutions:
-                stage["attn"][str(i)] = init_attn_block(bkeys[-2], block_in, dtype)
+                stage["attn"][str(i)] = init_attn_block(
+                    jax.random.fold_in(bkeys[-2], i), block_in, dtype
+                )
         if level != 0:
             stage["upsample"] = init_upsample(bkeys[-1], block_in, dtype)
             curr_res *= 2

@@ -50,6 +50,10 @@ class Modality(NamedTuple):
     context:   (B, S_ctx, caption_channels) text context
     context_mask: optional (B, S_ctx) 0/1 mask (converted to additive bias)
     pe:        optional precomputed (cos, sin) RoPE tables
+    cross_pe:  optional precomputed (cos, sin) cross-modal RoPE tables —
+               required alongside ``pe`` for the AV (audio+video) path when
+               ``positions`` is None, since the cross tables derive from the
+               positions' time axis
     """
 
     latent: jax.Array
@@ -58,6 +62,7 @@ class Modality(NamedTuple):
     positions: Optional[jax.Array] = None
     context_mask: Optional[jax.Array] = None
     pe: Optional[Tuple[jax.Array, jax.Array]] = None
+    cross_pe: Optional[Tuple[jax.Array, jax.Array]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -546,16 +551,25 @@ def _prepare_modality(
     cross_gate_t = None
     if av_params is not None:
         # Cross-modal RoPE over the shared time axis only (reference: ltx.py:201-247).
-        cross_pe = rope_lib.precompute_freqs_cis(
-            modality.positions[:, 0:1, :],
-            dim=config.audio_cross_attention_dim,
-            theta=config.positional_embedding_theta,
-            max_pos=[cross_pe_max_pos],
-            use_middle_indices_grid=True,
-            num_attention_heads=heads,
-            rope_type=config.rope_type,
-            double_precision=config.double_precision_rope,
-        )
+        if modality.cross_pe is not None:
+            cross_pe = modality.cross_pe
+        elif modality.positions is None:
+            raise ValueError(
+                "AV (audio+video) mode derives the cross-modal RoPE from the "
+                "positions' time axis: pass positions, or precompute and pass "
+                "Modality.cross_pe alongside pe"
+            )
+        else:
+            cross_pe = rope_lib.precompute_freqs_cis(
+                modality.positions[:, 0:1, :],
+                dim=config.audio_cross_attention_dim,
+                theta=config.positional_embedding_theta,
+                max_pos=[cross_pe_max_pos],
+                use_middle_indices_grid=True,
+                num_attention_heads=heads,
+                rope_type=config.rope_type,
+                double_precision=config.double_precision_rope,
+            )
         av_factor = config.av_ca_timestep_scale_multiplier / config.timestep_scale_multiplier
         cross_ss, _ = adaln_apply(av_params[cross_scale_shift_key], t_scaled.reshape(-1), dtype)
         cross_ss_t = cross_ss.reshape(b, -1, cross_ss.shape[-1])
@@ -660,11 +674,12 @@ def ltx_apply(
     (new capability vs the single-device reference, SURVEY §2.12).
 
     ``pab`` (Pyramid Attention Broadcast, arXiv:2408.12588; video-only):
-    ``"collect"`` additionally returns the stacked per-layer attention
-    outputs {"self","cross"}: (L, B, S, D) as a third result; passing such
-    a cache back reuses those outputs and skips all attention compute —
-    the denoise loop broadcasts them across adjacent steps
-    (pipelines/denoise.py ``attn_broadcast_interval``)."""
+    ``"collect"`` additionally returns the stacked per-layer SELF-attention
+    outputs {"self": (L, B, S, D)} as a third result; passing such a cache
+    back reuses them and skips the self-attention compute (text cross-attn
+    is always recomputed — see block_apply) — the denoise loop broadcasts
+    the cache across adjacent steps (pipelines/denoise.py
+    ``attn_broadcast_interval``)."""
     video_cfg = config.get_video_config()
     audio_cfg = config.get_audio_config()
     video_args, audio_args = prepare_ltx_args(params, config, video, audio)

@@ -3,8 +3,10 @@
 Behavioral spec: reference mlx_video/models/ltx/video_vae/ops.py:9-126.
 All functions operate on channels-last ``(B, F, H, W, C)`` tensors (the
 internal TPU layout); the channel packing order matches the reference's
-einops pattern ``b c (f p) (h q) (w r) -> b (c p r q) f h w`` exactly
-(width-patch index varies faster than height-patch in the packed channel).
+einops pattern ``b c (f p) (h q) (w r) -> b (c p r q) f h w`` exactly:
+within each source channel the packed index runs (p, r, q) = (temporal,
+width, height) from slowest to fastest — the height-patch index q varies
+fastest.
 """
 
 from __future__ import annotations

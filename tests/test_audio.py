@@ -65,6 +65,26 @@ class TestCausalConv2d:
 
 
 class TestAudioVAE:
+    def test_default_config_has_no_attention(self):
+        """The default AudioVAEConfig must be the LTX-2 geometry as the
+        reference CONSTRUCTS it (generate.py:1705-1724: no mid-block or
+        up-path attention). With attention defaulted on, init created an
+        attn block the checkpoint has no weights for and a RANDOM attention
+        ran mid-network on every audio decode."""
+        from mlx_video_tpu.models.ltx.audio_vae.audio_vae import (
+            AudioVAEConfig,
+            init_audio_decoder,
+            init_audio_encoder,
+        )
+
+        cfg = AudioVAEConfig()
+        assert cfg.mid_block_add_attention is False
+        assert cfg.decoder_attn_resolutions == ()
+        dec = init_audio_decoder(jax.random.key(0), cfg)
+        enc = init_audio_encoder(jax.random.key(0), cfg)
+        assert "attn_1" not in dec["mid"] and "attn_1" not in enc["mid"]
+        assert all(not stage["attn"] for stage in dec["up"].values())
+
     def test_encoder_shapes(self, rng):
         cfg = tiny_audio_config()
         params = init_audio_encoder(jax.random.key(0), cfg)

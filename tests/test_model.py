@@ -142,6 +142,61 @@ def test_precomputed_pe_matches_positions():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
 
 
+def test_av_precomputed_pe_with_cross_pe():
+    """The documented precomputed-pe contract must hold for the AV path:
+    positions=None works when pe AND cross_pe are precomputed (previously
+    crashed dereferencing positions for the cross-modal RoPE), and a
+    missing cross_pe fails with a clear error."""
+    from mlx_video_tpu.models.ltx import rope as rope_lib
+
+    cfg = tiny_test_config(LTXModelType.AudioVideo)
+    params = init_ltx_params(jax.random.key(3), cfg, dtype=jnp.float32)
+    params["blocks"]["scale_shift_table_a2v_ca_video"] = (
+        params["blocks"]["scale_shift_table_a2v_ca_video"].at[:, 4].set(1.0)
+    )
+    video = _video_inputs(cfg)
+    audio = _audio_inputs(cfg)
+    cross_max = max(
+        cfg.positional_embedding_max_pos[0], cfg.audio_positional_embedding_max_pos[0]
+    )
+
+    def pe_for(mod, dim, max_pos, heads):
+        return rope_lib.precompute_freqs_cis(
+            mod.positions, dim=dim, theta=cfg.positional_embedding_theta,
+            max_pos=max_pos, use_middle_indices_grid=cfg.use_middle_indices_grid,
+            num_attention_heads=heads, rope_type=cfg.rope_type,
+        )
+
+    def cross_pe_for(mod, heads):
+        return rope_lib.precompute_freqs_cis(
+            mod.positions[:, 0:1, :], dim=cfg.audio_cross_attention_dim,
+            theta=cfg.positional_embedding_theta, max_pos=[cross_max],
+            use_middle_indices_grid=True, num_attention_heads=heads,
+            rope_type=cfg.rope_type,
+        )
+
+    v_pe = pe_for(video, cfg.inner_dim, cfg.positional_embedding_max_pos,
+                  cfg.num_attention_heads)
+    a_pe = pe_for(audio, cfg.audio_inner_dim, cfg.audio_positional_embedding_max_pos,
+                  cfg.audio_num_attention_heads)
+    v_cpe = cross_pe_for(video, cfg.num_attention_heads)
+    a_cpe = cross_pe_for(audio, cfg.audio_num_attention_heads)
+
+    ref_v, ref_a = ltx_apply(params, cfg, video=video, audio=audio)
+    out_v, out_a = ltx_apply(
+        params, cfg,
+        video=video._replace(positions=None, pe=v_pe, cross_pe=v_cpe),
+        audio=audio._replace(positions=None, pe=a_pe, cross_pe=a_cpe),
+    )
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=1e-5)
+
+    with pytest.raises(ValueError, match="cross_pe"):
+        ltx_apply(params, cfg,
+                  video=video._replace(positions=None, pe=v_pe),
+                  audio=audio._replace(positions=None, pe=a_pe))
+
+
 def test_timestep_embedding_matches_oracle():
     t = jnp.asarray([0.0, 500.0, 1000.0])
     emb = np.asarray(timestep_embedding(t, 256))
