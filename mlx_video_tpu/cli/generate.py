@@ -211,7 +211,8 @@ def load_embeddings(path: str):
         return TextConditioning(
             video_embeddings=get("video") if "video" in r else get("video_prompt_embeds"),
             video_neg_embeddings=get("video_neg"),
-            audio_embeddings=get("audio") or get("audio_prompt_embeds"),
+            # membership test, never `array or ...` — bool(jax array) raises
+            audio_embeddings=get("audio") if "audio" in r else get("audio_prompt_embeds"),
             audio_neg_embeddings=get("audio_neg"),
         )
 
@@ -286,7 +287,10 @@ def main(argv=None) -> None:
 
     from mlx_video_tpu.loading import bits_hint_for
 
-    bits_hint = bits_hint_for(args.model_repo)
+    # Hint from the snapshot actually being loaded: with --checkpoint-path
+    # pointing at a quantized snapshot, hinting off the default --model-repo
+    # would dequantize stored 8-bit weights with a 4-bit grid (garbage).
+    bits_hint = bits_hint_for(args.checkpoint_path or args.model_repo)
 
     models = load_model_bundle(
         model_path,
@@ -321,7 +325,8 @@ def main(argv=None) -> None:
         quantize_models(
             models, model_path,
             w8a8=args.w8a8, w4a8=args.w4a8,
-            quantize_bits=args.quantize_bits, repo_hint=str(args.model_repo),
+            quantize_bits=args.quantize_bits,
+            repo_hint=str(args.checkpoint_path or args.model_repo),
         )
     except ValueError as e:
         raise SystemExit(str(e))

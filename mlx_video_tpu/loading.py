@@ -50,13 +50,19 @@ def resolve_transformer_file(
     )
 
 
-def resolve_vae_file(model_path: Path) -> Path:
-    """(reference: decoder.py:600-615)."""
-    for candidate in (
-        model_path / "vae" / "diffusion_pytorch_model.safetensors",
-        model_path / "ltx-2-19b-dev.safetensors",
-        model_path / "ltx-2-19b-distilled.safetensors",
-    ):
+def resolve_vae_file(model_path: Path, bits_hint: Optional[str] = None) -> Path:
+    """(reference: decoder.py:600-615). Quantized single-file snapshots
+    (the -mlx / bits-suffixed names resolve_transformer_file prefers) carry
+    the VAE tensors in the same file, so those names are candidates too —
+    otherwise a snapshot whose transformer resolves fine would fail VAE
+    resolution."""
+    candidates = [model_path / "vae" / "diffusion_pytorch_model.safetensors"]
+    for kind in ("dev", "distilled"):
+        if bits_hint:
+            candidates.append(model_path / f"ltx-2-19b-{kind}-{bits_hint}-mlx.safetensors")
+        candidates.append(model_path / f"ltx-2-19b-{kind}-mlx.safetensors")
+        candidates.append(model_path / f"ltx-2-19b-{kind}.safetensors")
+    for candidate in candidates:
         if candidate.exists():
             return candidate
     unified = unified_bundle_file(model_path)
@@ -140,7 +146,7 @@ def load_model_bundle(
         tf_file = resolve_transformer_file(model_path, kind, bits_hint)
         transformer = load_dit_params([tf_file], config, dtype=dtype, strict=False)
 
-    vae_file = resolve_vae_file(model_path)
+    vae_file = resolve_vae_file(model_path, bits_hint)
     dec_cfg = DecoderConfig()
     dec_params = init_video_decoder(jax.random.key(0), dec_cfg, dtype=dtype)
     vae_weights.load_video_decoder_weights(vae_file, dec_params, dtype=dtype)

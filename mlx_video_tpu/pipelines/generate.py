@@ -47,6 +47,7 @@ from mlx_video_tpu.pipelines.conditioning import (
     LatentState,
     VideoConditionByKeyframeIndex,
     VideoConditionByLatentIndex,
+    add_noise_with_state,
     apply_conditioning,
 )
 from mlx_video_tpu.pipelines.positions import (
@@ -151,9 +152,20 @@ def round_frames(num_frames: int) -> int:
 
 def _masked_renoise(state: LatentState, key: jax.Array, sigma0: float) -> LatentState:
     """latent = noise*mask*s0 + latent*(1 - mask*s0) (reference: generate.py:3153-3161)."""
-    noise = jax.random.normal(key, state.latent.shape, dtype=jnp.float32).astype(state.latent.dtype)
-    scaled = state.denoise_mask.astype(state.latent.dtype) * sigma0
-    return state._replace(latent=noise * scaled + state.latent * (1.0 - scaled))
+    return add_noise_with_state(state, key, sigma0)
+
+
+def _resolve_frame_idx(frame_idx: int, num_frames: int, latent_frames: int) -> int:
+    """Map a VIDEO-frame index to a LATENT-frame index
+    (reference: generate.py:2612-2619): identity when it already fits the
+    latent grid, else proportional rescale — the CLI's --image-frame-idx is
+    in media frames while conditioning indexes latent frames."""
+    if frame_idx < latent_frames:
+        return frame_idx
+    if num_frames <= 1 or latent_frames <= 1:
+        return 0
+    scaled = int((frame_idx / (num_frames - 1) * (latent_frames - 1)) + 0.5)
+    return int(max(0, min(latent_frames - 1, scaled)))
 
 
 def _encode_conditionings(
@@ -179,10 +191,12 @@ def _encode_conditionings(
             models.vae_encoder_params, models.vae_encoder_config, vae_ops.to_channels_last(v)
         )
         return vae_ops.to_channels_first(out_cl)
+    latent_frames = 1 + (num_frames - 1) // 8
     for img_path, frame_idx, strength in images:
         image = media.load_image(img_path, height=height, width=width)
         tensor = jnp.asarray(media.prepare_image_for_encoding(image, height, width), dtype=dtype)
         latent = encode(tensor)
+        frame_idx = _resolve_frame_idx(frame_idx, num_frames, latent_frames)
         cls = VideoConditionByKeyframeIndex if mode == "guide" else VideoConditionByLatentIndex
         if mode == "guide":
             conds.append(cls(keyframes=latent, frame_idx=frame_idx, strength=strength))
@@ -192,6 +206,7 @@ def _encode_conditionings(
         frames = media.load_video(vid_path, height=height, width=width, frame_cap=num_frames)
         tensor = jnp.asarray(media.prepare_video_for_encoding(frames, height, width), dtype=dtype)
         latent = encode(tensor)
+        frame_idx = _resolve_frame_idx(frame_idx, num_frames, latent_frames)
         conds.append(
             VideoConditionByKeyframeIndex(keyframes=latent, frame_idx=frame_idx, strength=strength)
         )
@@ -816,7 +831,9 @@ def generate_video(
     if low_memory:
         # Reference-parity staging (generate.py:3504-3506 del transformer +
         # clear_cache): drop every transformer param ref so HBM is free for
-        # the decode convs, then bring the decoder on-device.
+        # the decode convs, then bring the decoder on-device — but only if
+        # this call will actually decode (latents-only returns below would
+        # pay a large blocking host->device copy for nothing).
         models.transformer_params = None
         models.stage2_transformer_params = None
         models.audio_transformer_params = None
@@ -825,10 +842,11 @@ def generate_video(
         import gc
 
         gc.collect()
-        models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=False)
-        if models.audio_decoder_params is not None:
-            models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=False)
-            models.vocoder_params = _stage(models.vocoder_params, to_host=False)
+        if not decode_latents_only and output_path is not None:
+            models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=False)
+            if models.audio_decoder_params is not None:
+                models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=False)
+                models.vocoder_params = _stage(models.vocoder_params, to_host=False)
 
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
@@ -906,6 +924,9 @@ def generate_video(
     with timer.phase("vae_decode"):
         decoded = []
         for vid_idx, vf in enumerate(video_files):
+            # frame indices restart at 0 per video: reset the preview
+            # throttle or previews silently stop after the first video
+            last_preview[0] = -preview_every
             writer = media.VideoWriter(vf, writer_w, writer_h, fps, encoder=video_encoder)
             t0 = time.perf_counter()
             frames_done = [0]

@@ -79,6 +79,37 @@ def _run_main(tmp_path, emb_file, bundle, extra_flags=()):
     return out
 
 
+class TestLoadEmbeddings:
+    def test_audio_key_loads(self, tmp_path):
+        """Regression: `get(\"audio\") or ...` evaluated a JAX array's truth
+        value and raised whenever the file had an \"audio\" key."""
+        from mlx_video_tpu.cli.generate import load_embeddings
+
+        rng = np.random.default_rng(0)
+        path = tmp_path / "e.safetensors"
+        save_safetensors(path, {
+            "video": rng.standard_normal((8, 48)).astype(np.float32),
+            "audio": rng.standard_normal((8, 32)).astype(np.float32),
+        })
+        text = load_embeddings(path)
+        assert text.video_embeddings.shape == (1, 8, 48)
+        assert text.audio_embeddings.shape == (1, 8, 32)
+
+
+class TestResolveVaeFile:
+    def test_single_file_quantized_snapshot(self, tmp_path):
+        """A snapshot with only the bits-suffixed single transformer file
+        (quantized-repo layout) carries VAE tensors in the same file: VAE
+        resolution must find it, not FileNotFoundError."""
+        from mlx_video_tpu.loading import resolve_vae_file
+
+        f = tmp_path / "ltx-2-19b-distilled-4bit-mlx.safetensors"
+        save_safetensors(f, {"x": np.zeros((1,), np.float32)})
+        assert resolve_vae_file(tmp_path, "4bit") == f
+        with pytest.raises(FileNotFoundError):
+            resolve_vae_file(tmp_path / "empty")
+
+
 class TestGenerateCLIMain:
     def test_main_writes_mp4_and_profile(self, tmp_path, emb_file):
         out = _run_main(tmp_path, emb_file, _tiny_bundle())

@@ -81,6 +81,20 @@ class TestHelpers:
         assert cfg is not None and cfg.temporal_config is not None
         assert select_tiling("none", 256, 256, 33, stream=False) is None
 
+    def test_resolve_frame_idx_media_to_latent(self):
+        """CLI frame indices are MEDIA frames; conditioning indexes LATENT
+        frames (reference: generate.py:2612-2619): identity when it fits,
+        else proportional rescale, clamped."""
+        from mlx_video_tpu.pipelines.generate import _resolve_frame_idx
+
+        # 33 media frames -> 5 latent frames
+        assert _resolve_frame_idx(0, 33, 5) == 0
+        assert _resolve_frame_idx(4, 33, 5) == 4          # already latent-ranged
+        assert _resolve_frame_idx(16, 33, 5) == 2          # mid-video -> mid-latent
+        assert _resolve_frame_idx(32, 33, 5) == 4          # last frame -> last latent
+        assert _resolve_frame_idx(99, 33, 5) == 4          # clamped
+        assert _resolve_frame_idx(8, 1, 1) == 0
+
 
 class TestDistilledPipeline:
     def test_t2v_writes_mp4(self, models, tmp_path):
@@ -607,6 +621,30 @@ class TestBatchedGeneration:
         np.testing.assert_allclose(
             batched.latents[1], single1.latents[0], rtol=2e-4, atol=1e-5
         )
+
+    def test_preview_fires_for_every_video_in_batch(self, models, tmp_path, monkeypatch):
+        """The preview throttle resets per video: previews previously
+        stopped after the first video of a batch (frame indices restart at
+        0 while the throttle kept the last video's high-water mark)."""
+        from mlx_video_tpu.utils.profiling import add_event_sink, remove_event_sink
+
+        monkeypatch.setenv("MLX_VIDEO_PREVIEW_EVERY", "4")
+        events = []
+        add_event_sink(events.append)
+        try:
+            generate_video(
+                models, _text(models.transformer_config), seed=2, num_videos=2,
+                height=64, width=64, num_frames=9, pipeline=PipelineType.DISTILLED,
+                stage1_steps=1, stage2_steps=1, tiling="none",
+                output_path=tmp_path / "p.mp4", dtype=jnp.float32,
+            )
+        finally:
+            remove_event_sink(events.append)
+        previews = [e for e in events if e.get("kind") == "preview"]
+        # decode emits per-video progress; both videos must yield previews
+        by_video = {e.get("video") for e in events if e.get("kind") == "progress"}
+        assert by_video == {0, 1}
+        assert len(previews) >= 2, [e.get("kind") for e in events]
 
     def test_dev_cfg_batched_finite(self, models):
         text = _text(models.transformer_config, with_neg=True)
