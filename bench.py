@@ -125,23 +125,36 @@ def synth_q4_params(config, group_size: int = 64, bits: int = 4):
 CHIP_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CHIP_CACHE.json")
 
 
-def _tpu_reachable(timeout_s: int = 120) -> bool:
+def _tpu_reachable(timeout_s: int = 120, attempts: int = 2) -> bool:
     """Probe the axon tunnel in a BOUNDED subprocess: a wedged tunnel hangs
     even jax.devices() forever (observed multi-hour outages, PERF.md), which
-    would hang this whole process — probe out-of-process so we can time out."""
+    would hang this whole process — probe out-of-process so we can time out.
+
+    Retries once after a short pause: a concurrent JAX process holding the
+    single-tenant tunnel stalls the probe past its deadline even though the
+    chip is healthy (observed 2026-08-19 — a CPU-forced pytest run made the
+    probe report a reachable TPU as down), and transient holders usually
+    release within a minute."""
     import subprocess
+    import time as _time
 
     code = (
         "import jax, jax.numpy as jnp; "
         "print(float(jnp.sum(jnp.ones((8, 8)))))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            print("bench: tunnel probe failed, retrying once", file=sys.stderr)
+            _time.sleep(30)
+    return False
 
 
 def _emit_cached_and_exit() -> None:
