@@ -119,6 +119,11 @@ def _double(x):
     return jnp.concatenate([x, x], axis=0)
 
 
+def _half(x, i: int):
+    """(2B, ...) -> the i-th (B, ...) half (inverse of the CFG doubling)."""
+    return jnp.split(x, 2, axis=0)[i]
+
+
 def _host_step_event(step, sigma, total: int):
     from mlx_video_tpu.utils.profiling import step_event
 
@@ -171,7 +176,7 @@ def _make_apply(pp):
 def _denoise_step(
     params, bundle, config, cfg_scale, use_cfg, enable_audio, progress, num_steps, sp,
     cfg_cache_interval, pp, attn_broadcast_interval, use_teacache, teacache_threshold,
-    carry, xs
+    cfg_sequential, carry, xs
 ):
     """One Euler step over both modalities. ``bundle`` holds all loop-constant
     arrays (contexts, positions, RoPE tables, masks, conditioning state).
@@ -297,21 +302,37 @@ def _denoise_step(
         v_out = _euler_step(v_lat, denoised, sigma, sigma_next)
         return (v_out, a_lat, v_delta), None
 
+    seq_cfg = use_cfg and cfg_sequential
     video_mod = None
     vshape = None
     if v_lat.ndim == 5:  # video enabled
         vshape = v_lat.shape
         v_tokens = flatten_video_latents(v_lat)
         ts = (sigma * bundle["v_mask"]).astype(v_lat.dtype)
-        if use_cfg:
-            v_tokens, ts = _double(v_tokens), _double(ts)
-        video_mod = Modality(
-            latent=v_tokens,
-            timesteps=ts,
-            context=bundle["context"],
-            positions=bundle["positions"],
-            pe=(bundle["pe_cos"], bundle["pe_sin"]),
-        )
+        if seq_cfg:
+            # Sequential CFG: two batch-B modalities over the pos/neg halves
+            # of the bundle's doubled context (positions/pe halves are
+            # identical broadcasts, so _half is free).
+            video_mod = tuple(
+                Modality(
+                    latent=v_tokens,
+                    timesteps=ts,
+                    context=_half(bundle["context"], i),
+                    positions=_half(bundle["positions"], i),
+                    pe=(_half(bundle["pe_cos"], i), _half(bundle["pe_sin"], i)),
+                )
+                for i in (0, 1)
+            )
+        else:
+            if use_cfg:
+                v_tokens, ts = _double(v_tokens), _double(ts)
+            video_mod = Modality(
+                latent=v_tokens,
+                timesteps=ts,
+                context=bundle["context"],
+                positions=bundle["positions"],
+                pe=(bundle["pe_cos"], bundle["pe_sin"]),
+            )
 
     audio_mod = None
     ashape = None
@@ -319,15 +340,27 @@ def _denoise_step(
         ashape = a_lat.shape
         a_tokens = flatten_audio_latents(a_lat)
         a_ts = (sigma * bundle["a_mask"]).astype(a_lat.dtype)
-        if use_cfg:
-            a_tokens, a_ts = _double(a_tokens), _double(a_ts)
-        audio_mod = Modality(
-            latent=a_tokens,
-            timesteps=a_ts,
-            context=bundle["a_context"],
-            positions=bundle["a_positions"],
-            pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
-        )
+        if seq_cfg:
+            audio_mod = tuple(
+                Modality(
+                    latent=a_tokens,
+                    timesteps=a_ts,
+                    context=_half(bundle["a_context"], i),
+                    positions=_half(bundle["a_positions"], i),
+                    pe=(_half(bundle["a_pe_cos"], i), _half(bundle["a_pe_sin"], i)),
+                )
+                for i in (0, 1)
+            )
+        else:
+            if use_cfg:
+                a_tokens, a_ts = _double(a_tokens), _double(a_ts)
+            audio_mod = Modality(
+                latent=a_tokens,
+                timesteps=a_ts,
+                context=bundle["a_context"],
+                positions=bundle["a_positions"],
+                pe=(bundle["a_pe_cos"], bundle["a_pe_sin"]),
+            )
 
     if pab_k > 1:
         # Pyramid Attention Broadcast (arXiv:2408.12588): every k-th step
@@ -348,12 +381,36 @@ def _denoise_step(
             step_idx % pab_k == 0, _pab_full, _pab_cached, pab_cache
         )
         a_vel = None
+    elif seq_cfg:
+        # Sequential CFG (memory dial): two batch-B forwards back-to-back
+        # instead of one batch-2B — halves the transformer's peak activation
+        # footprint for HBM-tight e2e configs (the reference's non-cfg_batch
+        # default, generate.py:1239-1283). On a compute-bound chip the two
+        # calls run on the single TPU stream, so throughput is ~batched CFG.
+        v_pos_vel, a_pos_vel = apply(
+            params, config,
+            video=video_mod[0] if video_mod is not None else None,
+            audio=audio_mod[0] if audio_mod is not None else None, sp=sp,
+        )
+        v_neg_vel, a_neg_vel = apply(
+            params, config,
+            video=video_mod[1] if video_mod is not None else None,
+            audio=audio_mod[1] if audio_mod is not None else None, sp=sp,
+        )
+        v_vel = (
+            _cfg_combine(v_pos_vel, v_neg_vel, cfg_scale)
+            if video_mod is not None else None
+        )
+        a_vel = (
+            _cfg_combine(a_pos_vel, a_neg_vel, cfg_scale)
+            if audio_mod is not None else None
+        )
     else:
         v_vel, a_vel = apply(params, config, video=video_mod, audio=audio_mod, sp=sp)
 
     v_out = v_lat
     if video_mod is not None:
-        if use_cfg:
+        if use_cfg and not seq_cfg:
             v_pos, v_neg = jnp.split(v_vel, 2, axis=0)
             v_vel = _cfg_combine(v_pos, v_neg, cfg_scale)
         v_vel = unflatten_video_latents(v_vel, vshape)
@@ -364,7 +421,7 @@ def _denoise_step(
 
     a_out = a_lat
     if enable_audio and a_vel is not None:
-        if use_cfg:
+        if use_cfg and not seq_cfg:
             a_pos, a_neg = jnp.split(a_vel, 2, axis=0)
             a_vel = _cfg_combine(a_pos, a_neg, cfg_scale)
         a_vel = unflatten_audio_latents(a_vel, ashape)
@@ -380,14 +437,14 @@ def _denoise_step(
     jax.jit,
     static_argnames=("config", "use_cfg", "enable_audio", "progress", "sp",
                      "cfg_cache_interval", "pp", "attn_broadcast_interval",
-                     "use_teacache"),
+                     "use_teacache", "cfg_sequential"),
 )
 def _denoise_scan(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
     cfg_cache_interval=1, pp=None, attn_broadcast_interval=1, use_teacache=False,
-    teacache_threshold=0.0,
+    teacache_threshold=0.0, cfg_sequential=False,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -417,7 +474,7 @@ def _denoise_scan(
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
         progress, num_steps, sp, cfg_cache_interval, pp, attn_broadcast_interval,
-        use_teacache, teacache_threshold,
+        use_teacache, teacache_threshold, cfg_sequential,
     )
     xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
     if use_teacache and not enable_audio:
@@ -457,11 +514,11 @@ def _denoise_scan(
     return v, a
 
 
-@partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp"))
-def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None):
+@partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp", "cfg_sequential"))
+def _denoise_one(params, bundle, carry, sig_pair, config, cfg_scale, use_cfg, enable_audio, sp=None, pp=None, cfg_sequential=False):
     out, _ = _denoise_step(
         params, bundle, config, cfg_scale, use_cfg, enable_audio, False, 1, sp, 1, pp, 1,
-        False, 0.0, carry, (sig_pair, jnp.int32(0)),
+        False, 0.0, cfg_sequential, carry, (sig_pair, jnp.int32(0)),
     )
     return out
 
@@ -534,6 +591,7 @@ def denoise(
     pipeline_parallel=None,
     attn_broadcast_interval: int = 1,
     teacache_threshold: float = 0.0,
+    cfg_sequential: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run the full denoise loop.
 
@@ -572,6 +630,13 @@ def denoise(
     Returns (video_latents, audio_latents-or-None), channels-first.
     """
     use_cfg = cfg_scale != 1.0 and neg_context is not None
+    if cfg_sequential and use_cfg:
+        if cfg_cache_interval > 1 or attn_broadcast_interval > 1 or teacache_threshold > 0.0:
+            raise ValueError(
+                "cfg_sequential cannot be combined with cfg_cache_interval, "
+                "attn_broadcast_interval, or teacache_threshold (the caching "
+                "dials assume the batched-CFG forward shape)"
+            )
     if teacache_threshold > 0.0:
         if audio_latents is not None:
             raise ValueError("teacache_threshold supports the video-only path")
@@ -645,6 +710,7 @@ def denoise(
             attn_broadcast_interval=attn_broadcast_interval,
             use_teacache=teacache_threshold > 0.0,
             teacache_threshold=float(teacache_threshold),
+            cfg_sequential=bool(cfg_sequential and use_cfg),
         )
     else:
         bundle = _make_bundle(
@@ -660,6 +726,7 @@ def denoise(
                 params, bundle, carry, sig_pairs[i],
                 config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
                 sp=sequence_parallel, pp=pipeline_parallel,
+                cfg_sequential=bool(cfg_sequential and use_cfg),
             )
             progress_callback(i + 1, num_steps)
         v, a = carry

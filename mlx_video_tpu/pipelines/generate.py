@@ -329,6 +329,7 @@ def generate_video(
     cfg_cache_interval: int = 1,
     attn_broadcast_interval: int = 1,
     teacache_threshold: float = 0.0,
+    cfg_sequential: bool = False,
     # conditioning
     images: Sequence[Tuple[str, int, float]] = (),
     video_conditionings: Sequence[Tuple[str, int, float]] = (),
@@ -683,6 +684,7 @@ def generate_video(
                 pipeline_parallel=pp,
                 attn_broadcast_interval=attn_broadcast_interval,
                 teacache_threshold=teacache_threshold,
+                cfg_sequential=cfg_sequential,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -754,6 +756,7 @@ def generate_video(
                     sequence_parallel=sp, pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
                     teacache_threshold=teacache_threshold,
+                cfg_sequential=cfg_sequential,
                     **audio_kwargs,
                 )
             else:
@@ -763,6 +766,7 @@ def generate_video(
                     pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
                     teacache_threshold=teacache_threshold,
+                cfg_sequential=cfg_sequential,
                     **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -802,6 +806,7 @@ def generate_video(
                 cfg_cache_interval=cfg_cache_interval,
                 attn_broadcast_interval=attn_broadcast_interval,
                 teacache_threshold=teacache_threshold,
+                cfg_sequential=cfg_sequential,
                 **audio_kwargs,
             )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
