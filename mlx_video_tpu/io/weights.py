@@ -140,6 +140,12 @@ def load_dit_params(
 
     # staging: per-path either array (top-level) or dict layer->array (blocks)
     staged: Dict[Tuple[str, ...], object] = {}
+    # MLX pre-quantized checkpoints (nn.quantize output, README community
+    # repos): uint32 bit-packed <name>.weight with sibling .scales/.biases.
+    # Detected per-leaf by dtype; staged in MLX (out, in) orientation under
+    # quant_weight/scales/biases (ops/linear.py dequantizes at the matmul;
+    # bits derive from shapes, any of ops/quant.py SUPPORTED_BITS).
+    quant_paths: set = set()
 
     def _ingest(raw_key: str, get_value) -> None:
         is_pt = raw_key.startswith(PT_PREFIX)
@@ -150,12 +156,22 @@ def load_dit_params(
         if mapped is None:
             return
         layer, path = mapped
-        if path not in flat_expected:
+        quant_aux = (
+            path[-1] in ("scales", "biases")
+            and path[:-1] + ("weight",) in flat_expected
+        )
+        if path not in flat_expected and not quant_aux:
             return
         value = np.asarray(get_value())
-        if value.ndim == 2 and _needs_transpose(path):
-            value = value.T
-        value = _cast(value, np_dtype)
+        if value.dtype == np.uint32 and path[-1] == "weight":
+            quant_paths.add(path)
+            path = path[:-1] + ("quant_weight",)
+        elif quant_aux:
+            pass  # keep stored dtype and (out, groups) orientation
+        else:
+            if value.ndim == 2 and _needs_transpose(path):
+                value = value.T
+            value = _cast(value, np_dtype)
         if layer is None:
             staged[path] = value
         else:
@@ -173,7 +189,50 @@ def load_dit_params(
     num_layers = config.num_layers
     out_flat: Dict[Tuple[str, ...], jnp.ndarray] = {}
     missing: List[str] = []
+
+    def _check_quant_shapes(path, packed, scales, expected) -> None:
+        """Packed (out, words) + scales (out, groups) must be consistent
+        with the dense expected (in, out) and a supported bit width."""
+        from mlx_video_tpu.ops.quant import SUPPORTED_BITS
+
+        in_dim, out_dim = expected.shape[-2], expected.shape[-1]
+        words, groups = packed.shape[-1], scales.shape[-1]
+        bits = words * 32 // in_dim
+        if (
+            packed.shape[-2] != out_dim
+            or scales.shape[-2] != out_dim
+            or words * 32 != bits * in_dim
+            or bits not in SUPPORTED_BITS
+            or in_dim % groups != 0
+        ):
+            raise ValueError(
+                f"Inconsistent quantized shapes for {'.'.join(path)}: packed "
+                f"{packed.shape}, scales {scales.shape} vs dense (in={in_dim}, "
+                f"out={out_dim}) — bits would be {bits}"
+            )
+
     for path, expected in flat_expected.items():
+        if path in quant_paths:
+            base = path[:-1]
+            parts = {}
+            for leaf in ("quant_weight", "scales", "biases"):
+                layers = staged.get(base + (leaf,))
+                if path[0] == "blocks":
+                    if not isinstance(layers, dict) or len(layers) < num_layers:
+                        got = 0 if not isinstance(layers, dict) else len(layers)
+                        missing.append(f"{'.'.join(base + (leaf,))} ({got}/{num_layers} layers)")
+                        break
+                    parts[leaf] = np.stack([layers[i] for i in range(num_layers)], axis=0)
+                else:
+                    if layers is None:
+                        missing.append(".".join(base + (leaf,)))
+                        break
+                    parts[leaf] = layers
+            else:
+                _check_quant_shapes(path, parts["quant_weight"], parts["scales"], expected)
+                for leaf, arr in parts.items():
+                    out_flat[base + (leaf,)] = jnp.asarray(arr)
+            continue
         if path[0] == "blocks":
             layers = staged.get(path)
             if not isinstance(layers, dict) or len(layers) < num_layers:

@@ -98,7 +98,14 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
                 y = y + b.astype(jnp.float32)
             return _apply_lora(params, x, y.astype(x.dtype))
         use_kernel = bool(_USE_QUANT_KERNEL)
-        if use_kernel and in_dim % 128 == 0 and qw.ndim == 2:
+        # The Pallas kernel unpacks word-at-a-time: bits must divide 32
+        # (3/5/6-bit byte-stream checkpoints take the XLA dequant path).
+        if (
+            use_kernel
+            and in_dim % 128 == 0
+            and qw.ndim == 2
+            and 32 % max(qw.shape[-1] * 32 // in_dim, 1) == 0
+        ):
             from mlx_video_tpu.ops.quant_matmul import quant_matmul
 
             bits = qw.shape[-1] * 32 // in_dim

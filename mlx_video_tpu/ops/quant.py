@@ -27,6 +27,53 @@ import jax
 import jax.numpy as jnp
 
 
+SUPPORTED_BITS = (2, 3, 4, 5, 6, 8)
+
+
+def _pack_bitstream(q: jax.Array, bits: int) -> jax.Array:
+    """Pack (out, in) uint32 values (< 2^bits) into the MLX sub-32-bit
+    layout: a contiguous LSB-first little-endian bitstream along the in
+    axis, viewed as uint32 words.
+
+    This is exactly the reference layout for bits not dividing 32
+    (mlx quantized kernels pack 8x3b -> 3 bytes, 4x6b -> 3 bytes,
+    8x5b -> 5 bytes — all byte-contiguous LSB-first, so the stream view
+    covers every case); for bits dividing 32 it coincides with the
+    word-at-a-time fast path below.
+    """
+    out_dim, in_dim = q.shape
+    total_bits = in_dim * bits
+    nbytes = total_bits // 8
+    # (out, in, bits) LSB-first bit expansion -> flat bit vector
+    bit_idx = jnp.arange(bits, dtype=jnp.uint32)
+    stream = ((q[..., None] >> bit_idx) & 1).reshape(out_dim, total_bits)
+    byte_vals = jnp.sum(
+        stream.reshape(out_dim, nbytes, 8) << jnp.arange(8, dtype=jnp.uint32),
+        axis=-1,
+    )
+    wb = byte_vals.reshape(out_dim, nbytes // 4, 4)
+    return (
+        wb[..., 0] | (wb[..., 1] << 8) | (wb[..., 2] << 16) | (wb[..., 3] << 24)
+    ).astype(jnp.uint32)
+
+
+def _unpack_bitstream(packed: jax.Array, bits: int, in_dim: int) -> jax.Array:
+    """Inverse of :func:`_pack_bitstream`: (out, words) uint32 -> (out, in)
+    uint32 values. Static gather indices; a value spans at most two bytes
+    for every supported sub-8 bit width."""
+    out_dim, words = packed.shape
+    nbytes = words * 4
+    byts = jnp.stack(
+        [(packed >> jnp.uint32(8 * k)) & jnp.uint32(0xFF) for k in range(4)], axis=-1
+    ).reshape(out_dim, nbytes)
+    pos = jnp.arange(in_dim) * bits
+    b0 = pos // 8
+    shift = (pos % 8).astype(jnp.uint32)
+    lo = jnp.take(byts, b0, axis=1)
+    hi = jnp.take(byts, jnp.minimum(b0 + 1, nbytes - 1), axis=1)
+    return ((lo | (hi << 8)) >> shift) & jnp.uint32((1 << bits) - 1)
+
+
 def quantize_affine(
     w: jax.Array, group_size: int = 64, bits: int = 4
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -35,11 +82,15 @@ def quantize_affine(
     Returns (packed uint32 (out, in*bits//32), scales (out, in//g),
     biases (out, in//g)) with w ~= q * scales + biases per group.
     """
-    if 32 % bits != 0:
-        raise ValueError(f"bits must divide 32, got {bits}")
+    if bits not in SUPPORTED_BITS:
+        raise ValueError(f"bits must be one of {SUPPORTED_BITS}, got {bits}")
     out_dim, in_dim = w.shape
     if in_dim % group_size != 0:
         raise ValueError(f"in dim {in_dim} not divisible by group_size {group_size}")
+    if (in_dim * bits) % 32 != 0:
+        raise ValueError(
+            f"in dim {in_dim} x {bits} bits does not fill whole uint32 words"
+        )
     n_groups = in_dim // group_size
     levels = (1 << bits) - 1
 
@@ -52,10 +103,13 @@ def quantize_affine(
     q = jnp.clip(jnp.round((wf - biases[..., None]) / scales[..., None]), 0, levels)
     q = q.astype(jnp.uint32).reshape(out_dim, in_dim)
 
-    els = 32 // bits
-    q = q.reshape(out_dim, in_dim // els, els)
-    shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
-    packed = jnp.sum(q << shifts, axis=-1).astype(jnp.uint32)
+    if 32 % bits == 0:
+        els = 32 // bits
+        q = q.reshape(out_dim, in_dim // els, els)
+        shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
+        packed = jnp.sum(q << shifts, axis=-1).astype(jnp.uint32)
+    else:
+        packed = _pack_bitstream(q, bits)
     return packed, scales, biases
 
 
@@ -80,16 +134,20 @@ def dequantize_affine(
         if in_dim is None:
             raise ValueError("dequantize_affine requires bits or in_dim")
         bits = packed.shape[1] * 32 // in_dim
-        if bits not in (2, 4, 8, 16) or packed.shape[1] * 32 != bits * in_dim:
+        if bits not in SUPPORTED_BITS + (16,) or packed.shape[1] * 32 != bits * in_dim:
             raise ValueError(
                 f"Inconsistent quantized shapes: words={packed.shape[1]} in_dim={in_dim}"
             )
-    els = 32 // bits
-    mask = jnp.uint32((1 << bits) - 1)
-    shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
-    q = (packed[..., None] >> shifts) & mask
-    in_dim = packed.shape[1] * els
-    q = q.reshape(out_dim, in_dim).astype(jnp.float32)
+    if 32 % bits == 0:
+        els = 32 // bits
+        mask = jnp.uint32((1 << bits) - 1)
+        shifts = (jnp.arange(els, dtype=jnp.uint32) * bits)[None, None, :]
+        q = (packed[..., None] >> shifts) & mask
+        in_dim = packed.shape[1] * els
+        q = q.reshape(out_dim, in_dim).astype(jnp.float32)
+    else:
+        in_dim = packed.shape[1] * 32 // bits
+        q = _unpack_bitstream(packed, bits, in_dim).astype(jnp.float32)
     group_size = in_dim // n_groups
     qg = q.reshape(out_dim, n_groups, group_size)
     w = qg * scales.astype(jnp.float32)[..., None] + biases.astype(jnp.float32)[..., None]

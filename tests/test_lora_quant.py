@@ -31,13 +31,24 @@ from mlx_video_tpu.pipelines.positions import create_position_grid
 class TestQuantization:
     def test_round_trip_error_bounded(self, rng):
         w = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
-        for bits in (8, 4, 2):
+        for bits in (8, 6, 5, 4, 3, 2):
             packed, scales, biases = quantize_affine(w, group_size=32, bits=bits)
+            assert packed.shape == (32, 128 * bits // 32)
             deq = dequantize_affine(packed, scales, biases, bits=bits, dtype=jnp.float32)
             # max error per element is bounded by half a quantization step
             step = np.asarray(scales).max()
             err = np.max(np.abs(np.asarray(deq) - np.asarray(w)))
             assert err <= step * 0.51, f"bits={bits}: err {err} > step {step}"
+
+    def test_round_trip_derives_bits_from_in_dim(self, rng):
+        """Execution path derives bits from shapes alone (linear() has no
+        side-channel): exact for every supported width."""
+        w = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        for bits in (2, 3, 4, 5, 6, 8):
+            packed, scales, biases = quantize_affine(w, group_size=32, bits=bits)
+            a = dequantize_affine(packed, scales, biases, bits=bits, dtype=jnp.float32)
+            b = dequantize_affine(packed, scales, biases, in_dim=64, dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_packing_layout_lsb_first(self):
         """Value at in-index i lives at bits [bits*(i%els), ...) of word i//els."""
@@ -49,6 +60,68 @@ class TestQuantization:
         for i in range(8):
             q = (word >> (4 * i)) & 0xF
             np.testing.assert_allclose(q * scale + bias, float(i), atol=0.5)
+
+    def test_sub32_bitstream_layout_hand_fixture(self):
+        """3-bit values pack as a contiguous LSB-first little-endian
+        bitstream (the MLX kernel layout: 8 values -> 3 bytes, e.g.
+        value2 = ((byte0 & 0xc0) >> 6) | ((byte1 & 0x1) << 2)).
+
+        Hand-built fixture: w = repeating 0..7 makes scale exactly 1,
+        bias 0, so q == w and every packed word is computable by hand."""
+        q_expected = np.tile(np.arange(8, dtype=np.uint64), 4)  # (32,) values 0..7
+        w = jnp.asarray(q_expected.astype(np.float32)[None])  # (1, 32)
+        packed, scales, biases = quantize_affine(w, group_size=32, bits=3)
+        assert packed.shape == (1, 3)  # 32 * 3 bits = 96 = 3 words
+        np.testing.assert_allclose(np.asarray(scales), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(biases), 0.0, atol=1e-7)
+        # independent bitstream: value i occupies bits [3i, 3i+3)
+        stream = 0
+        for i, q in enumerate(q_expected):
+            stream |= int(q) << (3 * i)
+        expected_words = [(stream >> (32 * k)) & 0xFFFFFFFF for k in range(3)]
+        np.testing.assert_array_equal(np.asarray(packed)[0], expected_words)
+        # byte-level spot check against the reference kernel's unpack rules
+        b = [(stream >> (8 * k)) & 0xFF for k in range(12)]
+        assert q_expected[0] == (b[0] & 0x7)
+        assert q_expected[1] == (b[0] & 0x38) >> 3
+        assert q_expected[2] == ((b[0] & 0xC0) >> 6) | ((b[1] & 0x1) << 2)
+        assert q_expected[5] == ((b[1] & 0x80) >> 7) | ((b[2] & 0x3) << 1)
+
+    @pytest.mark.parametrize("bits", [3, 5, 6])
+    def test_sub32_pack_unpack_exact(self, rng, bits):
+        """Round trip of the raw packed integers is exact (no affine)."""
+        from mlx_video_tpu.ops.quant import _pack_bitstream, _unpack_bitstream
+
+        in_dim = 96 if bits == 3 else 64 if bits == 5 else 48  # bits*in % 32 == 0
+        q = jnp.asarray(
+            rng.integers(0, 1 << bits, size=(4, in_dim)).astype(np.uint32)
+        )
+        packed = _pack_bitstream(q, bits)
+        assert packed.shape == (4, in_dim * bits // 32)
+        back = _unpack_bitstream(packed, bits, in_dim)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+
+    @pytest.mark.parametrize("bits", [3, 5, 6])
+    def test_sub32_quantized_linear_close_to_dense(self, rng, bits):
+        params = {
+            "weight": jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32) * 0.05),
+        }
+        x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+        dense = linear(params, x)
+        qparams = quantize_linear_params(params, group_size=32, bits=bits)
+        quant = linear(qparams, x)
+        tol = {3: 0.25, 5: 0.08, 6: 0.04}[bits]
+        np.testing.assert_allclose(np.asarray(quant), np.asarray(dense), atol=tol)
+        back = dequantize_linear_params(qparams, bits=bits, dtype=jnp.float32)
+        wtol = {3: 6e-2, 5: 2e-2, 6: 8e-3}[bits]
+        np.testing.assert_allclose(
+            np.asarray(back["weight"]), np.asarray(params["weight"]), atol=wtol
+        )
+
+    def test_unsupported_bits_rejected(self, rng):
+        w = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        with pytest.raises(ValueError, match="bits"):
+            quantize_affine(w, group_size=32, bits=7)
 
     def test_quantized_linear_close_to_dense(self, rng):
         params = {

@@ -185,6 +185,47 @@ class TestDitLoad:
         with pytest.raises(ValueError, match="Shape mismatch"):
             load_dit_params(path, cfg, dtype=jnp.float32)
 
+    @pytest.mark.parametrize("bits", [4, 6])
+    def test_mlx_quantized_checkpoint_loads(self, tmp_path, bits):
+        """A pre-quantized MLX-layout checkpoint (nn.quantize output:
+        uint32 bit-packed .weight + sibling .scales/.biases, MLX (out, in)
+        orientation) loads directly — including the sub-32-bit byte-stream
+        widths (reference: mlx_video/models/ltx/ltx.py:715-721)."""
+        from mlx_video_tpu.ops.quant import quantize_dit_params
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
+        qref = quantize_dit_params(ref, group_size=32, bits=bits, scope="core")
+        assert "quant_weight" in qref["blocks"]["attn1"]["to_q"]
+
+        # Export in the MLX checkpoint layout: sanitized keys, blocks
+        # unstacked per layer, quant_weight stored as plain `weight`.
+        ckpt = {}
+        for flat_key, leaf in flatten_params(qref).items():
+            parts = flat_key.split(".")
+            arr = np.asarray(leaf)
+            quant_leaf = parts[-1] in ("quant_weight", "scales", "biases")
+            if parts[-1] == "quant_weight":
+                parts = parts[:-1] + ["weight"]
+            if parts[0] == "blocks":
+                rest = parts[1:]
+                for layer in range(arr.shape[0]):
+                    a = arr[layer]
+                    key = "transformer_blocks." + str(layer) + "." + ".".join(rest)
+                    ckpt[key] = a if quant_leaf else _maybe_t(a, rest)
+            elif parts[0] == "video":
+                ckpt[".".join(parts[1:])] = _maybe_t(arr, parts[1:])
+        path = tmp_path / "model.safetensors"
+        save_safetensors(path, ckpt)
+
+        loaded = load_dit_params(path, cfg, dtype=jnp.float32)
+        flat_ref, flat_loaded = flatten_params(qref), flatten_params(loaded)
+        assert set(flat_ref) == set(flat_loaded)
+        for k in flat_ref:
+            np.testing.assert_array_equal(
+                np.asarray(flat_loaded[k]), np.asarray(flat_ref[k]), err_msg=k
+            )
+
     def test_native_save_load_round_trip(self, tmp_path):
         cfg = tiny_test_config(LTXModelType.VideoOnly)
         ref = init_ltx_params(jax.random.key(7), cfg, dtype=jnp.float32)
