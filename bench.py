@@ -149,10 +149,18 @@ def _tpu_reachable(timeout_s: int = 120, attempts: int = 2) -> bool:
             )
             if r.returncode == 0:
                 return True
+            # A fast nonzero exit (backend missing, import error) is a real
+            # failure a retry cannot fix — don't burn 150 s waiting on it.
+            print(
+                "bench: tunnel probe exited "
+                f"rc={r.returncode}: {r.stderr.decode(errors='replace')[-400:]}",
+                file=sys.stderr,
+            )
+            return False
         except subprocess.TimeoutExpired:
-            pass
+            pass  # the contention case: a concurrent holder may release
         if attempt + 1 < attempts:
-            print("bench: tunnel probe failed, retrying once", file=sys.stderr)
+            print("bench: tunnel probe timed out, retrying once", file=sys.stderr)
             _time.sleep(30)
     return False
 

@@ -174,11 +174,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's serial load/free choreography as "
                         "host<->HBM swaps). Needed to fit 19B W4A8 + the "
                         "full 1024-channel decoder on one 16 GB chip.")
+    p.add_argument("--optimize-layouts", action="store_true",
+                   help="Pre-place the transformer weights in XLA's "
+                        "preferred input layouts for this geometry before "
+                        "the denoise scan compiles (one extra cached "
+                        "discovery compile). Removes multi-GB in-program "
+                        "relayout copies of the stacked weight tensors — "
+                        "required to fit the 19B batched-CFG dev pipeline "
+                        "on one 16 GB chip. Single-device runs only.")
+    p.add_argument("--no-cfg-batch", action="store_true",
+                   help="Dev CFG: run the conditional and unconditional "
+                        "forwards sequentially (two batch-B passes per step) "
+                        "instead of one batched 2B pass. Halves denoise-time "
+                        "activation memory at the same FLOPs; use when the "
+                        "batched 2B forward does not fit. (Reference "
+                        "--no-cfg-batch: mlx_video/generate.py cfg_batch.)")
     # Reference-CLI flags that are no-ops under the TPU execution model:
     # the whole sigma loop is one compiled lax.scan (always "compiled",
-    # always batched CFG, always fp32 Euler, no lazy-eval cache to tune).
+    # always fp32 Euler, no lazy-eval cache to tune). CFG is batched by
+    # default (--cfg-batch) and --no-cfg-batch above switches to the real
+    # sequential path.
     for flag, action in [
-        ("--cfg-batch", "store_true"), ("--no-cfg-batch", "store_true"),
+        ("--cfg-batch", "store_true"),
         ("--compile", "store_true"), ("--no-compile", "store_true"),
         ("--compile-shapeless", "store_true"), ("--fp32-euler", "store_true"),
         ("--clear-cache", "store_true"),
@@ -250,7 +267,6 @@ def main(argv=None) -> None:
         ("--enable-fp8", args.enable_fp8),
         ("--stg-scale/--stg-blocks/--stg-mode",
          args.stg_scale is not None or args.stg_blocks is not None or args.stg_mode),
-        ("--no-cfg-batch", args.no_cfg_batch),
         ("--eval-interval", args.eval_interval is not None),
         ("--cache-limit-gb/--memory-limit-gb",
          args.cache_limit_gb is not None or args.memory_limit_gb is not None),
@@ -405,6 +421,8 @@ def main(argv=None) -> None:
             cfg_cache_interval=args.cfg_cache_interval,
             attn_broadcast_interval=args.attn_broadcast_interval,
             teacache_threshold=args.teacache_threshold,
+            cfg_sequential=args.no_cfg_batch,
+            optimize_layouts=args.optimize_layouts,
             images=[_cond_arg(v) for v in args.image],
             video_conditionings=[_cond_arg(v) for v in args.video_conditioning],
             audio=args.audio,

@@ -24,7 +24,9 @@ Request fields (all optional except prompt unless --embeddings is given):
   (must match the server's --pipeline; requests for the other schedule are
   rejected with 400), stage1_steps, stage2_steps, num_inference_steps,
   cfg_scale, cfg_cache_interval, attn_broadcast_interval,
-  teacache_threshold, audio, audio_mode, tiling, lora (adapter file name(s)
+  teacache_threshold, cfg_sequential (sequential cond/uncond CFG forwards
+  instead of the batched 2B pass — halves denoise activation memory),
+  audio, audio_mode, tiling, lora (adapter file name(s)
   under --lora-dir), lora_strength (scalar or per-adapter list).
 
 Generation is serialized with a lock (one device); requests queue.
@@ -184,6 +186,12 @@ class GenerationService:
         if pab and cc:
             raise RequestError(
                 "attn_broadcast_interval and cfg_cache_interval cannot be combined"
+            )
+        if kw["cfg_sequential"] and (tc or pab or cc):
+            raise RequestError(
+                "cfg_sequential cannot be combined with cfg_cache_interval, "
+                "attn_broadcast_interval, or teacache_threshold (the caching "
+                "dials assume the batched-CFG forward shape)"
             )
         audio_mode = kw["audio_mode"]
         if audio_mode == "auto":  # generate_video's resolution rule
@@ -475,6 +483,7 @@ class GenerationService:
             cfg_cache_interval=int(req.get("cfg_cache_interval", 1)),
             attn_broadcast_interval=int(req.get("attn_broadcast_interval", 1)),
             teacache_threshold=float(req.get("teacache_threshold", 0.0)),
+            cfg_sequential=bool(req.get("cfg_sequential", False)),
             cfg_scale=float(req.get("cfg_scale", 4.0)),
             audio=bool(req.get("audio", False)),
             audio_mode=str(req.get("audio_mode", "auto")),

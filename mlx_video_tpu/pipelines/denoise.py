@@ -433,13 +433,12 @@ def _denoise_step(
     return (v_out, a_out), None
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "use_cfg", "enable_audio", "progress", "sp",
-                     "cfg_cache_interval", "pp", "attn_broadcast_interval",
-                     "use_teacache", "cfg_sequential"),
-)
-def _denoise_scan(
+_SCAN_STATICS = ("config", "use_cfg", "enable_audio", "progress", "sp",
+                 "cfg_cache_interval", "pp", "attn_broadcast_interval",
+                 "use_teacache", "cfg_sequential")
+
+
+def _denoise_scan_impl(
     params, latents, positions, context, neg_context, state,
     audio_latents, audio_positions, audio_context, audio_neg_context,
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
@@ -512,6 +511,75 @@ def _denoise_scan(
     else:
         (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
     return v, a
+
+
+_denoise_scan = partial(jax.jit, static_argnames=_SCAN_STATICS)(_denoise_scan_impl)
+
+
+def preferred_param_formats(
+    params: dict,
+    config: LTXModelConfig,
+    latents,
+    positions,
+    context,
+    neg_context=None,
+    cfg_scale: float = 1.0,
+    audio_latents=None,
+    audio_positions=None,
+    audio_context=None,
+    audio_neg_context=None,
+    cfg_sequential: bool = False,
+):
+    """AOT-lower the denoise scan with compiler-chosen (AUTO) input layouts
+    and return the ``jax.experimental.layout.Format`` pytree XLA wants for
+    ``params`` at this geometry.
+
+    Why: with default (row-major) param layouts, XLA prepends in-program
+    relayout copies of the big weight stacks — measured ~3 GB of HLO temps
+    for the 48-layer w4a8 stacks at dev-CFG geometry (the (L, out, words)
+    uint32 quant stacks get copied to out-minor (0, 2, 1)). Placing the
+    params in the preferred layouts up front (``relayout_params``) removes
+    the copies entirely: measured temp drop 1.577 -> 1.044 GiB on the
+    4-layer probe, and it is what lets the full 19B batched-CFG dev scan
+    fit one 16 GB chip. Step count does not shape layouts, so discovery
+    lowers a 2-step scan (cheap, persistently cached).
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = jax.jit(
+        _denoise_scan_impl,
+        static_argnames=_SCAN_STATICS,
+        in_shardings=Format(Layout.AUTO),
+    )
+
+    def _sds(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x
+
+    use_cfg = cfg_scale != 1.0 and neg_context is not None
+    sig_pairs = jax.ShapeDtypeStruct((2, 2), jnp.float32)
+    args = jax.tree.map(
+        _sds,
+        (params, latents, positions, context,
+         neg_context if use_cfg else None, None,
+         audio_latents, audio_positions, audio_context,
+         audio_neg_context if use_cfg else None, sig_pairs),
+    )
+    compiled = auto.lower(
+        *args,
+        config=config,
+        cfg_scale=jax.ShapeDtypeStruct((), jnp.float32),
+        use_cfg=use_cfg,
+        enable_audio=audio_latents is not None,
+        cfg_sequential=bool(cfg_sequential and use_cfg),
+    ).compile()
+    return compiled.input_formats[0][0]
+
+
+def relayout_params(params: dict, formats) -> dict:
+    """Re-place a param pytree into the layouts from
+    :func:`preferred_param_formats` (leaf-wise on-device relayout; the
+    transient is one leaf, not the tree)."""
+    return jax.tree.map(lambda x, f: jax.device_put(x, f), params, formats)
 
 
 @partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp", "cfg_sequential"))

@@ -330,6 +330,7 @@ def generate_video(
     attn_broadcast_interval: int = 1,
     teacache_threshold: float = 0.0,
     cfg_sequential: bool = False,
+    optimize_layouts: bool = False,
     # conditioning
     images: Sequence[Tuple[str, int, float]] = (),
     video_conditionings: Sequence[Tuple[str, int, float]] = (),
@@ -636,6 +637,24 @@ def generate_video(
             "or generate audio separately (audio_mode=separate)"
         )
 
+    def _optimized_layouts(p, lat, pos, ctx, neg, scale, extra):
+        """Place transformer params in XLA's preferred input layouts for
+        this denoise geometry before the scan compiles: with default
+        layouts XLA prepends multi-GB in-program relayout copies of the
+        stacked weight tensors (measured ~3 GB for the 48-layer w4a8
+        stacks — the difference between the 19B batched-CFG dev scan
+        fitting one 16 GB chip or OOMing; see dn.preferred_param_formats).
+        Single-device only: mesh/SP/PP params carry NamedShardings that a
+        single-device Format re-placement would silently unshard."""
+        if not optimize_layouts or mesh is not None or sp is not None or pp is not None:
+            return p
+        with timer.phase("layout_opt"):
+            fmts = dn.preferred_param_formats(
+                p, config, lat, pos, ctx, neg_context=neg, cfg_scale=scale,
+                cfg_sequential=cfg_sequential, **extra,
+            )
+            return dn.relayout_params(p, fmts)
+
     if is_distilled:
         if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:
             raise ValueError(f"stage1_steps must be between 1 and {len(STAGE_1_SIGMAS) - 1}.")
@@ -677,6 +696,9 @@ def generate_video(
                 shape1, s1_conds, keys[0], s1_sigmas[0], dtype
             )
 
+        params = _optimized_layouts(
+            params, latents, positions1, text.video_embeddings, None, 1.0, audio_kwargs
+        )
         with timer.phase("stage1_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
@@ -740,6 +762,12 @@ def generate_video(
             audio_kwargs["audio_latents"] = audio_latents
 
         stage2_params = models.stage2_transformer_params or params
+        s2_cfg_on = stage2_cfg and text.video_neg_embeddings is not None
+        stage2_params = _optimized_layouts(
+            stage2_params, latents, positions2, text.video_embeddings,
+            text.video_neg_embeddings if s2_cfg_on else None,
+            cfg_scale if s2_cfg_on else 1.0, audio_kwargs,
+        )
         with timer.phase("stage2_denoise"):
             if stage2_cfg and text.video_neg_embeddings is not None:
                 # CFG refinement refines audio too (reference: generate.py:3341-3356
@@ -756,7 +784,7 @@ def generate_video(
                     sequence_parallel=sp, pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
                     teacache_threshold=teacache_threshold,
-                cfg_sequential=cfg_sequential,
+                    cfg_sequential=cfg_sequential,
                     **audio_kwargs,
                 )
             else:
@@ -766,7 +794,7 @@ def generate_video(
                     pipeline_parallel=pp,
                     attn_broadcast_interval=attn_broadcast_interval,
                     teacache_threshold=teacache_threshold,
-                cfg_sequential=cfg_sequential,
+                    cfg_sequential=cfg_sequential,
                     **audio_kwargs,
                 )
             latents, audio_latents = _gather(latents), _gather(audio_latents)
@@ -794,6 +822,10 @@ def generate_video(
             latents, state = _init_state_with_conditioning(
                 shape, dev_conds, keys[0], float(sigmas[0]), dtype
             )
+        params = _optimized_layouts(
+            params, latents, positions, text.video_embeddings,
+            text.video_neg_embeddings, cfg_scale, audio_kwargs,
+        )
         with timer.phase("dev_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions, text.video_embeddings, sigmas,

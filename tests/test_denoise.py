@@ -355,6 +355,63 @@ class TestCFGDeltaCaching:
                        audio_context=ctx)
 
 
+class TestCfgSequential:
+    """cfg_sequential=True runs cond/uncond as two batch-B forwards instead
+    of one batched 2B pass — same math, half the activation memory."""
+
+    SIGMAS = [1.0, 0.7, 0.4, 0.0]
+
+    def test_matches_batched_video_only(self, video_setup):
+        cfg, params, latents, positions, context, neg = video_setup
+        batched, _ = dn.denoise(params, cfg, latents, positions, context,
+                                self.SIGMAS, neg_context=neg, cfg_scale=4.0)
+        seq, _ = dn.denoise(params, cfg, latents, positions, context,
+                            self.SIGMAS, neg_context=neg, cfg_scale=4.0,
+                            cfg_sequential=True)
+        np.testing.assert_allclose(np.asarray(seq), np.asarray(batched), atol=5e-5)
+
+    def test_matches_batched_av_joint(self):
+        cfg = tiny_test_config(LTXModelType.AudioVideo)
+        params = init_ltx_params(jax.random.key(1), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w, t = 1, 2, 2, 2, 6
+        latents = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32))
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        ctx = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+        neg = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+        a_latents = jnp.asarray(rng.normal(size=(b, 8, t, cfg.audio_in_channels // 8)).astype(np.float32))
+        a_positions = jnp.asarray(create_audio_position_grid(b, t))
+        a_ctx = jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32))
+        a_neg = jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32))
+        kwargs = dict(neg_context=neg, cfg_scale=4.0, audio_latents=a_latents,
+                      audio_positions=a_positions, audio_context=a_ctx,
+                      audio_neg_context=a_neg)
+        vb, ab = dn.denoise(params, cfg, latents, positions, ctx, self.SIGMAS, **kwargs)
+        vs, as_ = dn.denoise(params, cfg, latents, positions, ctx, self.SIGMAS,
+                             cfg_sequential=True, **kwargs)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vb), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(as_), np.asarray(ab), atol=5e-5)
+
+    def test_no_cfg_ignores_flag(self, video_setup):
+        """Without a neg_context the flag is inert (distilled path)."""
+        cfg, params, latents, positions, context, _ = video_setup
+        a, _ = dn.denoise(params, cfg, latents, positions, context, self.SIGMAS)
+        b, _ = dn.denoise(params, cfg, latents, positions, context, self.SIGMAS,
+                          cfg_sequential=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("dial", [
+        dict(cfg_cache_interval=2),
+        dict(attn_broadcast_interval=2),
+        dict(teacache_threshold=0.1),
+    ])
+    def test_conflicts_with_caching_dials(self, video_setup, dial):
+        cfg, params, latents, positions, context, neg = video_setup
+        with pytest.raises(ValueError, match="cfg_sequential"):
+            dn.denoise(params, cfg, latents, positions, context, self.SIGMAS,
+                       neg_context=neg, cfg_scale=4.0, cfg_sequential=True, **dial)
+
+
 class TestAttentionBroadcast:
     """Pyramid Attention Broadcast (arXiv:2408.12588): per-layer attention
     outputs recomputed every k-th step, reused in between."""

@@ -297,6 +297,30 @@ class TestDevPipeline:
         assert result.latents.shape == (1, 16, 2, 2, 2)
         assert np.all(np.isfinite(result.latents))
 
+    def test_dev_cfg_sequential_matches_batched(self, models):
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=3, cfg_scale=3.0,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        text = _text(models.transformer_config, with_neg=True)
+        batched = generate_video(models, text, **kw)
+        seq = generate_video(models, text, cfg_sequential=True, **kw)
+        np.testing.assert_allclose(seq.latents, batched.latents, atol=5e-5)
+
+    def test_dev_optimize_layouts_matches_default(self, models):
+        """Layout pre-placement is a physical-layout change only: results
+        must be bit-identical to the default placement."""
+        kw = dict(
+            height=64, width=64, num_frames=9, pipeline=PipelineType.DEV,
+            num_inference_steps=3, cfg_scale=3.0,
+            decode_latents_only=True, dtype=jnp.float32,
+        )
+        text = _text(models.transformer_config, with_neg=True)
+        base = generate_video(models, text, **kw)
+        opt = generate_video(models, text, optimize_layouts=True, **kw)
+        np.testing.assert_array_equal(opt.latents, base.latents)
+
     def test_dev_rejects_video_conditioning(self, models):
         with pytest.raises(ValueError, match="ic_lora/distilled"):
             generate_video(
