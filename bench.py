@@ -125,7 +125,7 @@ def synth_q4_params(config, group_size: int = 64, bits: int = 4):
 CHIP_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CHIP_CACHE.json")
 
 
-def _tpu_reachable(timeout_s: int = 120, attempts: int = 2) -> bool:
+def _tpu_reachable(timeout_s: int = 180, attempts: int = 2) -> bool:
     """Probe the axon tunnel in a BOUNDED subprocess: a wedged tunnel hangs
     even jax.devices() forever (observed multi-hour outages, PERF.md), which
     would hang this whole process — probe out-of-process so we can time out.

@@ -59,11 +59,11 @@ def make_optimizer(
     return tx
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "first_frame_conditioning_p", "timestep_sampling_mode",
-                     "timestep_sampling_std", "sp", "pp"),
-)
+_GRAD_STATICS = ("config", "first_frame_conditioning_p", "timestep_sampling_mode",
+                 "timestep_sampling_std", "sp", "pp")
+
+
+@partial(jax.jit, static_argnames=_GRAD_STATICS)
 def grad_step(
     params: dict,
     sb: StrategyBatch,
@@ -93,6 +93,29 @@ def grad_step(
         sp=sp,
         pp=pp,
     )
+
+
+def preferred_param_formats(params: dict, sb, key, config: LTXModelConfig, **kwargs):
+    """AOT-lower ``grad_step`` with compiler-chosen (AUTO) input layouts and
+    return the Format pytree XLA wants for ``params`` at this batch
+    geometry (same rationale as pipelines/denoise.preferred_param_formats:
+    default row-major placement makes XLA prepend multi-GB in-program
+    relayout copies of the stacked 48-layer weight tensors — at 19B w4a8
+    LoRA training that margin is what fits the step on one 16 GB chip).
+    Re-place with ``pipelines.denoise.relayout_params``. Single-device
+    only; mesh-sharded training keeps its NamedShardings."""
+    from jax.experimental.layout import Format, Layout
+
+    auto = jax.jit(
+        grad_step.__wrapped__, static_argnames=_GRAD_STATICS,
+        in_shardings=Format(Layout.AUTO),
+    )
+
+    def _sds(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x
+
+    abs_args = jax.tree.map(_sds, (params, sb, key))
+    return auto.lower(*abs_args, config=config, **kwargs).compile().input_formats[0][0]
 
 
 def _is_float0(x) -> bool:

@@ -91,15 +91,23 @@ def main() -> None:
 
         t_params = prepare_w4a8(synth_q4_params(config), bits=4)
 
+    # Aux models init on the HOST: at 19B the transformer already claims
+    # most of the 16 GB chip — device-initializing enc/dec next to it OOMs
+    # before low_memory staging can retire them (r2 chip run). low_memory
+    # then moves each to HBM only for its own phase.
+    host = jax.devices("cpu")[0]
+    with jax.default_device(host):
+        dec_params = init_video_decoder(jax.random.key(1), dec_cfg, dtype=jnp.bfloat16)
+        enc_params = init_video_encoder(jax.random.key(2), enc_cfg, dtype=jnp.bfloat16)
     models = ModelBundle(
         transformer_params=t_params,
         transformer_config=config,
-        vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg, dtype=jnp.bfloat16),
+        vae_decoder_params=dec_params,
         vae_decoder_config=dec_cfg,
-        vae_encoder_params=init_video_encoder(jax.random.key(2), enc_cfg, dtype=jnp.bfloat16),
+        vae_encoder_params=enc_params,
         vae_encoder_config=enc_cfg,
     )
-    del t_params
+    del t_params, dec_params, enc_params
 
     rng = np.random.default_rng(0)
     text = TextConditioning(
@@ -122,6 +130,7 @@ def main() -> None:
 
     out = "/tmp/e2e_c3.mp4"
     t0 = time.time()
+    cfg_sequential = "--cfg-sequential" in sys.argv
     result = generate_video(
         models, text,
         height=hw, width=hw, num_frames=frames, seed=0,
@@ -130,6 +139,11 @@ def main() -> None:
         images=[(img_path, 0, 1.0)],
         output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
         low_memory=not tiny,
+        cfg_sequential=cfg_sequential,
+        # preferred-layout placement: without it XLA prepends ~3 GB of
+        # relayout copies of the 48-layer w4a8 stacks — the difference
+        # between the batched-CFG scan fitting one 16 GB chip or OOMing
+        optimize_layouts=not tiny,
     )
     wall = time.time() - t0
     assert os.path.exists(out)
@@ -141,7 +155,10 @@ def main() -> None:
         "param_setup_seconds": round(t_load, 2),
         "phases": phases,
         "onchip_phase_total": round(sum(result.phase_timer.phases.values()), 2),
-        "mode": "tiny" if tiny else "19b-w4a8, CFG-batched 2B forward, 1 chip",
+        "mode": "tiny" if tiny else (
+            "19b-w4a8, sequential CFG (2x batch-B forwards), 1 chip"
+            if cfg_sequential else "19b-w4a8, CFG-batched 2B forward, 1 chip"
+        ),
     }))
 
 

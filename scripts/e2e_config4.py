@@ -148,22 +148,36 @@ def main() -> None:
         from mlx_video_tpu.ops.quant import prepare_w4a8
 
         t_params = prepare_w4a8(t_params, bits=4)
-        ups = init_latent_upsampler(key(2), dtype=jnp.bfloat16)
+        ups = None  # host-initialized below with the rest of the aux stack
 
+    # Aux models init on the HOST: the 19B AV transformer claims ~11 GB of
+    # the 16 GB chip — device-initializing the full enc/dec/upsampler/audio
+    # stack next to it OOMs before low_memory staging can retire anything
+    # (r2 chip run failed inside the first _stage(to_host=True)). Host-born
+    # params make that staging a no-op; each stage moves to HBM on use.
+    host = jax.devices("cpu")[0]
+    with jax.default_device(host):
+        dec_params = init_video_decoder(key(1), dec_cfg, dtype=jnp.bfloat16)
+        enc_params = init_video_encoder(key(5), enc_cfg, dtype=jnp.bfloat16)
+        audio_params = init_audio_decoder(key(3), audio_cfg, dtype=jnp.bfloat16)
+        voc_params = init_vocoder(key(4), voc_cfg, dtype=jnp.bfloat16)
+        if not tiny:
+            ups = init_latent_upsampler(key(2), dtype=jnp.bfloat16)
     models = ModelBundle(
         transformer_params=t_params,
         transformer_config=config,
-        vae_decoder_params=init_video_decoder(key(1), dec_cfg, dtype=jnp.bfloat16),
+        vae_decoder_params=dec_params,
         vae_decoder_config=dec_cfg,
-        vae_encoder_params=init_video_encoder(key(5), enc_cfg, dtype=jnp.bfloat16),
+        vae_encoder_params=enc_params,
         vae_encoder_config=enc_cfg,
         upsampler_params=ups,
-        audio_decoder_params=init_audio_decoder(key(3), audio_cfg, dtype=jnp.bfloat16),
+        audio_decoder_params=audio_params,
         audio_decoder_config=audio_cfg,
-        vocoder_params=init_vocoder(key(4), voc_cfg, dtype=jnp.bfloat16),
+        vocoder_params=voc_params,
         vocoder_config=voc_cfg,
     )
-    del t_params, ups  # the bundle must hold the only refs (low_memory staging)
+    # the bundle must hold the only refs (low_memory staging)
+    del t_params, ups, dec_params, enc_params, audio_params, voc_params
 
     rng = np.random.default_rng(0)
     text = TextConditioning(
@@ -206,6 +220,7 @@ def main() -> None:
             stage1_steps=2 if tiny else 8, stage2_steps=1 if tiny else 3,
             output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
             low_memory=not tiny,
+            optimize_layouts=not tiny,
             **kwargs,
         )
         wall = time.time() - t0

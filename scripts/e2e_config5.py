@@ -145,6 +145,33 @@ def main() -> None:
         # dataset=None: the Trainer builds the PrecomputedDataset from
         # cfg.data_root/strategy exactly as a user run would.
         tr = Trainer(cfg, model_config=config, params=base, dataset=None)
+        if tiny:
+            apply_upd = apply_updates
+        else:
+            # Preferred-layout placement: without it XLA prepends ~3 GB of
+            # in-program relayout copies of the 48-layer w4a8 stacks inside
+            # grad_step — the r2 chip run OOM'd at 17.11/15.75 GB on exactly
+            # that margin. apply_updates is re-jitted with out_shardings
+            # pinned to the same formats so the layouts survive the
+            # donate/update cycle instead of reverting to default each step.
+            from mlx_video_tpu.pipelines.denoise import relayout_params
+            from mlx_video_tpu.trainer.train_step import preferred_param_formats
+
+            fb = next(iter(iter_batches(tr.dataset, 1, shuffle=True, seed=0)))
+            sb0 = tr._prepare(fb)
+            t_fmt = time.time()
+            fmts = preferred_param_formats(
+                tr.params, sb0, jax.random.key(1), tr.model_config,
+                first_frame_conditioning_p=cfg.first_frame_conditioning_p,
+            )
+            tr.params = relayout_params(tr.params, fmts)
+            print(f"layout discovery+relayout {time.time() - t_fmt:.1f}s", file=sys.stderr)
+            apply_upd = jax.jit(
+                apply_updates.__wrapped__,
+                static_argnames=("optimizer", "accum_steps"),
+                donate_argnums=(0, 1, 2),
+                out_shardings=(fmts, None),
+            )
         key = jax.random.key(0)
         times: dict = {}
         step = 0
@@ -160,8 +187,8 @@ def main() -> None:
                     tr.params, sb, sub, tr.model_config,
                     first_frame_conditioning_p=cfg.first_frame_conditioning_p,
                 )
-                tr.params, tr.opt_state = apply_updates(
-                    tr.params, tr.opt_state, grads, tr.optimizer, 1
+                tr.params, tr.opt_state = apply_upd(
+                    tr.params, tr.opt_state, grads, optimizer=tr.optimizer, accum_steps=1
                 )
                 lv = float(loss)  # honest sync
                 assert np.isfinite(lv), f"non-finite loss at step {step}"
