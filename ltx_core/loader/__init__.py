@@ -11,6 +11,12 @@ from typing import Optional
 from mlx_video_tpu.loading import load_model_bundle, resolve_transformer_file, resolve_vae_file
 from mlx_video_tpu.pipelines.generate import PipelineType
 
+from ltx_core.loader.primitives import LoraPathStrengthAndSDOps  # noqa: F401
+
+# ComfyUI-export LoRA key renaming (reference: ltx_core/loader/__init__.py:5 —
+# an empty map in the reference too; kept for import parity with its CLIs).
+LTXV_LORA_COMFY_RENAMING_MAP: dict = {}
+
 
 class SingleGPUModelBuilder:
     """Builds the full model bundle on one chip (reference parity name)."""

@@ -110,6 +110,55 @@ def frames_to_uint8(video: np.ndarray) -> np.ndarray:
     return (np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255).astype(np.uint8)
 
 
+class _silenced_stderr:
+    """fd-level stderr silencing for codec probes: OpenCV's VideoWriter and
+    the libav encoders inside it write open-failure spew straight to fd 2
+    (not Python's sys.stderr), so constrained pods without libx264 print
+    `can't configure encoder` errors for every attempted writer. Probing
+    codecs once behind a silenced fd keeps the honest fallback without the
+    noise (r2 dryrun tail finding)."""
+
+    def __enter__(self):
+        self._saved = os.dup(2)
+        self._null = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(self._null, 2)
+        return self
+
+    def __exit__(self, *exc):
+        os.dup2(self._saved, 2)
+        os.close(self._saved)
+        os.close(self._null)
+        return False
+
+
+_CV2_FOURCC: Optional[str] = None
+
+
+def _cv2_working_fourcc(fps: float, size: Tuple[int, int]) -> str:
+    """Pick the first cv2 fourcc that actually opens on this pod, once per
+    process, with the probe's encoder spew silenced."""
+    global _CV2_FOURCC
+    if _CV2_FOURCC is None:
+        import tempfile
+
+        import cv2
+
+        with tempfile.TemporaryDirectory() as td, _silenced_stderr():
+            for codec4 in ("avc1", "mp4v"):
+                out = cv2.VideoWriter(
+                    os.path.join(td, "probe.mp4"),
+                    cv2.VideoWriter_fourcc(*codec4), fps, size,
+                )
+                ok = out.isOpened()
+                out.release()
+                if ok:
+                    _CV2_FOURCC = codec4
+                    break
+            else:
+                _CV2_FOURCC = ""
+    return _CV2_FOURCC
+
+
 class VideoWriter:
     """Streaming MP4 writer: ffmpeg rawvideo pipe with cv2 fallback
     (reference: generate.py:3583-3644, 1814-1917)."""
@@ -133,6 +182,11 @@ class VideoWriter:
         self.frames_written = 0
 
         self._stderr_file = None
+        # No pre-probe of the ffmpeg codec: ffmpeg's own failure surfaces
+        # as a LOUD RuntimeError carrying its stderr (already captured to a
+        # file, so nothing spews), and tests stub the binary to exercise
+        # exactly that path. The quiet probing below is for the cv2
+        # fallback, whose encoder errors bypass Python and land on fd 2.
         if encoder == "ffmpeg" and shutil.which("ffmpeg"):
             cmd = [
                 "ffmpeg", "-y", "-hide_banner", "-nostats", "-loglevel", "error",
@@ -162,13 +216,15 @@ class VideoWriter:
         if self._ffmpeg is None:
             import cv2
 
-            for codec4 in ("avc1", "mp4v"):
-                fourcc = cv2.VideoWriter_fourcc(*codec4)
-                out = cv2.VideoWriter(str(self.path), fourcc, fps, (width, height))
+            codec4 = _cv2_working_fourcc(fps, (width, height))
+            if codec4:
+                out = cv2.VideoWriter(
+                    str(self.path), cv2.VideoWriter_fourcc(*codec4), fps, (width, height)
+                )
                 if out.isOpened():
                     self._cv2 = out
-                    break
-                out.release()
+                else:
+                    out.release()
             if self._cv2 is None:
                 raise RuntimeError(f"No video writer available for {self.path}")
 

@@ -575,11 +575,27 @@ def preferred_param_formats(
     return compiled.input_formats[0][0]
 
 
-def relayout_params(params: dict, formats) -> dict:
+def relayout_params(params: dict, formats, donate: bool = False) -> dict:
     """Re-place a param pytree into the layouts from
     :func:`preferred_param_formats` (leaf-wise on-device relayout; the
-    transient is one leaf, not the tree)."""
-    return jax.tree.map(lambda x, f: jax.device_put(x, f), params, formats)
+    transient is one leaf, not the tree).
+
+    ``donate=True`` deletes each source buffer as soon as its relayouted
+    copy exists (identity-checked: unchanged-layout leaves come back as the
+    same buffer and are NOT deleted). Required at 19B on one chip — holding
+    both placements of the full tree is 2x ~8-11 GB. The caller must drop
+    every other reference to the input tree (the old leaves raise on use)."""
+
+    def move(x, f):
+        y = jax.device_put(x, f)
+        if donate and y is not x:
+            try:
+                x.delete()
+            except Exception:
+                pass
+        return y
+
+    return jax.tree.map(move, params, formats)
 
 
 @partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp", "cfg_sequential"))

@@ -487,6 +487,18 @@ def generate_video(
 
     _host_dev = jax.devices("cpu")[0] if low_memory else None
 
+    def _device_fence():
+        """Drain the device queue with an honest fence: enqueue a trivial
+        computation and FETCH its value. Through the axon tunnel
+        block_until_ready returns early, and dispatch is async — a staging
+        device_put issued while the previous phase's multi-GB arena is
+        still executing makes the two coexist and OOMs (r3 chip runs:
+        config-3 decoder staging after the dev scan, config-4 encoder
+        host-staging after cond_encode)."""
+        if jax.default_backend() == "cpu":
+            return
+        float(jnp.sum(jnp.ones((8,), jnp.float32)))
+
     def _stage(tree, to_host: bool):
         """Move a param tree host<->device (low_memory only). Blocks until
         the copy lands: device_put is async, and launching the next heavy
@@ -494,6 +506,7 @@ def generate_video(
         exact coexistence this staging exists to avoid."""
         if not low_memory or tree is None:
             return tree
+        _device_fence()
         target = _host_dev if to_host else jax.devices()[0]
         moved = jax.device_put(tree, target)
         jax.block_until_ready(moved)
@@ -653,7 +666,18 @@ def generate_video(
                 p, config, lat, pos, ctx, neg_context=neg, cfg_scale=scale,
                 cfg_sequential=cfg_sequential, **extra,
             )
-            return dn.relayout_params(p, fmts)
+            # donate: at 19B both placements of the tree cannot coexist on
+            # one chip. Only safe when this function owns every live ref —
+            # i.e. the tree IS a bundle attribute (rebound below); a caller-
+            # composed tree (runtime-LoRA overlay sharing base leaves with a
+            # cache) keeps its sources.
+            donate = models.transformer_params is p or models.stage2_transformer_params is p
+            new = dn.relayout_params(p, fmts, donate=donate)
+            if models.transformer_params is p:
+                models.transformer_params = new
+            if models.stage2_transformer_params is p:
+                models.stage2_transformer_params = new
+            return new
 
     if is_distilled:
         if not 1 <= stage1_steps <= len(STAGE_1_SIGMAS) - 1:
@@ -865,6 +889,13 @@ def generate_video(
             )
             audio_latents = _gather(audio_latents)
 
+    # Host fetch FIRST: it is also the honest completion fence for the
+    # denoise program — freeing the transformer and staging the decoder
+    # below must not overlap a still-executing scan arena (r3 chip run:
+    # config-3 OOM'd staging the decoder while the dev scan drained).
+    latents_np = np.asarray(latents, dtype=np.float32)
+    audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
+
     if low_memory:
         # Reference-parity staging (generate.py:3504-3506 del transformer +
         # clear_cache): drop every transformer param ref so HBM is free for
@@ -884,9 +915,6 @@ def generate_video(
             if models.audio_decoder_params is not None:
                 models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=False)
                 models.vocoder_params = _stage(models.vocoder_params, to_host=False)
-
-    latents_np = np.asarray(latents, dtype=np.float32)
-    audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
     if decode_latents_only or output_path is None:
         if profile:
             timer.report()

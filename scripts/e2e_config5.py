@@ -92,8 +92,15 @@ def main() -> None:
     from bench import synth_q4_params
     from mlx_video_tpu.config import LTXModelConfig, LTXModelType, LTXRopeType, tiny_test_config
     from mlx_video_tpu.trainer.config import TrainingConfig
+    from mlx_video_tpu.lora import lora_mask
     from mlx_video_tpu.trainer.datasets import iter_batches
-    from mlx_video_tpu.trainer.train_step import apply_updates, grad_step
+    from mlx_video_tpu.trainer.train_step import (
+        apply_updates_trainable,
+        grad_step_trainable,
+        make_optimizer,
+        partition_trainable,
+        preferred_trainable_formats,
+    )
     from mlx_video_tpu.trainer.trainer import Trainer
 
     tiny = "--tiny" in sys.argv
@@ -101,12 +108,6 @@ def main() -> None:
     if tiny:
         config = tiny_test_config(LTXModelType.VideoOnly)
         buckets = [(config.in_channels, 2, 2, 2), (config.in_channels, 2, 4, 2)]
-        from mlx_video_tpu.models.ltx.model import init_ltx_params
-        from mlx_video_tpu.ops.quant import quantize_dit_params
-
-        base = quantize_dit_params(
-            init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16), group_size=16
-        )
     else:
         config = LTXModelConfig(
             model_type=LTXModelType.VideoOnly,
@@ -116,11 +117,24 @@ def main() -> None:
             rope_type=LTXRopeType.SPLIT,
         )
         buckets = [(128, 5, 8, 8), (128, 5, 16, 16)]  # 256^2 and 512^2 x33f
+
+    def make_base():
+        """Fresh base per leg: the partition below takes ownership of the
+        frozen leaves (donated relayout deletes the originals), so a shared
+        cross-leg base would keep a dead 8 GB twin resident."""
+        if tiny:
+            from mlx_video_tpu.models.ltx.model import init_ltx_params
+            from mlx_video_tpu.ops.quant import quantize_dit_params
+
+            return quantize_dit_params(
+                init_ltx_params(jax.random.key(0), config, dtype=jnp.bfloat16),
+                group_size=16,
+            )
         from mlx_video_tpu.ops.quant import prepare_w4a8
 
-        base = prepare_w4a8(synth_q4_params(config), bits=4)
-    jax.block_until_ready(base)
-    print(f"base params ready {time.time() - t0:.1f}s", file=sys.stderr)
+        return prepare_w4a8(synth_q4_params(config), bits=4)
+
+    print(f"setup {time.time() - t0:.1f}s", file=sys.stderr)
 
     steps_per_shape = 3 if tiny else 5
     for leg, strategy, leg_buckets in (
@@ -144,34 +158,41 @@ def main() -> None:
         )
         # dataset=None: the Trainer builds the PrecomputedDataset from
         # cfg.data_root/strategy exactly as a user run would.
+        base = make_base()
         tr = Trainer(cfg, model_config=config, params=base, dataset=None)
-        if tiny:
-            apply_upd = apply_updates
-        else:
-            # Preferred-layout placement: without it XLA prepends ~3 GB of
-            # in-program relayout copies of the 48-layer w4a8 stacks inside
-            # grad_step — the r2 chip run OOM'd at 17.11/15.75 GB on exactly
-            # that margin. apply_updates is re-jitted with out_shardings
-            # pinned to the same formats so the layouts survive the
-            # donate/update cycle instead of reverting to default each step.
+        # Partitioned LoRA training (train_step.py): AD only ever builds
+        # cotangents for the LoRA factors — with full-tree grad_step the
+        # frozen float leaves (scales/biases/norms) cost a measured 4.52 GB
+        # of dense zero-use gradient outputs at 19B (r3 chip probe), leaving
+        # 60 MB of headroom; partitioned, the step fits comfortably.
+        train, frozen = partition_trainable(tr.params, lora_mask(tr.params))
+        tr.params = None
+        tr.opt_state = None
+        base = None  # noqa: F841 — frozen/train now own the leaves
+        import gc
+
+        gc.collect()
+        opt = make_optimizer(cfg.lr)
+        ost = opt.init(train)
+        if not tiny:
+            # Preferred-layout placement of the frozen base: without it XLA
+            # prepends ~3 GB of in-program relayout copies of the 48-layer
+            # w4a8 stacks inside grad_step (the r2 chip run OOM'd at
+            # 17.11/15.75 GB on exactly that margin). Only the frozen
+            # subtree is re-placed: it never flows through the optimizer, so
+            # its layouts are stable across steps; the small LoRA factors
+            # stay default so apply_updates needs no layout pinning.
             from mlx_video_tpu.pipelines.denoise import relayout_params
-            from mlx_video_tpu.trainer.train_step import preferred_param_formats
 
             fb = next(iter(iter_batches(tr.dataset, 1, shuffle=True, seed=0)))
             sb0 = tr._prepare(fb)
             t_fmt = time.time()
-            fmts = preferred_param_formats(
-                tr.params, sb0, jax.random.key(1), tr.model_config,
+            _, ff = preferred_trainable_formats(
+                train, frozen, sb0, jax.random.key(1), tr.model_config,
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
-            tr.params = relayout_params(tr.params, fmts)
+            frozen = relayout_params(frozen, ff, donate=True)
             print(f"layout discovery+relayout {time.time() - t_fmt:.1f}s", file=sys.stderr)
-            apply_upd = jax.jit(
-                apply_updates.__wrapped__,
-                static_argnames=("optimizer", "accum_steps"),
-                donate_argnums=(0, 1, 2),
-                out_shardings=(fmts, None),
-            )
         key = jax.random.key(0)
         times: dict = {}
         step = 0
@@ -183,12 +204,12 @@ def main() -> None:
                 ts = time.time()
                 sb = tr._prepare(batch)
                 key, sub = jax.random.split(key)
-                loss, grads = grad_step(
-                    tr.params, sb, sub, tr.model_config,
+                loss, grads = grad_step_trainable(
+                    train, frozen, sb, sub, tr.model_config,
                     first_frame_conditioning_p=cfg.first_frame_conditioning_p,
                 )
-                tr.params, tr.opt_state = apply_upd(
-                    tr.params, tr.opt_state, grads, optimizer=tr.optimizer, accum_steps=1
+                train, ost = apply_updates_trainable(
+                    train, ost, grads, optimizer=opt, accum_steps=1
                 )
                 lv = float(loss)  # honest sync
                 assert np.isfinite(lv), f"non-finite loss at step {step}"
@@ -211,7 +232,7 @@ def main() -> None:
             "mode": "tiny" if tiny else "19b-w4a8 base, lora r64, remat, 1 chip",
             "per_shape": report,
         }))
-        del tr
+        del tr, train, frozen, ost, grads
 
 
 if __name__ == "__main__":

@@ -648,3 +648,113 @@ class TestMediaIO:
         out = media_io.load_image_conditioning(str(img_path), 32, 32, jnp.float32)
         assert out.shape == (1, 3, 1, 32, 32)
         assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
+
+
+class TestArgsParity:
+    """Flag-for-flag parity of the reference parser builders
+    (reference: ltx_pipelines/utils/args.py:81-277). The expected table is
+    pinned FROM the reference source: (flag, nargs, required, default)."""
+
+    BASIC = {
+        "--checkpoint-path": (None, True, None),
+        "--gemma-root": (None, True, None),
+        "--prompt": (None, True, None),
+        "--output-path": (None, True, None),
+        "--seed": (None, False, 10),
+        "--height": (None, False, 512),
+        "--width": (None, False, 768),
+        "--num-frames": (None, False, 121),
+        "--frame-rate": (None, False, 24.0),
+        "--num-inference-steps": (None, False, 40),
+        "--image": (3, False, []),
+        "--lora": ("+", False, []),
+        "--enable-fp8": (0, False, False),
+        "--enhance-prompt": (0, False, False),
+    }
+
+    @staticmethod
+    def _table(parser):
+        import argparse
+
+        out = {}
+        for a in parser._actions:
+            if not a.option_strings or a.option_strings == ["-h", "--help"]:
+                continue
+            nargs = 0 if isinstance(a, argparse._StoreTrueAction) else a.nargs
+            out[a.option_strings[0]] = (nargs, bool(a.required), a.default)
+        return out
+
+    def test_basic_parser(self):
+        from ltx_pipelines.utils.args import basic_arg_parser
+
+        assert self._table(basic_arg_parser()) == self.BASIC
+
+    def test_1_stage_parser(self):
+        from ltx_pipelines.utils.args import default_1_stage_arg_parser
+        from ltx_pipelines.utils.constants import DEFAULT_NEGATIVE_PROMPT
+
+        t = self._table(default_1_stage_arg_parser())
+        expected = dict(self.BASIC)
+        expected["--cfg-guidance-scale"] = (None, False, 4.0)
+        expected["--negative-prompt"] = (None, False, DEFAULT_NEGATIVE_PROMPT)
+        assert t == expected
+
+    def test_2_stage_parser(self):
+        from ltx_pipelines.utils.args import default_2_stage_arg_parser
+        from ltx_pipelines.utils.constants import DEFAULT_NEGATIVE_PROMPT
+
+        t = self._table(default_2_stage_arg_parser())
+        expected = dict(self.BASIC)
+        expected["--cfg-guidance-scale"] = (None, False, 4.0)
+        expected["--negative-prompt"] = (None, False, DEFAULT_NEGATIVE_PROMPT)
+        expected["--distilled-lora"] = ("+", True, None)
+        expected["--spatial-upsampler-path"] = (None, True, None)
+        # 2-stage dims double (reference: args.py:216 set_defaults)
+        expected["--height"] = (None, False, 1024)
+        expected["--width"] = (None, False, 1536)
+        assert t == expected
+
+    def test_2_stage_distilled_parser(self):
+        from ltx_pipelines.utils.args import default_2_stage_distilled_arg_parser
+
+        t = self._table(default_2_stage_distilled_arg_parser())
+        expected = dict(self.BASIC)
+        expected["--spatial-upsampler-path"] = (None, True, None)
+        expected["--height"] = (None, False, 1024)
+        expected["--width"] = (None, False, 1536)
+        # no CFG flags on the distilled builder (reference: args.py:255)
+        assert "--cfg-guidance-scale" not in t and "--negative-prompt" not in t
+        assert t == expected
+
+    def test_actions_accumulate(self, tmp_path):
+        from ltx_core.loader import LoraPathStrengthAndSDOps
+        from ltx_pipelines.utils.args import default_2_stage_arg_parser
+
+        args = default_2_stage_arg_parser().parse_args([
+            "--checkpoint-path", str(tmp_path / "m.safetensors"),
+            "--gemma-root", str(tmp_path),
+            "--prompt", "p",
+            "--output-path", str(tmp_path / "o.mp4"),
+            "--image", "a.png", "0", "0.8",
+            "--image", "b.png", "8", "0.9",
+            "--lora", "l1.safetensors", "0.5",
+            "--lora", "l2.safetensors",
+            "--distilled-lora", "d.safetensors",
+            "--spatial-upsampler-path", str(tmp_path / "u.safetensors"),
+        ])
+        assert len(args.images) == 2 and args.images[0][1] == 0 and args.images[1][2] == 0.9
+        assert [l.strength for l in args.lora] == [0.5, 1.0]
+        assert all(isinstance(l, LoraPathStrengthAndSDOps) for l in args.lora)
+        assert len(args.distilled_lora) == 1
+
+    def test_lora_action_rejects_three_values(self, tmp_path):
+        import pytest as _pytest
+
+        from ltx_pipelines.utils.args import default_1_stage_arg_parser
+
+        with _pytest.raises(SystemExit):
+            default_1_stage_arg_parser().parse_args([
+                "--checkpoint-path", "m", "--gemma-root", "g",
+                "--prompt", "p", "--output-path", "o",
+                "--lora", "a", "0.5", "extra",
+            ])
