@@ -278,6 +278,54 @@ class TestTorchCrossEncoder:
         np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-3)
 
 
+def t_video_decoder(params, cfg, x, timestep, causal=False):
+    """Full LTX2VideoDecoder transcription (ltx2_video_decoder.py spec):
+    denormalize -> conv_in -> [res blocks + depth-to-space ups] ->
+    pixel norm + last-layer timestep modulation -> conv_out -> unpatchify.
+    Reusable by the composed-pipeline cross-check."""
+    c_in = x.shape[1]
+    mean = tt(params["latents_mean"]).reshape(1, c_in, 1, 1, 1)
+    std = tt(params["latents_std"]).reshape(1, c_in, 1, 1, 1)
+    x = x * std + mean  # denormalize
+    scaled_t = timestep * 1000.0
+    pm = cfg.padding_mode
+    x = t_causal_conv3d(
+        conv_w(params["conv_in"]), tt(params["conv_in"]["bias"]), x,
+        causal=causal, padding_mode=pm,
+    )
+    chans = cfg.channel_schedule
+    for g, ch in enumerate(chans):
+        grp = params["up_blocks"][str(2 * g)]
+        ts_embed = t_time_embedder(embedder_weights(grp["time_embedder"]), scaled_t)
+        stacked = grp["res_blocks"]
+        for j in range(cfg.num_layers_per_block):
+            bp = {
+                "conv1.w": conv_w({"weight": np.asarray(stacked["conv1"]["weight"])[j]}),
+                "conv1.b": tt(np.asarray(stacked["conv1"]["bias"])[j]),
+                "conv2.w": conv_w({"weight": np.asarray(stacked["conv2"]["weight"])[j]}),
+                "conv2.b": tt(np.asarray(stacked["conv2"]["bias"])[j]),
+                "table": tt(np.asarray(stacked["scale_shift_table"])[j]),
+            }
+            x = t_res_block_dec(bp, x, ts_embed, pm, causal=causal)
+        if g < cfg.num_upsamples:
+            ups = params["up_blocks"][str(2 * g + 1)]
+            x = t_depth_to_space_upsample(
+                conv_pair(ups["conv"], "conv"), x, (2, 2, 2), 2, pm, causal=causal
+            )
+
+    x = t_pixel_norm(x, 1e-8)
+    emb = t_time_embedder(embedder_weights(params["last_time_embedder"]), scaled_t)
+    ada = tt(params["last_scale_shift_table"])[None, :, :, None, None, None] + emb.reshape(
+        1, 2, chans[-1], 1, 1, 1
+    )
+    x = x * (1 + ada[:, 1]) + ada[:, 0]
+    x = t_causal_conv3d(
+        conv_w(params["conv_out"]), tt(params["conv_out"]["bias"]), F.silu(x),
+        causal=causal, padding_mode=pm,
+    )
+    return t_unpatchify(x, cfg.patch_size)
+
+
 class TestTorchCrossDecoder:
     def test_decoder_matches_torch_transcription(self, rng):
         cfg = DecoderConfig(
@@ -310,47 +358,9 @@ class TestTorchCrossDecoder:
         )
 
         # ---- torch path ----
-        x = torch.from_numpy(latents)
-        mean = tt(params["latents_mean"]).reshape(1, 16, 1, 1, 1)
-        std = tt(params["latents_std"]).reshape(1, 16, 1, 1, 1)
-        x = x * std + mean  # denormalize
-        scaled_t = torch.from_numpy(timestep) * 1000.0
-        pm = cfg.padding_mode
-        x = t_causal_conv3d(
-            conv_w(params["conv_in"]), tt(params["conv_in"]["bias"]), x,
-            causal=False, padding_mode=pm,
-        )
-        chans = cfg.channel_schedule
-        for g, ch in enumerate(chans):
-            grp = params["up_blocks"][str(2 * g)]
-            ts_embed = t_time_embedder(embedder_weights(grp["time_embedder"]), scaled_t)
-            stacked = grp["res_blocks"]
-            for j in range(cfg.num_layers_per_block):
-                bp = {
-                    "conv1.w": conv_w({"weight": np.asarray(stacked["conv1"]["weight"])[j]}),
-                    "conv1.b": tt(np.asarray(stacked["conv1"]["bias"])[j]),
-                    "conv2.w": conv_w({"weight": np.asarray(stacked["conv2"]["weight"])[j]}),
-                    "conv2.b": tt(np.asarray(stacked["conv2"]["bias"])[j]),
-                    "table": tt(np.asarray(stacked["scale_shift_table"])[j]),
-                }
-                x = t_res_block_dec(bp, x, ts_embed, pm)
-            if g < cfg.num_upsamples:
-                ups = params["up_blocks"][str(2 * g + 1)]
-                x = t_depth_to_space_upsample(
-                    conv_pair(ups["conv"], "conv"), x, (2, 2, 2), 2, pm, causal=False
-                )
-
-        x = t_pixel_norm(x, 1e-8)
-        emb = t_time_embedder(embedder_weights(params["last_time_embedder"]), scaled_t)
-        ada = tt(params["last_scale_shift_table"])[None, :, :, None, None, None] + emb.reshape(
-            1, 2, chans[-1], 1, 1, 1
-        )
-        x = x * (1 + ada[:, 1]) + ada[:, 0]
-        x = t_causal_conv3d(
-            conv_w(params["conv_out"]), tt(params["conv_out"]["bias"]), F.silu(x),
-            causal=False, padding_mode=pm,
-        )
-        expected = t_unpatchify(x, 4).numpy()
+        expected = t_video_decoder(
+            params, cfg, torch.from_numpy(latents), torch.from_numpy(timestep)
+        ).numpy()
 
         assert got.shape == expected.shape == (1, 3, 9, 64, 64)
         np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-3)
