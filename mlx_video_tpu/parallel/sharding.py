@@ -205,3 +205,62 @@ def constrain_tokens(x: jax.Array, mesh: Optional[Mesh] = None) -> jax.Array:
     if mesh is None:
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data", "fsdp", None)))
+
+
+def replicate_params(params, mesh: Mesh):
+    """Replicate a param pytree over every device of ``mesh``.
+
+    Used for the conv stacks (VAE decoder/encoder, latent upsampler, audio
+    models): their weights are small next to the DiT, so full replication
+    makes every conv weight local and GSPMD only has to partition the
+    ACTIVATIONS — spatial (H-axis) sharding with compiler-inserted halo
+    exchanges at the conv boundaries. This keeps the upsample/decode stages
+    mesh-resident: latents never funnel to one device between the sharded
+    denoise and the decode (reference runs these single-device,
+    mlx_video/generate.py:3285-3455; multi-chip residency is new-build).
+    Idempotent: device_put onto an identical sharding is a no-op."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, s), params)
+
+
+def spatial_sharding(mesh: Mesh, shape, h_axis: int = 3) -> NamedSharding:
+    """NamedSharding that splits the H (height) axis of a video tensor over
+    the mesh's non-data axes (``fsdp`` x ``tensor`` flattened).
+
+    H is the one axis that is large at every stage of the VAE pyramid, is
+    never reshaped by depth-to-space along a partitioned dimension in a way
+    GSPMD cannot follow, and gives conv halo exchanges of just
+    (kernel-1)/2 rows — the cheapest cut for spatially-partitioned conv.
+    Batch additionally shards on ``data`` so multi-video decode composes.
+
+    device_put requires exact divisibility, so axes that do not divide
+    their dimension are dropped greedily (worst case: replicated)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = [None] * len(shape)
+    if "data" in sizes and shape[0] % sizes["data"] == 0 and sizes["data"] > 1:
+        spec[0] = "data"
+    h_axes = []
+    for a in ("fsdp", "tensor"):
+        if a in sizes and shape[h_axis] % (
+            _prod(sizes[x] for x in h_axes + [a])
+        ) == 0:
+            h_axes.append(a)
+    if h_axes:
+        spec[h_axis] = tuple(h_axes) if len(h_axes) > 1 else h_axes[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+def _prod(it) -> int:
+    out = 1
+    for v in it:
+        out *= v
+    return out
+
+
+def shard_spatial(x, mesh: Optional[Mesh], h_axis: int = 3):
+    """Re-place a (B, C, F, H, W) (default) or channels-last video tensor
+    with its H axis sharded over the mesh (device-side reshard; no host
+    bounce). No-op without a mesh."""
+    if mesh is None or x is None:
+        return x
+    return jax.device_put(x, spatial_sharding(mesh, x.shape, h_axis))

@@ -265,18 +265,35 @@ def decode_latents(
     decode_timestep: Optional[float] = None,
     noise_key: Optional[jax.Array] = None,
     on_frames_ready=None,
+    mesh=None,
 ) -> np.ndarray:
-    """Tiled (or whole) VAE decode -> (B, 3, F, H, W) float in [-1, 1]."""
+    """Tiled (or whole) VAE decode -> (B, 3, F, H, W) float in [-1, 1].
+
+    With ``mesh``: decoder params must be replicated over the mesh
+    (parallel.sharding.replicate_params — generate_video does this); each
+    decode input is placed H-sharded (shard_spatial) so the conv stages run
+    as one GSPMD program with halo exchanges — the mesh does the spatial
+    splitting that host-side tiling does on one chip.
+    """
     dec_cfg = models.vae_decoder_config
     timestep = None
     if decode_timestep is not None:
         timestep = jnp.full((latents.shape[0],), decode_timestep, dtype=jnp.float32)
 
+    if mesh is not None:
+        from mlx_video_tpu.parallel.sharding import shard_spatial
+
+        def _place(x):
+            return shard_spatial(x, mesh, h_axis=3)
+    else:
+        def _place(x):
+            return x
+
     # Host-driven decode: per-stage jits (bounded compile times per stage,
     # independent caching across tile shapes) instead of one monolith.
     def decode_jit(x):
         return video_decoder_apply_chunked(
-            models.vae_decoder_params, dec_cfg, x, timestep=timestep, noise_key=noise_key
+            models.vae_decoder_params, dec_cfg, _place(x), timestep=timestep, noise_key=noise_key
         )
     if tiling_config is None:
         out = np.asarray(decode_jit(latents), dtype=np.float32)
@@ -439,6 +456,16 @@ def generate_video(
             audio_embeddings=None,
             audio_neg_embeddings=None,
         )
+    if low_memory and mesh is not None:
+        # low_memory is the SINGLE-chip host<->HBM staging choreography; a
+        # mesh makes it unnecessary (aux stages go mesh-resident below) and
+        # the two placement schemes would fight (host-parked trees vs
+        # replicated NamedShardings). Fail loudly rather than pick one.
+        raise ValueError(
+            "low_memory and mesh are mutually exclusive: with >= 2 devices "
+            "the upsampler/decoder stay mesh-resident (replicated params, "
+            "H-sharded activations) and host staging is not needed"
+        )
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
     pp = None
     if pipeline_parallel:
@@ -538,6 +565,20 @@ def generate_video(
         if models.audio_decoder_params is not None:
             models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=True)
             models.vocoder_params = _stage(models.vocoder_params, to_host=True)
+    elif mesh is not None:
+        # Mesh-resident aux stages: replicate the (small) upsampler/decoder
+        # conv stacks over the mesh so upsample and VAE decode run as GSPMD
+        # programs with H-sharded activations (shard_spatial below) instead
+        # of every device redundantly computing the full stage on replicated
+        # latents. With >= 2 chips this removes the need for low_memory
+        # staging entirely: the per-device share of the aux params is small
+        # next to the FSDP-sharded 19B. Idempotent across serve requests.
+        from mlx_video_tpu.parallel.sharding import replicate_params
+
+        for _attr in ("upsampler_params", "vae_decoder_params"):
+            _v = getattr(models, _attr)
+            if _v is not None:
+                setattr(models, _attr, replicate_params(_v, mesh))
     else:
         for attr in (
             "vae_decoder_params", "vae_encoder_params", "upsampler_params",
@@ -719,6 +760,11 @@ def generate_video(
             latents, state1 = _init_state_with_conditioning(
                 shape1, s1_conds, keys[0], s1_sigmas[0], dtype
             )
+            if mesh is not None and state1 is not None:
+                # see the dev-branch note: encoder-jit outputs are committed
+                # to one device; replicate before the GSPMD denoise.
+                latents = _gather(latents)
+                state1 = jax.tree.map(_gather, state1)
 
         params = _optimized_layouts(
             params, latents, positions1, text.video_embeddings, None, 1.0, audio_kwargs
@@ -750,6 +796,20 @@ def generate_video(
             ups_params = _stage(models.upsampler_params, to_host=False)
             lat_mean = _stage(models.latents_mean, to_host=False)
             lat_std = _stage(models.latents_std, to_host=False)
+            if mesh is not None:
+                # Mesh-resident upsample: H-sharded latents x replicated conv
+                # params -> each device upsamples its H slice (GSPMD inserts
+                # the conv halo exchanges). _gather above made the latents
+                # replicated; this reshard is a device-side slice, not a
+                # host bounce.
+                from mlx_video_tpu.parallel.sharding import (
+                    replicate_params,
+                    shard_spatial,
+                )
+
+                lat_mean = replicate_params(lat_mean, mesh)
+                lat_std = replicate_params(lat_std, mesh)
+                latents = shard_spatial(latents, mesh, h_axis=3)
             # Params must be jit ARGUMENTS: closure-captured arrays are inlined
             # as program constants — a host round-trip plus an in-executable
             # copy of the whole upsampler (OOMs next to a resident 19B model).
@@ -758,6 +818,11 @@ def generate_video(
                 ups_params, vae_ops.to_channels_last(latents), lat_mean, lat_std
             )
             latents = vae_ops.to_channels_first(lat_cl)
+            if mesh is not None:
+                # Stage-2 denoise consumes replicated latents (its GSPMD
+                # program shards tokens/batch itself) — all-gather the H
+                # slices back over ICI.
+                latents = _gather(latents)
             if low_memory:
                 # retire the upsampler arena before stage 2 re-enters the 19B
                 latents = jnp.asarray(np.asarray(latents), dtype=latents.dtype)
@@ -776,6 +841,8 @@ def generate_video(
             )
             state2 = apply_conditioning(state2, s2_conds)
             state2 = _masked_renoise(state2, keys[1], s2_sigmas[0])
+            if mesh is not None:
+                state2 = jax.tree.map(_gather, state2)
             latents = state2.latent
         else:
             noise = _batched_noise(1, latents.shape).astype(dtype)
@@ -846,6 +913,12 @@ def generate_video(
             latents, state = _init_state_with_conditioning(
                 shape, dev_conds, keys[0], float(sigmas[0]), dtype
             )
+            if mesh is not None and state is not None:
+                # Conditioned latents are encoder-jit outputs committed to
+                # one device; replicate them over the mesh so the GSPMD
+                # denoise program sees a consistent device set.
+                latents = _gather(latents)
+                state = jax.tree.map(_gather, state)
         params = _optimized_layouts(
             params, latents, positions, text.video_embeddings,
             text.video_neg_embeddings, cfg_scale, audio_kwargs,
@@ -1021,7 +1094,7 @@ def generate_video(
                 decode_latents(
                     models,
                     latents[vid_idx : vid_idx + 1] if num_videos > 1 else latents,
-                    tiling_config, decode_timestep=0.05,
+                    tiling_config, decode_timestep=0.05, mesh=mesh,
                     # per-video key: the timestep-conditioned decoder injects
                     # noise, and video i must decode identically to its
                     # independent seed-i run regardless of batching

@@ -138,12 +138,12 @@ def main() -> None:
         num_inference_steps=steps, cfg_scale=4.5,
         images=[(img_path, 0, 1.0)],
         output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
-        low_memory=not tiny,
+        low_memory=not tiny and "--no-low-memory" not in sys.argv,
         cfg_sequential=cfg_sequential,
         # preferred-layout placement: without it XLA prepends ~3 GB of
         # relayout copies of the 48-layer w4a8 stacks — the difference
         # between the batched-CFG scan fitting one 16 GB chip or OOMing
-        optimize_layouts=not tiny,
+        optimize_layouts=not tiny and "--no-layout-opt" not in sys.argv,
     )
     wall = time.time() - t0
     assert os.path.exists(out)

@@ -585,3 +585,97 @@ class TestFullTextEncoderSharding:
             )(sp, ids, mask)
         np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), atol=2e-3)
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=2e-3)
+
+
+class TestMeshResidentAux:
+    """Mesh-resident upsampler/VAE-decoder: replicated conv params x
+    H-sharded activations must match the single-device stages exactly
+    (GSPMD inserts the conv halo exchanges)."""
+
+    @staticmethod
+    def _tiny_decoder():
+        from mlx_video_tpu.models.ltx.video_vae.decoder import (
+            DecoderConfig,
+            init_video_decoder,
+        )
+
+        cfg = DecoderConfig(
+            in_channels=16, base_channels=32, num_layers_per_block=1,
+            num_upsamples=2, patch_size=4,
+        )
+        params = init_video_decoder(jax.random.key(0), cfg, dtype=jnp.float32)
+        return cfg, params
+
+    def test_decode_latents_sharded_matches_single_device(self):
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.parallel.sharding import replicate_params
+        from mlx_video_tpu.pipelines.generate import ModelBundle, decode_latents
+
+        dec_cfg, dec_params = self._tiny_decoder()
+        models = ModelBundle(
+            transformer_params={},
+            transformer_config=tiny_test_config(LTXModelType.VideoOnly),
+            vae_decoder_params=dec_params,
+            vae_decoder_config=dec_cfg,
+        )
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(1, 16, 2, 8, 8)).astype(np.float32))
+        ref = decode_latents(models, lat, None, decode_timestep=0.05,
+                             noise_key=jax.random.key(1))
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            models.vae_decoder_params = replicate_params(dec_params, mesh)
+            rep_leaf = jax.tree.leaves(models.vae_decoder_params)[0]
+            assert len(rep_leaf.sharding.device_set) == 8
+            out = decode_latents(models, lat, None, decode_timestep=0.05,
+                                 noise_key=jax.random.key(1), mesh=mesh)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_upsample_sharded_matches_single_device(self):
+        from mlx_video_tpu.models.ltx.upsampler import (
+            init_latent_upsampler,
+            upsample_latents,
+        )
+        from mlx_video_tpu.parallel.sharding import replicate_params, shard_spatial
+
+        params = init_latent_upsampler(
+            jax.random.key(0), in_channels=16, mid_channels=32, num_blocks=1,
+            dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(1)
+        lat = jnp.asarray(rng.normal(size=(1, 16, 2, 8, 8)).astype(np.float32))
+        mean = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        std = jnp.asarray(rng.uniform(0.5, 2.0, size=(16,)).astype(np.float32))
+        ref = upsample_latents(params, lat, mean, std)
+
+        mesh = create_mesh((2, 2, 2))
+        with mesh:
+            p_rep = replicate_params(params, mesh)
+            lat_s = shard_spatial(lat, mesh, h_axis=3)
+            assert not lat_s.sharding.is_fully_replicated
+            assert len(lat_s.sharding.device_set) == 8
+            out = upsample_latents(p_rep, lat_s, *replicate_params((mean, std), mesh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_low_memory_mesh_rejected(self):
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.pipelines.generate import (
+            ModelBundle,
+            TextConditioning,
+            generate_video,
+        )
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg, dec_params = self._tiny_decoder()
+        models = ModelBundle(
+            transformer_params={}, transformer_config=cfg,
+            vae_decoder_params=dec_params, vae_decoder_config=dec_cfg,
+        )
+        text = TextConditioning(
+            video_embeddings=jnp.zeros((1, 4, cfg.caption_channels), jnp.float32)
+        )
+        mesh = create_mesh((2, 2, 2))
+        with pytest.raises(ValueError, match="low_memory and mesh"):
+            generate_video(models, text, height=32, width=32, num_frames=9,
+                           low_memory=True, mesh=mesh)
