@@ -358,7 +358,9 @@ def init_kv_caches(config: Gemma3TextConfig, batch: int, max_len: int, dtype=jnp
     ]
 
 
-_gemma3_logits_jit = jax.jit(gemma3_logits, static_argnames=("config", "last_only"))
+from mlx_video_tpu.utils.aot import aot_jit as _aot_jit
+
+_gemma3_logits_jit = _aot_jit(gemma3_logits, static_argnames=("config", "last_only"))
 
 
 def generate(

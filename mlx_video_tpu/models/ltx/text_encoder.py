@@ -303,8 +303,18 @@ class LTX2TextEncoder:
         self.gemma_config = gemma_config
         self.tokenizer = tokenizer
         self.max_length = max_length
-        self._encode_jit = jax.jit(
-            lambda p, ids, mask: encode_tokens(p, gemma_config, ids, mask, True)
+        from mlx_video_tpu.utils.aot import aot_jit
+
+        # gemma_config is a static arg (keyed into the AOT disk cache), so a
+        # fresh process skips the Gemma prompt-encode device compile too.
+        _enc = aot_jit(
+            encode_tokens,
+            static_argnames=("gemma_config", "return_audio_embeddings",
+                             "num_heads", "head_dim"),
+            name="gemma_encode_tokens",
+        )
+        self._encode_jit = lambda p, ids, mask: _enc(
+            p, gemma_config, ids, mask, True
         )
 
     @classmethod

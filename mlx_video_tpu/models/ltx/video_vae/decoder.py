@@ -164,8 +164,10 @@ def init_video_decoder(key: jax.Array, config: DecoderConfig = DecoderConfig(), 
 
 from functools import partial
 
+from mlx_video_tpu.utils.aot import aot_partial
 
-@partial(jax.jit, static_argnames=("config", "causal"))
+
+@aot_partial(static_argnames=("config", "causal"))
 def _decoder_head(params, config: DecoderConfig, sample_cl, noise, causal):
     """sample_cl is channels-LAST (B, F', H', W', C): the layout transpose
     stays OUTSIDE this jit — XLA:TPU's device-side compile of a channel
@@ -179,7 +181,7 @@ def _decoder_head(params, config: DecoderConfig, sample_cl, noise, causal):
     return causal_conv3d(params["conv_in"], x, 3, 1, causal, config.padding_mode)
 
 
-@partial(jax.jit, static_argnames=("config", "causal", "upsample"))
+@aot_partial(static_argnames=("config", "causal", "upsample"))
 def _decoder_stage(group, ups, x, scaled_timestep, config: DecoderConfig, causal, upsample):
     """One res-block group (+ optional upsample) — jitted separately so the
     full-geometry decoder compiles as a handful of bounded stages instead of
@@ -202,7 +204,7 @@ def _decoder_stage(group, ups, x, scaled_timestep, config: DecoderConfig, causal
     return x
 
 
-@partial(jax.jit, static_argnames=("config", "causal"))
+@aot_partial(static_argnames=("config", "causal"))
 def _decoder_tail(params, config: DecoderConfig, x, scaled_timestep, causal):
     b = x.shape[0]
     chans = config.channel_schedule

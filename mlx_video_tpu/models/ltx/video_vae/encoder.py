@@ -157,29 +157,31 @@ def video_encoder_apply_cl(
 
 from functools import partial
 
+from mlx_video_tpu.utils.aot import aot_partial
 
-@partial(jax.jit, static_argnames=("config", "padding_mode"))
+
+@aot_partial(static_argnames=("config", "padding_mode"))
 def _encoder_head(params, config: VideoVAEConfig, sample_cl, padding_mode):
     x = ops.patchify(sample_cl, patch_size_hw=config.patch_size, patch_size_t=1)
     return causal_conv3d(params["conv_in"], x, 3, 1, True, padding_mode)
 
 
-@partial(jax.jit, static_argnames=("padding_mode",))
+@aot_partial(static_argnames=("padding_mode",))
 def _encoder_res_block(bparams, x, padding_mode):
     return resnet_block(bparams, x, True, padding_mode)
 
 
-@partial(jax.jit, static_argnames=("out_ch", "strides", "padding_mode"))
+@aot_partial(static_argnames=("out_ch", "strides", "padding_mode"))
 def _encoder_downsample(bparams, x, out_ch, strides, padding_mode):
     return space_to_depth_downsample(bparams, x, out_ch, strides, True, padding_mode)
 
 
-@partial(jax.jit, static_argnames=("strides", "padding_mode"))
+@aot_partial(static_argnames=("strides", "padding_mode"))
 def _encoder_conv_compress(bparams, x, strides, padding_mode):
     return causal_conv3d(bparams, x, 3, strides, True, padding_mode)
 
 
-@partial(jax.jit, static_argnames=("config", "padding_mode"))
+@aot_partial(static_argnames=("config", "padding_mode"))
 def _encoder_tail(params, config: VideoVAEConfig, x, padding_mode):
     x = jax.nn.silu(pixel_norm(x))
     x = causal_conv3d(params["conv_out"], x, 3, 1, True, padding_mode)

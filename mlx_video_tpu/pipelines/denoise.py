@@ -513,7 +513,9 @@ def _denoise_scan_impl(
     return v, a
 
 
-_denoise_scan = partial(jax.jit, static_argnames=_SCAN_STATICS)(_denoise_scan_impl)
+from mlx_video_tpu.utils.aot import aot_jit as _aot_jit
+
+_denoise_scan = _aot_jit(_denoise_scan_impl, static_argnames=_SCAN_STATICS)
 
 
 def preferred_param_formats(

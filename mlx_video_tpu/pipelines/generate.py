@@ -814,7 +814,9 @@ def generate_video(
             # as program constants — a host round-trip plus an in-executable
             # copy of the whole upsampler (OOMs next to a resident 19B model).
             # Channels-last core jitted, layout transposes eager (PERF.md r2).
-            lat_cl = jax.jit(upsample_latents_cl)(
+            from mlx_video_tpu.utils.aot import aot_jit
+
+            lat_cl = aot_jit(upsample_latents_cl, name="upsample_latents_cl")(
                 ups_params, vae_ops.to_channels_last(latents), lat_mean, lat_std
             )
             latents = vae_ops.to_channels_first(lat_cl)
