@@ -92,6 +92,11 @@ def main() -> None:
     )
 
     t_start = time.time()
+    # Compile-warm the trivial fence program while HBM is still empty:
+    # generate_video's staging fence is the first device dispatch after the
+    # ~11 GiB AV tree lands, and its deferred device-side compile under that
+    # pressure was where the r3 chip run surfaced RESOURCE_EXHAUSTED.
+    float(jnp.sum(jnp.ones((8,), jnp.float32)))
     tiny = "--tiny" in sys.argv
     if tiny:
         config = dataclasses.replace(
@@ -190,6 +195,16 @@ def main() -> None:
     )
     jax.block_until_ready(models.transformer_params)
     t_load = time.time() - t_start
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        print(
+            f"hbm in use after param synth: "
+            f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
+            f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f})",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
 
     hw = 64 if tiny else 512
     frames = 9 if tiny else 33

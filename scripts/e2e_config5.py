@@ -192,7 +192,24 @@ def main() -> None:
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
             frozen = relayout_params(frozen, ff, donate=True)
+            # Retire the relayout transients (donation still copies the
+            # leaves whose layout changed) BEFORE the first grad_step claims
+            # its arena: dispatch is async through the tunnel and the two
+            # otherwise coexist (r3 chip run OOM'd at the first loss sync).
+            # block_until_ready lies through the tunnel — drain the queue by
+            # FETCHING a scalar enqueued behind the relayout (in-order queue).
+            float(jnp.sum(jnp.ones((8,), jnp.float32)))
             print(f"layout discovery+relayout {time.time() - t_fmt:.1f}s", file=sys.stderr)
+            try:
+                ms = jax.local_devices()[0].memory_stats()
+                print(
+                    f"hbm in use after relayout: "
+                    f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
+                    f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f})",
+                    file=sys.stderr,
+                )
+            except Exception:
+                pass
         key = jax.random.key(0)
         times: dict = {}
         step = 0

@@ -28,6 +28,9 @@ ROOT = Path(__file__).resolve().parent.parent
         ("scripts/e2e_config4.py", "e2e_config4_keyframe_guide_seconds"),
         ("scripts/e2e_config5.py", "config5_lora_v2v_train_step"),
         ("scripts/aot_scaling.py", "aot_scaling_table"),
+        ("scripts/serve_load.py", "serve_load_p50_latency"),
+        # dial_sweep prints per-setting rows keyed by "setting", not "metric"
+        ("scripts/dial_sweep.py", "off"),
     ],
 )
 def test_script_tiny_smoke(script, expect_metric):
@@ -41,7 +44,9 @@ def test_script_tiny_smoke(script, expect_metric):
         for line in out.stdout.splitlines()
         if line.startswith("{")
     ]
-    assert any(m.get("metric") == expect_metric for m in metrics), out.stdout[-2000:]
+    assert any(
+        expect_metric in (m.get("metric"), m.get("setting")) for m in metrics
+    ), out.stdout[-2000:]
 
 
 def test_bench_tiny_smoke():

@@ -269,6 +269,33 @@ class TestDynamicBatching:
         code, out = _post(batch_url, dict(self.REQ, pipeline="dev"))
         assert code == 400 and "distilled" in out["error"]
 
+    def test_coalescing_fairness_fifo(self, batch_service):
+        """A mismatched-shape request sandwiched between two coalescible ones
+        must be served in FIFO order, not starved while same-key arrivals
+        keep coalescing: the worker pops the HEAD each iteration, so after
+        the [A, A'] group runs, B is the next head (serve.py
+        _batch_worker_once)."""
+        import threading as _t
+
+        svc = batch_service
+        a1 = {"req": dict(self.REQ, seed=101),
+              "done": _t.Event(), "result": None, "error": None}
+        b = {"req": dict(self.REQ, num_frames=17, seed=102),
+             "done": _t.Event(), "result": None, "error": None}
+        a2 = {"req": dict(self.REQ, seed=103),
+              "done": _t.Event(), "result": None, "error": None}
+        # Enqueue all three atomically so the worker sees [A, B, A'] at once.
+        with svc._cv:
+            svc._pending.extend([a1, b, a2])
+            svc._cv.notify_all()
+        for it in (a1, b, a2):
+            assert it["done"].wait(timeout=600), "request starved"
+            assert it["error"] is None, it["error"]
+        # A and A' coalesced into one batch-of-2; B ran solo right after.
+        assert a1["result"].get("batched") == 2, a1["result"]
+        assert a2["result"].get("batched") == 2, a2["result"]
+        assert b["result"].get("batched", 1) == 1, b["result"]
+
 
 class TestServeLoRA:
     """Per-request LoRA hot-swap: adapters under --lora-dir attach as runtime
