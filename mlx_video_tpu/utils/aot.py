@@ -273,6 +273,30 @@ def aot_jit(
             jax.jit(fn_dyn, donate_argnums=donate or None).lower(*dynamic).compile()
         )
         _try_save(path, compiled, fname)
+        # Execute the RELOADED binary, not the locally-compiled object: the
+        # serialized payload embeds the device program, so its first dispatch
+        # skips XLA:TPU's deferred device-side compile (~2.5 s vs 332 s
+        # measured on a decoder stage, PERF.md r3) — without this the SAVE
+        # process pays the full per-stage tax the cache exists to kill.
+        # Same broad first-execute guard as the disk-hit branch above: a
+        # backend that deserializes but refuses to execute tombstones and
+        # falls back to the locally-compiled object. CPU skips the swap:
+        # XLA:CPU has no deferred device compile to dodge, and its AOT
+        # binaries routinely refuse to execute (the tombstone case) — the
+        # swap would burn the disk cache on the first save.
+        reloaded = None if jax.default_backend() == "cpu" else _try_load(path, fname)
+        if reloaded is not None:
+            try:
+                out = reloaded(*dynamic)
+                with _LOCK:
+                    _MEMORY[mem_key] = reloaded
+                return out
+            except Exception as e:
+                _mark_broken(fname, e)
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
         with _LOCK:
             _MEMORY[mem_key] = compiled
         return _call(compiled, dynamic, mem_key, plain, args, kwargs)
