@@ -193,11 +193,31 @@ def decode_audio(
     vocoder_params: dict,
     vocoder_config: VocoderConfig,
 ) -> jax.Array:
-    """Latent -> spectrogram -> waveform (reference: audio_vae.py:471-486)."""
-    from mlx_video_tpu.models.ltx.audio_vae.audio_vae import audio_decoder_apply
+    """Latent -> spectrogram -> waveform (reference: audio_vae.py:471-486).
 
-    spec = audio_decoder_apply(decoder_params, decoder_config, latent)
-    wav = vocoder_apply(vocoder_params, vocoder_config, spec)
+    One jitted (AOT-cached) program for the whole mel-decode + vocoder
+    chain: eagerly it is hundreds of per-op dispatches through the device
+    tunnel (~1-3 ms each) and none of its compile work persists across
+    processes."""
+    wav = _decode_audio_jit(
+        latent, decoder_params, vocoder_params,
+        decoder_config=decoder_config, vocoder_config=vocoder_config,
+    )
     if wav.shape[0] == 1:
         wav = wav[0]
     return wav.astype(jnp.float32)
+
+
+def _decode_audio_impl(latent, decoder_params, vocoder_params, decoder_config, vocoder_config):
+    from mlx_video_tpu.models.ltx.audio_vae.audio_vae import audio_decoder_apply
+
+    spec = audio_decoder_apply(decoder_params, decoder_config, latent)
+    return vocoder_apply(vocoder_params, vocoder_config, spec)
+
+
+from mlx_video_tpu.utils.aot import aot_jit as _aot_jit  # noqa: E402
+
+_decode_audio_jit = _aot_jit(
+    _decode_audio_impl, static_argnames=("decoder_config", "vocoder_config"),
+    name="decode_audio",
+)
