@@ -174,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's serial load/free choreography as "
                         "host<->HBM swaps). Needed to fit 19B W4A8 + the "
                         "full 1024-channel decoder on one 16 GB chip.")
+    p.add_argument("--aux-stage-int8", action="store_true",
+                   help="With --low-memory: park the aux-stage params "
+                        "(upsampler/VAE/audio) host-side as per-channel "
+                        "int8 so each staging transfer moves half the "
+                        "bytes; dequantized to bf16 on device.")
     p.add_argument("--optimize-layouts", action="store_true",
                    help="Pre-place the transformer weights in XLA's "
                         "preferred input layouts for this geometry before "
@@ -443,6 +448,7 @@ def main(argv=None) -> None:
             pipeline_parallel=args.pipeline_parallel,
             pipeline_tensor=args.pipeline_tensor,
             low_memory=args.low_memory,
+            aux_int8_staging=args.aux_stage_int8,
         )
 
     if args.save_frames and result.video is not None:

@@ -375,6 +375,7 @@ def generate_video(
     pipeline_data: int = 1,
     pipeline_tensor: int = 1,
     low_memory: bool = False,
+    aux_int8_staging: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -408,6 +409,12 @@ def generate_video(
     each moves on-device only for its phase, and the transformer params are
     freed after the final denoise. The bundle's ``transformer_params`` are
     None afterwards; reload before reuse.
+
+    ``aux_int8_staging``: with ``low_memory``, park the aux-stage params
+    (upsampler/VAE/audio) host-side as per-output-channel int8 so each
+    staging transfer moves half the bytes; dequantized to bf16 on device in
+    one jitted dispatch (io/staging.py). Weight-only int8 on conv stacks —
+    drift is bounded in tests/test_staging.py.
     """
     timer = PhaseTimer()
     if seeds is not None:
@@ -465,6 +472,12 @@ def generate_video(
             "low_memory and mesh are mutually exclusive: with >= 2 devices "
             "the upsampler/decoder stay mesh-resident (replicated params, "
             "H-sharded activations) and host staging is not needed"
+        )
+    if aux_int8_staging and not low_memory:
+        raise ValueError(
+            "aux_int8_staging is a low_memory transfer codec (int8 on the "
+            "host<->HBM wire); it has no effect without low_memory — pass "
+            "low_memory=True or drop the flag"
         )
     sp = (mesh, "fsdp") if (sequence_parallel and mesh is not None) else None
     pp = None
@@ -530,10 +543,19 @@ def generate_video(
         """Move a param tree host<->device (low_memory only). Blocks until
         the copy lands: device_put is async, and launching the next heavy
         stage while the old device buffers are still draining re-creates the
-        exact coexistence this staging exists to avoid."""
+        exact coexistence this staging exists to avoid. With
+        ``aux_int8_staging`` the host side holds int8 (half the wire bytes,
+        io/staging.py)."""
         if not low_memory or tree is None:
             return tree
         _device_fence()
+        if aux_int8_staging:
+            from mlx_video_tpu.io import staging as _st
+
+            if to_host:
+                return _st.park_int8(tree, _host_dev)
+            if _st.is_parked(tree):
+                return _st.unpark_int8(tree, jax.devices()[0])
         target = _host_dev if to_host else jax.devices()[0]
         moved = jax.device_put(tree, target)
         jax.block_until_ready(moved)
@@ -549,6 +571,12 @@ def generate_video(
         """
         if low_memory or tree is None or jax.default_backend() == "cpu":
             return tree
+        from mlx_video_tpu.io import staging as _st
+
+        if _st.is_parked(tree):
+            # Previous run parked it as int8 (aux_int8_staging); restore
+            # full-precision device residency for this non-low_memory run.
+            return _st.unpark_int8(tree, jax.devices()[0])
         leaves = jax.tree.leaves(tree)
         if not leaves or not hasattr(leaves[0], "devices"):
             return tree

@@ -109,6 +109,8 @@ def main() -> None:
         stage1_steps=2 if tiny else 8, stage2_steps=1 if tiny else 3,
         output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
         low_memory=not tiny,  # 19B + full decoder: stage HBM like the reference
+        # int8 transfer parking for the aux stages (halves staging bytes):
+        aux_int8_staging=(not tiny) and os.environ.get("MLX_VIDEO_AUX_INT8", "0") == "1",
     )
     wall = time.time() - t0
     assert result.video is not None and np.isfinite(result.video).all()
