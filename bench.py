@@ -470,7 +470,15 @@ def main() -> None:
             float(sum_jit(run(small_sched)))
             t2s.append(time.time() - t0)
         per_step = (np.median(t8s) - np.median(t2s)) / (n_big - n_small)
-        per_step = max(per_step, 1e-9)
+        if per_step <= 0:
+            # Still inverted after the retry: the measurement is unreliable.
+            # Refuse to print a bogus ~1e9 steps/s as if it were a result.
+            print(
+                "bench: timing still inverted after re-measure — host "
+                "contention too high for the cancellation protocol; aborting",
+                file=sys.stderr,
+            )
+            sys.exit(3)
     steps_per_sec = batch / per_step
     print(
         f"t{n_big} med {np.median(t8s):.3f}s t{n_small} med {np.median(t2s):.3f}s",

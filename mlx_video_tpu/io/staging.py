@@ -8,16 +8,27 @@ tunnel here — is the entire phase cost now that compute is AOT-cached
 (PERF.md r3: upsample 32.7 s ≈ one bf16 staging transfer).
 
 This module halves the bytes on the wire: weights are parked host-side as
-symmetric per-output-channel int8 (+ one fp32 scale per output channel),
-transferred in that form, and dequantized to bf16 on device in ONE jitted
-dispatch. Weight-only int8 with per-channel scales keeps conv stacks
-within ~0.4% relative weight error; the e2e drift is measured in
-tests/test_staging.py. Opt-in via ``generate_video(aux_int8_staging=True)``
+symmetric **per-group** int8 (groups of ``_GROUP_SIZE`` elements along the
+flattened reduction axes, one fp32 scale per (group, output-channel)),
+transferred in that form, and dequantized to the original dtype on device
+in ONE jitted dispatch. Per-group scales bound the round-trip error by the
+group's local amax instead of the whole reduction fan-in's (a 3x3x3x512
+conv channel shares one scale across 13 824 elements per-channel, but only
+64 per-group) — measured e2e drift is >40 dB PSNR vs bf16 staging
+(tests/test_staging.py). Scale overhead is 4/_GROUP_SIZE of the int8
+payload (~6% at 64). Opt-in via ``generate_video(aux_int8_staging=True)``
 / ``--aux-stage-int8``.
 
 Only leaves with ndim >= 2 and size >= _MIN_QUANT_SIZE are quantized —
 biases, norms, and per-channel statistics ride raw (they are a rounding
 error of the transfer).
+
+The ``unpark_begin`` / ``unpark_finish`` split exists for staging overlap:
+``begin`` only *issues* the async host->device copies (int8 bytes on the
+wire) and returns a handle; ``finish`` dispatches the dequant and blocks.
+generate_video issues ``begin`` while the denoise scan is still executing
+so the transfer rides the DMA engines under compute instead of serializing
+after it.
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 _MIN_QUANT_SIZE = 65536
+_GROUP_SIZE = 64
 _PARK_KEY = "__int8_parked__"
 
 
@@ -42,24 +54,42 @@ def _is_parked_leaf(x) -> bool:
 
 
 def _quantize_np(w: np.ndarray) -> dict:
-    """Host-side quantize: per-last-axis-channel symmetric int8."""
+    """Host-side quantize: per-group symmetric int8 (see module docstring)."""
     f = w.astype(np.float32)
-    axes = tuple(range(f.ndim - 1))
-    amax = np.max(np.abs(f), axis=axes)
+    cout = f.shape[-1]
+    r = f.reshape(-1, cout)
+    rows = r.shape[0]
+    n_groups = -(-rows // _GROUP_SIZE)
+    pad = n_groups * _GROUP_SIZE - rows
+    if pad:
+        r = np.concatenate([r, np.zeros((pad, cout), np.float32)], axis=0)
+    g = r.reshape(n_groups, _GROUP_SIZE, cout)
+    amax = np.max(np.abs(g), axis=1)
     scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.rint(f / scale), -127, 127).astype(np.int8)
+    q = np.clip(np.rint(g / scale[:, None, :]), -127, 127).astype(np.int8)
+    q = q.reshape(n_groups * _GROUP_SIZE, cout)[:rows].reshape(w.shape)
     return {_PARK_KEY: True, "q": q, "scale": scale, "dtype": str(w.dtype)}
 
 
-def _quantize_jnp(w: jax.Array) -> dict:
+def _quantize_jnp(w: jax.Array):
     """Device-side quantize (jit-traceable) — halves the DOWNLOAD too when
-    the params start on device (fresh load path)."""
+    the params start on device (fresh load path). Returns ARRAYS ONLY
+    (q, scale): strings are not JAX types, so the parked dict (which keeps
+    the dtype as a string) is assembled by the Python caller."""
     f = w.astype(jnp.float32)
-    axes = tuple(range(f.ndim - 1))
-    amax = jnp.max(jnp.abs(f), axis=axes)
+    cout = f.shape[-1]
+    r = f.reshape(-1, cout)
+    rows = r.shape[0]
+    n_groups = -(-rows // _GROUP_SIZE)
+    pad = n_groups * _GROUP_SIZE - rows
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros((pad, cout), jnp.float32)], axis=0)
+    g = r.reshape(n_groups, _GROUP_SIZE, cout)
+    amax = jnp.max(jnp.abs(g), axis=1)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
-    q = jnp.clip(jnp.rint(f / scale), -127, 127).astype(jnp.int8)
-    return {_PARK_KEY: True, "q": q, "scale": scale, "dtype": str(w.dtype)}
+    q = jnp.clip(jnp.rint(g / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    q = q.reshape(n_groups * _GROUP_SIZE, cout)[:rows].reshape(w.shape)
+    return q, scale
 
 
 def _leaf_on_accelerator(leaf) -> bool:
@@ -75,26 +105,36 @@ def _leaf_on_accelerator(leaf) -> bool:
 def park_int8(tree, host_device) -> object:
     """Quantize the large float leaves of ``tree`` and commit everything to
     ``host_device``. Device-resident leaves are quantized ON device first so
-    the download moves int8 bytes, not bf16."""
+    the download moves int8 bytes, not bf16. Idempotent: leaves parked by a
+    previous run (bundle reuse — the supported serve pattern) pass through
+    with their payload re-committed to the host, never re-quantized."""
     if tree is None:
         return None
 
     quant_on_device = jax.jit(_quantize_jnp)
 
     def park(leaf):
+        if _is_parked_leaf(leaf):
+            parked = dict(leaf)
+            parked["q"] = jax.device_put(parked["q"], host_device)
+            parked["scale"] = jax.device_put(parked["scale"], host_device)
+            return parked
         if not _should_quantize(leaf):
             return jax.device_put(leaf, host_device)
         if _leaf_on_accelerator(leaf):
-            parked = quant_on_device(leaf)
+            q, scale = quant_on_device(leaf)
+            parked = {_PARK_KEY: True, "q": q, "scale": scale, "dtype": str(leaf.dtype)}
         else:
             parked = _quantize_np(np.asarray(leaf))
-        parked = dict(parked)
         parked["q"] = jax.device_put(parked["q"], host_device)
         parked["scale"] = jax.device_put(parked["scale"], host_device)
         return parked
 
-    out = jax.tree.map(park, tree)
-    jax.block_until_ready([l for l in jax.tree.leaves(out)])
+    out = jax.tree.map(park, tree, is_leaf=_is_parked_leaf)
+    jax.block_until_ready(
+        [l for l in jax.tree.leaves(out, is_leaf=_is_parked_leaf) if not isinstance(l, dict)]
+        + [l["q"] for l in jax.tree.leaves(out, is_leaf=_is_parked_leaf) if isinstance(l, dict)]
+    )
     return out
 
 
@@ -108,14 +148,27 @@ def is_parked(tree) -> bool:
 
 
 def _dequant_leaves(qs, scales, dtypes):
-    return [
-        (q.astype(jnp.float32) * s).astype(d) for q, s, d in zip(qs, scales, dtypes)
-    ]
+    out = []
+    for q, s, d in zip(qs, scales, dtypes):
+        cout = q.shape[-1]
+        r = q.astype(jnp.float32).reshape(-1, cout)
+        rows = r.shape[0]
+        n_groups = s.shape[0]
+        pad = n_groups * _GROUP_SIZE - rows
+        if pad:
+            r = jnp.concatenate([r, jnp.zeros((pad, cout), jnp.float32)], axis=0)
+        g = r.reshape(n_groups, _GROUP_SIZE, cout) * s[:, None, :]
+        out.append(
+            g.reshape(n_groups * _GROUP_SIZE, cout)[:rows].reshape(q.shape).astype(d)
+        )
+    return out
 
 
-def unpark_int8(tree, device):
-    """Transfer a parked tree to ``device`` (int8 on the wire) and dequantize
-    the quantized leaves to their original dtype in one jitted dispatch."""
+def unpark_begin(tree, device):
+    """Issue the async host->device transfers for a parked (or plain) tree
+    and return an opaque handle for ``unpark_finish``. Does NOT block and
+    does NOT dispatch the dequant — call it while other device work is in
+    flight to overlap the copies with compute."""
     if tree is None:
         return None
     leaves, treedef = jax.tree.flatten(tree, is_leaf=_is_parked_leaf)
@@ -130,6 +183,15 @@ def unpark_int8(tree, device):
             moved.append(None)
         else:
             moved.append(jax.device_put(leaf, device))
+    return (treedef, moved, q_idx, qs, scales, dtypes)
+
+
+def unpark_finish(handle):
+    """Dispatch the on-device dequant for ``unpark_begin``'s handle and
+    block until the full tree is resident."""
+    if handle is None:
+        return None
+    treedef, moved, q_idx, qs, scales, dtypes = handle
     if q_idx:
         from mlx_video_tpu.utils.aot import aot_jit
 
@@ -140,3 +202,9 @@ def unpark_int8(tree, device):
     out = jax.tree.unflatten(treedef, moved)
     jax.block_until_ready([l for l in jax.tree.leaves(out)])
     return out
+
+
+def unpark_int8(tree, device):
+    """Transfer a parked tree to ``device`` (int8 on the wire) and dequantize
+    the quantized leaves to their original dtype in one jitted dispatch."""
+    return unpark_finish(unpark_begin(tree, device))

@@ -601,11 +601,17 @@ def generate_video(
         # latents. With >= 2 chips this removes the need for low_memory
         # staging entirely: the per-device share of the aux params is small
         # next to the FSDP-sharded 19B. Idempotent across serve requests.
+        from mlx_video_tpu.io import staging as _st
         from mlx_video_tpu.parallel.sharding import replicate_params
 
         for _attr in ("upsampler_params", "vae_decoder_params"):
             _v = getattr(models, _attr)
             if _v is not None:
+                if _st.is_parked(_v):
+                    # A previous low_memory+aux_int8_staging run on this
+                    # bundle left the tree host-parked as int8 dicts;
+                    # replicate_params would device_put the dtype string.
+                    _v = _st.unpark_int8(_v, jax.devices()[0])
                 setattr(models, _attr, replicate_params(_v, mesh))
     else:
         for attr in (

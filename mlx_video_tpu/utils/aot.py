@@ -283,8 +283,15 @@ def aot_jit(
         # falls back to the locally-compiled object. CPU skips the swap:
         # XLA:CPU has no deferred device compile to dodge, and its AOT
         # binaries routinely refuse to execute (the tombstone case) — the
-        # swap would burn the disk cache on the first save.
-        reloaded = None if jax.default_backend() == "cpu" else _try_load(path, fname)
+        # swap would burn the disk cache on the first save. Donating stages
+        # also skip it: if the reloaded binary consumed (donated) the inputs
+        # and THEN failed, the locally-compiled fallback would re-execute on
+        # deleted buffers and raise a confusing secondary error.
+        reloaded = (
+            None
+            if jax.default_backend() == "cpu" or donate
+            else _try_load(path, fname)
+        )
         if reloaded is not None:
             try:
                 out = reloaded(*dynamic)

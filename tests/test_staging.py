@@ -21,8 +21,9 @@ def _host():
 
 class TestParkUnpark:
     def test_round_trip_error_bound(self):
-        # Per-output-channel symmetric int8: worst-case abs error is half an
-        # LSB = scale/2 = amax_channel/254 per element.
+        # Per-group symmetric int8: worst-case abs error is half an LSB of
+        # the GROUP's scale = group_amax/254 per element — verify against the
+        # same grouping the codec uses.
         w = jax.random.normal(jax.random.key(0), (64, 32, 64)) * 3.0
         tree = {"conv": {"weight": w}}
         old = staging._MIN_QUANT_SIZE
@@ -35,9 +36,85 @@ class TestParkUnpark:
             staging._MIN_QUANT_SIZE = old
         wv = np.asarray(w, np.float32)
         bv = np.asarray(back["conv"]["weight"], np.float32)
-        amax = np.max(np.abs(wv), axis=(0, 1))
         assert bv.dtype == wv.dtype
-        assert np.max(np.abs(wv - bv) / (amax / 254.0 + 1e-12)) <= 1.001
+        g = staging._GROUP_SIZE
+        r = wv.reshape(-1, wv.shape[-1])
+        rows = r.shape[0]
+        n_groups = -(-rows // g)
+        pad = n_groups * g - rows
+        rp = np.concatenate([r, np.zeros((pad, r.shape[-1]), np.float32)]) if pad else r
+        group_amax = np.max(np.abs(rp.reshape(n_groups, g, -1)), axis=1)
+        bound = np.repeat(group_amax, g, axis=0)[:rows].reshape(wv.shape) / 254.0
+        assert np.max(np.abs(wv - bv) / (bound + 1e-12)) <= 1.001
+
+    def test_group_scales_beat_per_channel(self):
+        # The reason this codec exists: a channel whose amax is dominated by
+        # one outlier still round-trips the rest of the channel accurately,
+        # because only the outlier's GROUP pays the large scale.
+        w = np.asarray(jax.random.normal(jax.random.key(2), (4096, 8))) * 0.01
+        w[0, :] = 50.0  # one outlier row per channel
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 1024
+        try:
+            parked = staging.park_int8({"w": jnp.asarray(w)}, _host())
+            back = np.asarray(staging.unpark_int8(parked, jax.devices()[0])["w"])
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        # per-channel scale would be 50/127 ≈ 0.39 → rel err ~2000% on the
+        # 0.01-magnitude bulk; per-group bounds the bulk's error by its own
+        # group amax (~0.04/254)
+        bulk = slice(staging._GROUP_SIZE, None)
+        rel = np.abs(w[bulk] - back[bulk]) / (np.abs(w[bulk]) + 1e-12)
+        assert np.median(rel) < 0.05
+
+    def test_device_quantize_branch(self, monkeypatch):
+        # On the real accelerator the params are device-resident at the
+        # first park (generate.py low_memory flow): the jitted quantize must
+        # not try to return Python strings. Force the branch on CPU.
+        monkeypatch.setattr(staging, "_leaf_on_accelerator", lambda leaf: True)
+        w = jax.random.normal(jax.random.key(3), (128, 1024)) * 2.0
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 1024
+        try:
+            parked = staging.park_int8({"w": w}, _host())
+            assert staging.is_parked(parked)
+            back = staging.unpark_int8(parked, jax.devices()[0])
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_allclose(
+            np.asarray(back["w"]), np.asarray(w), atol=float(jnp.max(jnp.abs(w))) / 60
+        )
+
+    def test_repark_already_parked_passes_through(self):
+        # Bundle reuse: a second low_memory run parks a tree the first run
+        # left parked. Must be a commit-to-host no-op, not a crash or a
+        # double quantization.
+        w = jax.random.normal(jax.random.key(4), (64, 2048))
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 1024
+        try:
+            p1 = staging.park_int8({"w": w}, _host())
+            p2 = staging.park_int8(p1, _host())
+            assert staging.is_parked(p2)
+            b1 = np.asarray(staging.unpark_int8(p1, jax.devices()[0])["w"])
+            b2 = np.asarray(staging.unpark_int8(p2, jax.devices()[0])["w"])
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_unpark_begin_finish_matches_unpark(self):
+        w = jax.random.normal(jax.random.key(5), (256, 512))
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 1024
+        try:
+            parked = staging.park_int8({"w": w, "bias": jnp.ones((4,))}, _host())
+            handle = staging.unpark_begin(parked, jax.devices()[0])
+            out = staging.unpark_finish(handle)
+            ref = staging.unpark_int8(parked, jax.devices()[0])
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(ref["w"]))
+        np.testing.assert_array_equal(np.asarray(out["bias"]), np.asarray(ref["bias"]))
 
     def test_small_and_int_leaves_pass_through_exact(self):
         tree = {
@@ -128,6 +205,35 @@ class TestGenerateWithInt8Staging:
         # videos are in [-1, 1]; PSNR vs 2.0 peak
         psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
         assert psnr > 35.0, f"int8 staging drift too high: PSNR={psnr:.1f} dB"
+
+    def test_two_consecutive_runs_reuse_bundle(self, tmp_path):
+        """The serve pattern: two low_memory+aux_int8_staging generates on
+        the SAME bundle. Run 1 leaves the aux trees host-parked; run 2 must
+        re-park (pass-through) and unpark them without crashing, and produce
+        the identical video."""
+        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
+        from tests.test_generate import _text
+
+        cfg, bundle = self._bundle()
+        kw = dict(
+            height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=1, stage2_steps=1,
+            tiling="none", dtype=jnp.float32, low_memory=True,
+            aux_int8_staging=True,
+        )
+        t_params = bundle.transformer_params
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 256
+        try:
+            r1 = generate_video(bundle, _text(cfg), output_path=tmp_path / "a.mp4", **kw)
+            assert staging.is_parked(bundle.upsampler_params)
+            # low_memory frees the transformer from the bundle after decode;
+            # the caller restores it (the aux trees stay host-parked).
+            bundle.transformer_params = t_params
+            r2 = generate_video(bundle, _text(cfg), output_path=tmp_path / "b.mp4", **kw)
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_array_equal(r1.video, r2.video)
 
     def test_flag_requires_low_memory(self):
         from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
