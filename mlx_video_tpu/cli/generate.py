@@ -176,9 +176,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "full 1024-channel decoder on one 16 GB chip.")
     p.add_argument("--aux-stage-int8", action="store_true",
                    help="With --low-memory: park the aux-stage params "
-                        "(upsampler/VAE/audio) host-side as per-channel "
+                        "(upsampler/VAE/audio) host-side as per-group "
                         "int8 so each staging transfer moves half the "
                         "bytes; dequantized to bf16 on device.")
+    p.add_argument("--no-overlap-staging", action="store_true",
+                   help="With --low-memory: disable the async aux-param "
+                        "prefetch that overlaps the host->HBM staging "
+                        "transfers with the denoise scans (use when the "
+                        "geometry's scan arena leaves no HBM headroom for "
+                        "the in-flight buffers).")
     p.add_argument("--optimize-layouts", action="store_true",
                    help="Pre-place the transformer weights in XLA's "
                         "preferred input layouts for this geometry before "
@@ -449,6 +455,7 @@ def main(argv=None) -> None:
             pipeline_tensor=args.pipeline_tensor,
             low_memory=args.low_memory,
             aux_int8_staging=args.aux_stage_int8,
+            overlap_staging=False if args.no_overlap_staging else None,
         )
 
     if args.save_frames and result.video is not None:

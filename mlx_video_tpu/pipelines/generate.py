@@ -376,6 +376,7 @@ def generate_video(
     pipeline_tensor: int = 1,
     low_memory: bool = False,
     aux_int8_staging: bool = False,
+    overlap_staging: Optional[bool] = None,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -411,10 +412,23 @@ def generate_video(
     None afterwards; reload before reuse.
 
     ``aux_int8_staging``: with ``low_memory``, park the aux-stage params
-    (upsampler/VAE/audio) host-side as per-output-channel int8 so each
-    staging transfer moves half the bytes; dequantized to bf16 on device in
-    one jitted dispatch (io/staging.py). Weight-only int8 on conv stacks —
+    (upsampler/VAE/audio) host-side as per-group int8 so each staging
+    transfer moves half the bytes; dequantized to bf16 on device in one
+    jitted dispatch (io/staging.py). Weight-only int8 on conv stacks —
     drift is bounded in tests/test_staging.py.
+
+    ``overlap_staging``: with ``low_memory``, issue the aux-param
+    host->device copies ASYNCHRONOUSLY while the denoise scans are still
+    executing (upsampler before stage 1, decoder at the start of the
+    upsample phase) instead of fencing and transferring with the chip idle
+    — the transfer rides the DMA/transfer path under compute. The cost is
+    transient HBM coexistence of the in-flight aux buffers with the scan
+    arena (~0.5-1 GiB int8-parked; double that raw), which the w4a8 19B +
+    512^2x33 geometry has room for (PERF.md r4). Default ON under
+    low_memory (env ``MLX_VIDEO_OVERLAP_STAGING=0`` or ``False`` disables
+    — e.g. for geometries whose scan arena already fills HBM). The
+    reference behavior being beaten is the strictly serial load/free
+    choreography (mlx_video/generate.py:3504-3506).
     """
     timer = PhaseTimer()
     if seeds is not None:
@@ -560,6 +574,39 @@ def generate_video(
         moved = jax.device_put(tree, target)
         jax.block_until_ready(moved)
         return moved
+
+    if overlap_staging is None:
+        import os as _os_ov
+
+        overlap_staging = _os_ov.environ.get("MLX_VIDEO_OVERLAP_STAGING", "1") != "0"
+    _overlap = low_memory and overlap_staging and pp is None
+    _prefetch_handles: dict = {}
+
+    def _prefetch(attr: str) -> None:
+        """Issue the async host->device copies for a host-staged tree WHILE
+        the device is busy (no fence, no block): the bytes ride the transfer
+        path under the executing scan instead of serializing after it. The
+        handle is consumed by _stage_in; unpark_begin handles both
+        int8-parked and plain trees (io/staging.py)."""
+        if not _overlap or attr in _prefetch_handles:
+            return
+        tree = getattr(models, attr)
+        if tree is None:
+            return
+        from mlx_video_tpu.io import staging as _st
+
+        _prefetch_handles[attr] = _st.unpark_begin(tree, jax.devices()[0])
+
+    def _stage_in(attr: str):
+        """Bring a host-staged tree on-device, consuming a prefetch when one
+        is in flight (dequant dispatch + block only); otherwise the fenced
+        synchronous _stage."""
+        h = _prefetch_handles.pop(attr, None)
+        if h is not None:
+            from mlx_video_tpu.io import staging as _st
+
+            return _st.unpark_finish(h)
+        return _stage(getattr(models, attr), to_host=False)
 
     def _restage_if_host_parked(tree):
         """Undo a PREVIOUS low_memory run's host-parking on a reused bundle.
@@ -803,6 +850,12 @@ def generate_video(
         params = _optimized_layouts(
             params, latents, positions1, text.video_embeddings, None, 1.0, audio_kwargs
         )
+        # Overlap: the upsampler's host->device copies are issued NOW so
+        # they transfer underneath the stage-1 scan (and its blocking
+        # latents fetch) instead of stalling the chip afterwards. The
+        # in-flight buffers coexist with the 320-token stage-1 arena — the
+        # smallest arena in the pipeline, by design.
+        _prefetch("upsampler_params")
         with timer.phase("stage1_denoise"):
             latents, audio_latents = dn.denoise(
                 params, config, latents, positions1, text.video_embeddings, s1_sigmas,
@@ -824,10 +877,19 @@ def generate_video(
                 latents = jnp.asarray(np.asarray(latents), dtype=latents.dtype)
         log_memory("stage1 complete", profile or mem_log)
 
+        # Overlap: issue the decoder (+ audio) copies here — they queue on
+        # the transfer path behind the upsampler's remaining bytes and flow
+        # during the upsample compute, stage-2 scan, and final latents
+        # fetch, so the decode phase starts with its params already landed.
+        if not decode_latents_only and output_path is not None:
+            _prefetch("vae_decoder_params")
+            if models.audio_decoder_params is not None:
+                _prefetch("audio_decoder_params")
+                _prefetch("vocoder_params")
         with timer.phase("upsample"):
             if models.upsampler_params is None:
                 raise ValueError("Distilled pipeline requires upsampler weights")
-            ups_params = _stage(models.upsampler_params, to_host=False)
+            ups_params = _stage_in("upsampler_params")
             lat_mean = _stage(models.latents_mean, to_host=False)
             lat_std = _stage(models.latents_std, to_host=False)
             if mesh is not None:
@@ -1002,6 +1064,14 @@ def generate_video(
     # denoise program — freeing the transformer and staging the decoder
     # below must not overlap a still-executing scan arena (r3 chip run:
     # config-3 OOM'd staging the decoder while the dev scan drained).
+    # With overlap_staging the decoder copies ARE issued before this fence
+    # (int8-parked they are ~0.4 GiB in flight); a geometry whose arena
+    # cannot spare that disables the overlap, keeping this fence strict.
+    if not decode_latents_only and output_path is not None:
+        _prefetch("vae_decoder_params")
+        if audio and models.audio_decoder_params is not None:
+            _prefetch("audio_decoder_params")
+            _prefetch("vocoder_params")
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
 
@@ -1020,10 +1090,10 @@ def generate_video(
 
         gc.collect()
         if not decode_latents_only and output_path is not None:
-            models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=False)
+            models.vae_decoder_params = _stage_in("vae_decoder_params")
             if models.audio_decoder_params is not None:
-                models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=False)
-                models.vocoder_params = _stage(models.vocoder_params, to_host=False)
+                models.audio_decoder_params = _stage_in("audio_decoder_params")
+                models.vocoder_params = _stage_in("vocoder_params")
     if decode_latents_only or output_path is None:
         if profile:
             timer.report()

@@ -235,6 +235,37 @@ class TestGenerateWithInt8Staging:
             staging._MIN_QUANT_SIZE = old
         np.testing.assert_array_equal(r1.video, r2.video)
 
+    @pytest.mark.parametrize("int8", [False, True])
+    def test_overlap_staging_bit_exact(self, tmp_path, int8):
+        """overlap_staging only changes WHEN the transfers are issued, never
+        the values: on vs off must be bit-identical, int8 codec or not."""
+        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
+        from tests.test_generate import _text
+
+        cfg, bundle = self._bundle()
+        t_params = bundle.transformer_params
+        kw = dict(
+            height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=1, stage2_steps=1,
+            tiling="none", dtype=jnp.float32, low_memory=True,
+            aux_int8_staging=int8,
+        )
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 256
+        try:
+            a = generate_video(
+                bundle, _text(cfg), output_path=tmp_path / "on.mp4",
+                overlap_staging=True, **kw,
+            )
+            bundle.transformer_params = t_params
+            b = generate_video(
+                bundle, _text(cfg), output_path=tmp_path / "off.mp4",
+                overlap_staging=False, **kw,
+            )
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_array_equal(a.video, b.video)
+
     def test_flag_requires_low_memory(self):
         from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
         from tests.test_generate import _text
