@@ -229,6 +229,46 @@ def map_spatial_slice(
     return slice(begin * scale, end * scale), mask
 
 
+def tile_latent_shapes(
+    latents_shape,
+    tiling_config: TilingConfig,
+    spatial_scale: int = 32,
+    temporal_scale: int = 8,
+):
+    """Distinct latent tile shapes ``(f, h, w)`` the tiled decode will
+    dispatch for ``latents_shape`` — first-occurrence order. Used to
+    pre-load the decoder stage executables (one per distinct shape) while
+    the decoder params are still on the host->HBM wire (generate_video's
+    decode warmup)."""
+    _, _, f_latent, h_latent, w_latent = latents_shape
+    if tiling_config is None:
+        return [(f_latent, h_latent, w_latent)]
+    if tiling_config.spatial_config is not None:
+        s_cfg = tiling_config.spatial_config
+        s_tile = s_cfg.tile_size_in_pixels // spatial_scale
+        s_overlap = s_cfg.tile_overlap_in_pixels // spatial_scale
+    else:
+        s_tile, s_overlap = max(h_latent, w_latent), 0
+    if tiling_config.temporal_config is not None:
+        t_cfg = tiling_config.temporal_config
+        t_tile = t_cfg.tile_size_in_frames // temporal_scale
+        t_overlap = t_cfg.tile_overlap_in_frames // temporal_scale
+    else:
+        t_tile, t_overlap = f_latent, 0
+    t_iv = split_in_temporal(t_tile, t_overlap, f_latent)
+    h_iv = split_in_spatial(s_tile, s_overlap, h_latent)
+    w_iv = split_in_spatial(s_tile, s_overlap, w_latent)
+    seen, out = set(), []
+    for ts, te in zip(t_iv.starts, t_iv.ends):
+        for hs, he in zip(h_iv.starts, h_iv.ends):
+            for ws, we in zip(w_iv.starts, w_iv.ends):
+                shape = (te - ts, he - hs, we - ws)
+                if shape not in seen:
+                    seen.add(shape)
+                    out.append(shape)
+    return out
+
+
 def decode_with_tiling(
     decode_tile_fn: Callable[[np.ndarray], np.ndarray],
     latents,
@@ -274,8 +314,14 @@ def decode_with_tiling(
     output = np.zeros((b, 3, out_f, out_h, out_w), dtype=np.float32)
     weights = np.zeros((b, 1, out_f, out_h, out_w), dtype=np.float32)
     emitted = 0
-
     num_t = len(t_iv.starts)
+
+    # Flatten the tile grid up-front so the decode loop can PIPELINE:
+    # dispatch tile n+1's decode (async under jit) before fetching tile n's
+    # frames, overlapping the host readback of each tile with the device
+    # compute of the next (the readback was ~half the warm decode phase,
+    # PERF.md r3). Depth 1 bounds HBM to two tiles' activations.
+    work = []  # (t_idx, last_of_group, tile, region, blend)
     for t_idx in range(num_t):
         out_t, t_mask = map_temporal_slice(
             t_iv.starts[t_idx], t_iv.ends[t_idx], t_iv.left_ramps[t_idx], t_iv.right_ramps[t_idx],
@@ -298,36 +344,51 @@ def decode_with_tiling(
                     h_iv.starts[h_idx] : h_iv.ends[h_idx],
                     w_iv.starts[w_idx] : w_iv.ends[w_idx],
                 ]
-                decoded = np.asarray(decode_tile_fn(tile), dtype=np.float32)
+                last = h_idx == len(h_iv.starts) - 1 and w_idx == len(w_iv.starts) - 1
+                work.append((t_idx, last, tile, (out_t, out_h_sl, out_w_sl), (t_mask, h_mask, w_mask)))
 
-                dt = min(decoded.shape[2], out_t.stop - out_t.start)
-                dh = min(decoded.shape[3], out_h_sl.stop - out_h_sl.start)
-                dw = min(decoded.shape[4], out_w_sl.stop - out_w_sl.start)
-
-                blend = (
-                    t_mask[:dt].reshape(1, 1, -1, 1, 1)
-                    * h_mask[:dh].reshape(1, 1, 1, -1, 1)
-                    * w_mask[:dw].reshape(1, 1, 1, 1, -1)
-                )
-                region = (
-                    slice(None),
-                    slice(None),
-                    slice(out_t.start, out_t.start + dt),
-                    slice(out_h_sl.start, out_h_sl.start + dh),
-                    slice(out_w_sl.start, out_w_sl.start + dw),
-                )
-                output[region] += decoded[:, :, :dt, :dh, :dw] * blend
-                weights[region] += blend
-
+    def _accumulate(decoded_dev, region_sl, masks, t_idx, last_of_group):
+        decoded = np.asarray(decoded_dev, dtype=np.float32)
+        out_t, out_h_sl, out_w_sl = region_sl
+        t_mask, h_mask, w_mask = masks
+        dt = min(decoded.shape[2], out_t.stop - out_t.start)
+        dh = min(decoded.shape[3], out_h_sl.stop - out_h_sl.start)
+        dw = min(decoded.shape[4], out_w_sl.stop - out_w_sl.start)
+        blend = (
+            t_mask[:dt].reshape(1, 1, -1, 1, 1)
+            * h_mask[:dh].reshape(1, 1, 1, -1, 1)
+            * w_mask[:dw].reshape(1, 1, 1, 1, -1)
+        )
+        region = (
+            slice(None),
+            slice(None),
+            slice(out_t.start, out_t.start + dt),
+            slice(out_h_sl.start, out_h_sl.start + dh),
+            slice(out_w_sl.start, out_w_sl.start + dw),
+        )
+        output[region] += decoded[:, :, :dt, :dh, :dw] * blend
+        weights[region] += blend
         # Emit frames no future temporal tile can touch (streaming decode,
-        # reference: tiling.py:453-484).
-        if on_frames_ready is not None and num_t > 1 and t_idx < num_t - 1:
+        # reference: tiling.py:453-484). Runs when the group's LAST tile is
+        # blended — identical data/order to the unpipelined loop, since no
+        # t_idx+1 tile has been blended yet at that point.
+        nonlocal emitted
+        if on_frames_ready is not None and last_of_group and num_t > 1 and t_idx < num_t - 1:
             next_start_latent = t_iv.starts[t_idx + 1]
             next_start_out = 0 if next_start_latent == 0 else 1 + (next_start_latent - 1) * temporal_scale
             if next_start_out > emitted:
                 w_slice = np.maximum(weights[:, :, emitted:next_start_out], 1e-8)
                 on_frames_ready(output[:, :, emitted:next_start_out] / w_slice, emitted)
                 emitted = next_start_out
+
+    pending = None
+    for t_idx, last, tile, region_sl, masks in work:
+        dev = decode_tile_fn(tile)
+        if pending is not None:
+            _accumulate(*pending)
+        pending = (dev, region_sl, masks, t_idx, last)
+    if pending is not None:
+        _accumulate(*pending)
 
     weights = np.maximum(weights, 1e-8)
     output = output / weights

@@ -608,6 +608,48 @@ def generate_video(
             return _st.unpark_finish(h)
         return _stage(getattr(models, attr), to_host=False)
 
+    _decode_warmed = [False]
+
+    def _warmup_decode_programs(latent_shape, tiling_cfg_w, noise_k) -> None:
+        """Pre-load the VAE decoder stage executables while the decoder
+        params are still on the host->HBM wire. A fresh process pays ~2.5 s
+        of device-side program load on the FIRST dispatch of each AOT-cached
+        stage (PERF.md r3) — serial after the staging transfer in the naive
+        order. Executables key on avals, not values, so dispatching every
+        distinct tile shape once on device-synthesized ZEROS params (no
+        transfer) queues those loads under the staging stall instead. The
+        dispatches are not awaited; the queue drains while _stage_in blocks
+        on the transfer. MLX_VIDEO_WARM_DECODE=0 disables."""
+        import os as _os_w
+
+        mode = _os_w.environ.get("MLX_VIDEO_WARM_DECODE", "1")
+        if mode == "0" or _decode_warmed[0]:
+            return
+        # CPU has no deferred device program load to dodge — skip the wasted
+        # compute except under "force" (tests exercise the path with it).
+        if mode != "force" and (not _overlap or jax.default_backend() == "cpu"):
+            return
+        if models.vae_decoder_params is None or models.vae_decoder_config is None:
+            return
+        _decode_warmed[0] = True
+        from mlx_video_tpu.io.staging import _is_parked_leaf
+        from mlx_video_tpu.models.ltx.video_vae.tiling import tile_latent_shapes
+
+        def z(leaf):
+            if _is_parked_leaf(leaf):
+                return jnp.zeros(leaf["q"].shape, jnp.dtype(leaf["dtype"]))
+            return jnp.zeros(leaf.shape, leaf.dtype)
+
+        zeros = jax.tree.map(z, models.vae_decoder_params, is_leaf=_is_parked_leaf)
+        ch = models.vae_decoder_config.in_channels
+        for tf, th, tw in tile_latent_shapes(latent_shape, tiling_cfg_w):
+            video_decoder_apply_chunked(
+                zeros, models.vae_decoder_config,
+                jnp.zeros((1, ch, tf, th, tw), dtype),
+                timestep=jnp.full((1,), 0.05, dtype=jnp.float32),
+                noise_key=noise_k,
+            )
+
     def _restage_if_host_parked(tree):
         """Undo a PREVIOUS low_memory run's host-parking on a reused bundle.
 
@@ -692,6 +734,9 @@ def generate_video(
     latent_channels = models.transformer_config.in_channels
     latent_frames = 1 + (num_frames - 1) // TEMPORAL_SCALE
     latent_h, latent_w = height // SPATIAL_SCALE, width // SPATIAL_SCALE
+    # Resolved up-front (cheap, and it fails fast on a bad preset): the
+    # decode-warmup overlap needs the tile shapes before the denoise scans.
+    tiling_config = select_tiling(tiling, height, width, num_frames, stream)
 
     if sigma_subsample not in ("uniform", "farthest"):
         raise ValueError("sigma_subsample must be 'uniform' or 'farthest'.")
@@ -886,6 +931,12 @@ def generate_video(
             if models.audio_decoder_params is not None:
                 _prefetch("audio_decoder_params")
                 _prefetch("vocoder_params")
+            # Queue the decoder stage program loads now: they execute while
+            # _stage_in below blocks on the upsampler's remaining transfer.
+            _warmup_decode_programs(
+                (1, latent_channels, latent_frames, latent_h, latent_w),
+                tiling_config, keys[2],
+            )
         with timer.phase("upsample"):
             if models.upsampler_params is None:
                 raise ValueError("Distilled pipeline requires upsampler weights")
@@ -1072,6 +1123,10 @@ def generate_video(
         if audio and models.audio_decoder_params is not None:
             _prefetch("audio_decoder_params")
             _prefetch("vocoder_params")
+        _warmup_decode_programs(
+            (1, latent_channels, latent_frames, latent_h, latent_w),
+            tiling_config, keys[2],
+        )
     latents_np = np.asarray(latents, dtype=np.float32)
     audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
 
@@ -1103,7 +1158,6 @@ def generate_video(
 
     # Decode + write (reference: generate.py:3522-3857).
     output_path = Path(output_path)
-    tiling_config = select_tiling(tiling, height, width, num_frames, stream)
     writer_h, writer_w = (height, width) if crop_params is None else (crop_params[2], crop_params[3])
     video_file = output_path.with_suffix(".temp.mp4") if audio else output_path
 

@@ -266,6 +266,48 @@ class TestGenerateWithInt8Staging:
             staging._MIN_QUANT_SIZE = old
         np.testing.assert_array_equal(a.video, b.video)
 
+    def test_decode_warmup_bit_exact(self, tmp_path, monkeypatch):
+        """The decode-program warmup (zeros params, dummy tiles) must not
+        change the output — it only pre-loads executables."""
+        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
+        from tests.test_generate import _text
+
+        cfg, bundle = self._bundle()
+        t_params = bundle.transformer_params
+        kw = dict(
+            height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=1, stage2_steps=1,
+            tiling="none", dtype=jnp.float32, low_memory=True,
+        )
+        monkeypatch.setenv("MLX_VIDEO_WARM_DECODE", "force")
+        a = generate_video(bundle, _text(cfg), output_path=tmp_path / "w.mp4", **kw)
+        monkeypatch.setenv("MLX_VIDEO_WARM_DECODE", "0")
+        bundle.transformer_params = t_params
+        b = generate_video(bundle, _text(cfg), output_path=tmp_path / "n.mp4", **kw)
+        np.testing.assert_array_equal(a.video, b.video)
+
+    def test_tile_latent_shapes_match_dispatches(self):
+        """tile_latent_shapes must enumerate exactly the distinct shapes the
+        tiled decode dispatches (the warmup pre-loads one executable per
+        shape)."""
+        from mlx_video_tpu.models.ltx.video_vae.tiling import (
+            TilingConfig,
+            decode_with_tiling,
+            tile_latent_shapes,
+        )
+
+        cfg = TilingConfig.default()
+        lat = np.zeros((1, 4, 9, 32, 48), np.float32)
+        seen = []
+
+        def fake_decode(tile):
+            seen.append(tile.shape[2:])
+            f, h, w = tile.shape[2:]
+            return np.zeros((1, 3, 1 + (f - 1) * 8, h * 32, w * 32), np.float32)
+
+        decode_with_tiling(fake_decode, lat, cfg)
+        assert set(seen) == set(tile_latent_shapes(lat.shape, cfg))
+
     def test_flag_requires_low_memory(self):
         from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
         from tests.test_generate import _text
