@@ -524,6 +524,30 @@ def main() -> None:
         "unit": unit,
         "vs_baseline": round(steps_per_sec / ANCHOR_STEPS_PER_SEC, 3),
     }
+    if cfg_cache == 1 and pab == 1:
+        # Roofline anchor (VERDICT r3 item 9): analytic model FLOPs per step
+        # (transformer matmuls + attention math; head/embed terms are <1%)
+        # against the chip's peak for the matmul dtype. Dial modes skip it —
+        # cached steps make "model FLOPs" ill-defined.
+        D = config.num_attention_heads * config.attention_head_dim
+        L = config.num_layers
+        S = tokens
+        S_ctx = 128  # bench context length
+        flops_video = L * (
+            28.0 * D * D * S          # qkv + self-out + cross-q/out + FFN (x2 MACs)
+            + 4.0 * D * D * S_ctx     # cross k/v over the context
+            + 4.0 * S * S * D         # self-attention QK^T + PV
+            + 4.0 * S * S_ctx * D     # cross-attention QK^T + PV
+        )
+        videos_per_step = batch * (2 if dev_cfg else 1)  # CFG = batched 2B fwd
+        tflops_step = flops_video * videos_per_step / 1e12
+        # v5e peaks: 394 int8 TOPS / 197 bf16 TFLOP/s. w4a8 and w8a8 run the
+        # matmuls on the int8 MXU path; q4/dense matmuls are bf16.
+        peak = 394.0 if (w4a8 or w8a8) else 197.0
+        steps_per_sec_per_video = steps_per_sec / batch
+        payload["tflops_per_step"] = round(tflops_step, 2)
+        payload["mfu"] = round(tflops_step * steps_per_sec_per_video / peak, 4)
+        payload["mfu_basis"] = f"{int(peak)} TFLOP/s ({'int8' if peak > 200 else 'bf16'} MXU peak, v5e)"
     print(json.dumps(payload))
     # Record successful real-chip DEFAULT-mode runs (no dials, no dev CFG —
     # what the driver invokes) as the fallback for tunnel-outage bench

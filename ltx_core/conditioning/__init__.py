@@ -2,11 +2,14 @@
 
 from mlx_video_tpu.pipelines.conditioning import (
     LatentState as PipelineLatentState,
-    VideoConditionByKeyframeIndex,
-    VideoConditionByLatentIndex,
     apply_conditioning,
     apply_denoise_mask,
     create_initial_state,
+)
+
+from ltx_core.conditioning.types import (
+    VideoConditionByKeyframeIndex,
+    VideoConditionByLatentIndex,
 )
 
 

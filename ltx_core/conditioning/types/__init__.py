@@ -1,9 +1,8 @@
 """Conditioning item types (parity import path; reference:
-ltx_core/conditioning/types/__init__.py)."""
+ltx_core/conditioning/types/__init__.py). The classes extend the engine
+dataclasses with the reference's token-domain ``apply_to`` protocol."""
 
-from mlx_video_tpu.pipelines.conditioning import (
-    VideoConditionByKeyframeIndex,
-    VideoConditionByLatentIndex,
-)
+from ltx_core.conditioning.types.keyframe_cond import VideoConditionByKeyframeIndex
+from ltx_core.conditioning.types.latent_cond import VideoConditionByLatentIndex
 
 __all__ = ["VideoConditionByKeyframeIndex", "VideoConditionByLatentIndex"]

@@ -79,6 +79,7 @@ class VideoLatentTools(_LatentToolsBase):
     scale_factors: SpatioTemporalScaleFactors = DEFAULT_SCALE_FACTORS
     patch_size: int = 1
     fps: float = 24.0
+    causal_fix: bool = True  # (reference: tools.py:66; keyframe apply_to reads it)
 
     def __post_init__(self):
         self.patchifier = VideoLatentPatchifier(self.patch_size)

@@ -89,7 +89,51 @@ class AudioLatentShape(NamedTuple):
         return AudioLatentShape(*shape[:4])
 
     def mask_shape(self) -> "AudioLatentShape":
-        return self._replace(channels=1)
+        # One mask value per latent frame (reference: ltx_core/types.py:97-98
+        # zeroes BOTH channels and mel_bins) — the patchified mask is then
+        # (B, F, 1) and broadcasts against (B, F, C*mel) tokens.
+        return self._replace(channels=1, mel_bins=1)
+
+    @staticmethod
+    def from_duration(
+        batch: int,
+        duration: float,
+        channels: int = 8,
+        mel_bins: int = 16,
+        sample_rate: int = 16000,
+        hop_length: int = 160,
+        audio_latent_downsample_factor: int = 4,
+    ) -> "AudioLatentShape":
+        """(reference: ltx_core/types.py:110-126)."""
+        latents_per_second = (
+            float(sample_rate) / float(hop_length) / float(audio_latent_downsample_factor)
+        )
+        return AudioLatentShape(
+            batch=batch,
+            channels=channels,
+            frames=round(duration * latents_per_second),
+            mel_bins=mel_bins,
+        )
+
+    @staticmethod
+    def from_video_pixel_shape(
+        shape: "VideoPixelShape",
+        channels: int = 8,
+        mel_bins: int = 16,
+        sample_rate: int = 16000,
+        hop_length: int = 160,
+        audio_latent_downsample_factor: int = 4,
+    ) -> "AudioLatentShape":
+        """(reference: ltx_core/types.py:128-145)."""
+        return AudioLatentShape.from_duration(
+            batch=shape.batch,
+            duration=float(shape.frames) / float(shape.fps),
+            channels=channels,
+            mel_bins=mel_bins,
+            sample_rate=sample_rate,
+            hop_length=hop_length,
+            audio_latent_downsample_factor=audio_latent_downsample_factor,
+        )
 
 
 @dataclass

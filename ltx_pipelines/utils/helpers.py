@@ -38,9 +38,13 @@ def timesteps_from_mask(denoise_mask: jax.Array, sigma) -> jax.Array:
 
 
 def modality_from_latent_state(
-    state: LatentState, context: jax.Array, sigma, context_mask=None
-) -> Modality:
-    """(reference: helpers.py:238-249)."""
+    state: LatentState, context: jax.Array, sigma, enabled: bool = True, context_mask=None
+) -> Optional[Modality]:
+    """(reference: helpers.py:238-249). JAX-native disabled mapping: the
+    engine model treats a ``None`` modality as disabled, so ``enabled=False``
+    returns None instead of a Modality(enabled=False)."""
+    if not enabled:
+        return None
     return Modality(
         latent=state.latent,
         timesteps=timesteps_from_mask(state.denoise_mask, sigma).astype(state.latent.dtype),
@@ -134,13 +138,23 @@ def noise_state(state: LatentState, noiser: Noiser, noise_scale: float = 1.0) ->
     return replace(state, latent=latent)
 
 
+_UNICODE_REPLACEMENTS = str.maketrans(
+    "‘’“”—– ′−", "''\"\"-- '-"
+)
+
+
 def clean_response(text: str) -> str:
-    """Strip chat-template artifacts from enhanced prompts
-    (reference: helpers.py:354-360)."""
+    """Normalize enhanced-prompt text: strip chat-template artifacts, map
+    typographic unicode to ASCII, and drop everything before the first
+    alphabetic character (reference: helpers.py:351-360)."""
     text = text.strip()
     for token in ("<start_of_turn>model", "<end_of_turn>", "<eos>"):
         text = text.replace(token, "")
-    return text.strip().strip('"')
+    text = text.translate(_UNICODE_REPLACEMENTS)
+    for i, char in enumerate(text):
+        if char.isalpha():
+            return text[i:]
+    return text
 
 
 def assert_resolution(height: int, width: int, is_two_stage: bool) -> None:
@@ -148,3 +162,260 @@ def assert_resolution(height: int, width: int, is_two_stage: bool) -> None:
     divisor = 64 if is_two_stage else 32
     if height % divisor or width % divisor:
         raise ValueError(f"height/width must be divisible by {divisor}, got {height}x{width}")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-building helpers (reference: helpers.py:38-348) — the composed
+# ltx_pipelines state/denoise toolkit over the token domain. These drive the
+# SAME engine components the monolithic generate_video uses (patchifiers,
+# conditioning items, guiders, steppers), re-composed the reference way.
+
+
+def image_conditionings_by_replacing_latent(
+    images: List[Tuple[str, int, float]],
+    height: int,
+    width: int,
+    video_encoder,
+    dtype,
+    device=None,
+) -> list:
+    """Encode images -> replace-mode conditioning items
+    (reference: helpers.py:38-64; that code passes ``latent_idx=`` to a
+    constructor whose parameter is ``frame_idx`` — reproduced here with the
+    working spelling)."""
+    from ltx_core.conditioning import VideoConditionByLatentIndex
+    from ltx_pipelines.utils.media_io import load_image_conditioning
+
+    conditionings = []
+    for image_path, frame_idx, strength in images:
+        image = load_image_conditioning(
+            image_path=image_path, height=height, width=width, dtype=dtype, device=device
+        )
+        encoded = video_encoder(image)
+        conditionings.append(
+            VideoConditionByLatentIndex(latent=encoded, frame_idx=frame_idx, strength=strength)
+        )
+    return conditionings
+
+
+def image_conditionings_by_adding_guiding_latent(
+    images: List[Tuple[str, int, float]],
+    height: int,
+    width: int,
+    video_encoder,
+    dtype,
+    device=None,
+) -> list:
+    """Encode images -> guide-mode (keyframe) conditioning items
+    (reference: helpers.py:67-88)."""
+    from ltx_core.conditioning import VideoConditionByKeyframeIndex
+    from ltx_pipelines.utils.media_io import load_image_conditioning
+
+    conditionings = []
+    for image_path, frame_idx, strength in images:
+        image = load_image_conditioning(
+            image_path=image_path, height=height, width=width, dtype=dtype, device=device
+        )
+        encoded = video_encoder(image)
+        conditionings.append(
+            VideoConditionByKeyframeIndex(keyframes=encoded, frame_idx=frame_idx, strength=strength)
+        )
+    return conditionings
+
+
+def state_with_conditionings(
+    latent_state: LatentState, conditioning_items: list, latent_tools
+) -> LatentState:
+    """Apply each conditioning item to a TOKEN-domain state
+    (reference: helpers.py:225-231)."""
+    for conditioning in conditioning_items:
+        latent_state = conditioning.apply_to(latent_state=latent_state, latent_tools=latent_tools)
+    return latent_state
+
+
+def create_noised_state(
+    tools,
+    conditionings: list,
+    noiser: Noiser,
+    dtype,
+    device=None,
+    noise_scale: float = 1.0,
+    initial_latent: Optional[jax.Array] = None,
+) -> LatentState:
+    """Initial token-domain state + conditionings + additive noise
+    (reference: helpers.py:207-222). JAX-native: the state starts at the
+    tools' target shape and is patchified here (the reference's
+    create_initial_state patchifies internally)."""
+    state = tools.create_initial_state(dtype=dtype, initial_latent=initial_latent)
+    state = tools.patchify(state)
+    state = state_with_conditionings(state, conditionings, tools)
+    noise = noiser.noise(state.latent) * noise_scale
+    return replace(state, latent=state.latent + noise)
+
+
+def noise_video_state(
+    output_shape,
+    noiser: Noiser,
+    conditionings: list,
+    components,
+    dtype,
+    device=None,
+    noise_scale: float = 1.0,
+    initial_latent: Optional[jax.Array] = None,
+):
+    """(reference: helpers.py:153-179). Returns (state, video_tools)."""
+    from ltx_core.tools import VideoLatentTools
+    from ltx_core.types import VideoLatentShape
+
+    video_latent_shape = VideoLatentShape.from_pixel_shape(
+        shape=output_shape,
+        latent_channels=components.video_latent_channels,
+        scale_factors=components.video_scale_factors,
+    )
+    video_tools = VideoLatentTools(
+        target_shape=video_latent_shape,
+        scale_factors=components.video_scale_factors,
+        fps=output_shape.fps,
+    )
+    state = create_noised_state(
+        tools=video_tools,
+        conditionings=conditionings,
+        noiser=noiser,
+        dtype=dtype,
+        device=device,
+        noise_scale=noise_scale,
+        initial_latent=initial_latent,
+    )
+    return state, video_tools
+
+
+def noise_audio_state(
+    output_shape,
+    noiser: Noiser,
+    conditionings: list,
+    components,
+    dtype,
+    device=None,
+    noise_scale: float = 1.0,
+    initial_latent: Optional[jax.Array] = None,
+):
+    """(reference: helpers.py:182-204). Returns (state, audio_tools)."""
+    from ltx_core.tools import AudioLatentTools
+    from ltx_core.types import AudioLatentShape
+
+    audio_latent_shape = AudioLatentShape.from_video_pixel_shape(output_shape)
+    audio_tools = AudioLatentTools(target_shape=audio_latent_shape)
+    state = create_noised_state(
+        tools=audio_tools,
+        conditionings=conditionings,
+        noiser=noiser,
+        dtype=dtype,
+        device=device,
+        noise_scale=noise_scale,
+        initial_latent=initial_latent,
+    )
+    return state, audio_tools
+
+
+def simple_denoising_func(video_context: jax.Array, audio_context: jax.Array, transformer):
+    """Unguided AV denoising step closure over an X0Model
+    (reference: helpers.py:255-268)."""
+
+    def simple_denoising_step(
+        video_state: LatentState, audio_state: LatentState, sigmas, step_index: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        sigma = sigmas[step_index]
+        pos_video = modality_from_latent_state(video_state, video_context, sigma)
+        pos_audio = modality_from_latent_state(audio_state, audio_context, sigma)
+        return transformer(video=pos_video, audio=pos_audio, perturbations=None)
+
+    return simple_denoising_step
+
+
+def guider_denoising_func(
+    guider,
+    v_context_p: jax.Array,
+    v_context_n: jax.Array,
+    a_context_p: jax.Array,
+    a_context_n: jax.Array,
+    transformer,
+):
+    """Guided AV denoising step closure: positive forward + (when the guider
+    is enabled) negative forward combined via ``guider.delta``
+    (reference: helpers.py:271-298)."""
+
+    def guider_denoising_step(
+        video_state: LatentState, audio_state: LatentState, sigmas, step_index: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        sigma = sigmas[step_index]
+        pos_video = modality_from_latent_state(video_state, v_context_p, sigma)
+        pos_audio = modality_from_latent_state(audio_state, a_context_p, sigma)
+        denoised_video, denoised_audio = transformer(
+            video=pos_video, audio=pos_audio, perturbations=None
+        )
+        if guider.enabled():
+            neg_video = modality_from_latent_state(video_state, v_context_n, sigma)
+            neg_audio = modality_from_latent_state(audio_state, a_context_n, sigma)
+            neg_denoised_video, neg_denoised_audio = transformer(
+                video=neg_video, audio=neg_audio, perturbations=None
+            )
+            denoised_video = denoised_video + guider.delta(denoised_video, neg_denoised_video)
+            denoised_audio = denoised_audio + guider.delta(denoised_audio, neg_denoised_audio)
+        return denoised_video, denoised_audio
+
+    return guider_denoising_step
+
+
+def denoise_audio_video(
+    output_shape,
+    conditionings: list,
+    noiser: Noiser,
+    sigmas,
+    stepper: DiffusionStepProtocol,
+    denoising_loop_fn,
+    components,
+    dtype,
+    device=None,
+    noise_scale: float = 1.0,
+    initial_video_latent: Optional[jax.Array] = None,
+    initial_audio_latent: Optional[jax.Array] = None,
+    denoise_fn=None,
+) -> Tuple[LatentState, LatentState]:
+    """Full composed AV denoise: noised states -> loop -> clear conditioning
+    tokens -> unpatchify (reference: helpers.py:301-348). The reference's
+    ``denoising_loop_fn`` closes over its denoise step; ours also accepts it
+    explicitly via ``denoise_fn`` (the loop helpers in this module take
+    ``(sigmas, video_state, audio_state, stepper, denoise_fn)``)."""
+    video_state, video_tools = noise_video_state(
+        output_shape=output_shape,
+        noiser=noiser,
+        conditionings=conditionings,
+        components=components,
+        dtype=dtype,
+        device=device,
+        noise_scale=noise_scale,
+        initial_latent=initial_video_latent,
+    )
+    audio_state, audio_tools = noise_audio_state(
+        output_shape=output_shape,
+        noiser=noiser,
+        conditionings=[],
+        components=components,
+        dtype=dtype,
+        device=device,
+        noise_scale=noise_scale,
+        initial_latent=initial_audio_latent,
+    )
+
+    if denoise_fn is not None:
+        video_state, audio_state = denoising_loop_fn(
+            sigmas, video_state, audio_state, stepper, denoise_fn
+        )
+    else:
+        video_state, audio_state = denoising_loop_fn(sigmas, video_state, audio_state, stepper)
+
+    video_state = video_tools.clear_conditioning(video_state)
+    video_state = video_tools.unpatchify(video_state)
+    audio_state = audio_tools.clear_conditioning(audio_state)
+    audio_state = audio_tools.unpatchify(audio_state)
+    return video_state, audio_state

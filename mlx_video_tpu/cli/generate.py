@@ -179,6 +179,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(upsampler/VAE/audio) host-side as per-group "
                         "int8 so each staging transfer moves half the "
                         "bytes; dequantized to bf16 on device.")
+    p.add_argument("--aux-park-device", action="store_true",
+                   help="With --aux-stage-int8: park the int8 aux trees in "
+                        "HBM instead of host RAM — no staging transfers at "
+                        "all when the ~2x-smaller parked form fits beside "
+                        "the transformer and its scan arena.")
     p.add_argument("--no-overlap-staging", action="store_true",
                    help="With --low-memory: disable the async aux-param "
                         "prefetch that overlaps the host->HBM staging "
@@ -456,6 +461,7 @@ def main(argv=None) -> None:
             low_memory=args.low_memory,
             aux_int8_staging=args.aux_stage_int8,
             overlap_staging=False if args.no_overlap_staging else None,
+            aux_park_device=True if args.aux_park_device else None,
         )
 
     if args.save_frames and result.video is not None:

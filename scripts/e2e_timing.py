@@ -115,6 +115,11 @@ def main() -> None:
         # async prefetch of the aux transfers under the denoise scans
         # (MLX_VIDEO_OVERLAP_STAGING=0 disables):
         overlap_staging=None,
+        # Park the int8 aux trees in HBM: at this geometry the ~0.9 GiB
+        # parked form fits beside the w4a8 19B + arena, so the staging
+        # transfers vanish (MLX_VIDEO_AUX_PARK=host restores the classic
+        # host round-trip):
+        aux_park_device=os.environ.get("MLX_VIDEO_AUX_PARK", "device") == "device",
     )
     wall = time.time() - t0
     assert result.video is not None and np.isfinite(result.video).all()

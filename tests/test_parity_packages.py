@@ -758,3 +758,214 @@ class TestArgsParity:
                 "--prompt", "p", "--output-path", "o",
                 "--lora", "a", "0.5", "extra",
             ])
+
+
+class TestComposedHelpers:
+    """The ltx_pipelines helper tail (reference helpers.py:38-348):
+    token-domain conditioning, denoising-func factories, and the composed
+    denoise_audio_video — checked for equivalence against the engine paths."""
+
+    def _video_tools(self, shape=(1, 8, 2, 4, 4)):
+        return VideoLatentTools(target_shape=VideoLatentShape(*shape))
+
+    def test_state_with_conditionings_appends_tokens(self, rng):
+        from ltx_core.conditioning import VideoConditionByLatentIndex
+        from ltx_pipelines.utils.helpers import state_with_conditionings
+
+        tools = self._video_tools()
+        state = tools.patchify(tools.create_initial_state(key=jax.random.key(0)))
+        n0 = state.latent.shape[1]
+        cond_latent = jnp.asarray(rng.normal(size=(1, 8, 1, 4, 4)).astype(np.float32))
+        item = VideoConditionByLatentIndex(latent=cond_latent, frame_idx=1, strength=0.8)
+        out = state_with_conditionings(state, [item], tools)
+
+        extra = tools.patchifier.get_token_count(VideoLatentShape(1, 8, 1, 4, 4))
+        assert out.latent.shape[1] == n0 + extra
+        # appended clean tokens ARE the patchified conditioning latent
+        np.testing.assert_allclose(
+            np.asarray(out.clean_latent[:, n0:]),
+            np.asarray(tools.patchifier.patchify(cond_latent)),
+            atol=1e-6,
+        )
+        # appended mask = 1 - strength; original tokens untouched
+        np.testing.assert_allclose(np.asarray(out.denoise_mask[:, n0:]), 0.2, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.latent[:, :n0]), np.asarray(state.latent), atol=1e-6
+        )
+        # time coordinate of appended positions is shifted by frame_idx / fps
+        np.testing.assert_allclose(
+            np.asarray(out.positions[:, 0, n0:]),
+            (np.asarray(tools.patchifier.get_patch_grid_bounds(
+                VideoLatentShape(1, 8, 1, 4, 4))).astype(np.float32)[:, 0] + 1.0) / tools.fps,
+            atol=1e-6,
+        )
+        # clear_conditioning trims back to the target token count
+        cleared = tools.clear_conditioning(out)
+        assert cleared.latent.shape[1] == n0
+        assert cleared.positions.shape[2] == n0
+
+    def test_keyframe_apply_to_pixel_positions(self, rng):
+        from ltx_core.conditioning import VideoConditionByKeyframeIndex
+        from ltx_pipelines.utils.helpers import state_with_conditionings
+
+        tools = self._video_tools()
+        state = tools.patchify(tools.create_initial_state(key=jax.random.key(0)))
+        n0 = state.latent.shape[1]
+        kf = jnp.asarray(rng.normal(size=(1, 8, 1, 4, 4)).astype(np.float32))
+        out = state_with_conditionings(
+            state, [VideoConditionByKeyframeIndex(keyframes=kf, frame_idx=0, strength=1.0)], tools
+        )
+        # frame_idx == 0 keyframes use pixel coords WITH the causal fix, so
+        # the appended position block equals the state's first-frame block
+        np.testing.assert_allclose(
+            np.asarray(out.positions[:, :, n0:]),
+            np.asarray(state.positions[:, :, : out.positions.shape[2] - n0]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(out.denoise_mask[:, n0:]), 0.0, atol=1e-6)
+
+    def test_image_conditionings_factories(self, rng, tmp_path):
+        from PIL import Image
+
+        from ltx_core.conditioning import (
+            VideoConditionByKeyframeIndex,
+            VideoConditionByLatentIndex,
+        )
+        from ltx_pipelines.utils.helpers import (
+            image_conditionings_by_adding_guiding_latent,
+            image_conditionings_by_replacing_latent,
+        )
+        from mlx_video_tpu.pipelines.conditioning import (
+            VideoConditionByKeyframeIndex as EngineKF,
+            VideoConditionByLatentIndex as EngineLat,
+        )
+
+        path = tmp_path / "img.png"
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(path)
+
+        def fake_encoder(pixels):
+            # pixel (1, 3, 1, H, W) -> latent (1, 8, 1, H//32, W//32)
+            b, c, f, h, w = pixels.shape
+            pooled = pixels.reshape(b, c, f, h // 32, 32, w // 32, 32).mean((4, 6))
+            return jnp.concatenate([pooled] * 3, axis=1)[:, :8]
+
+        reps = image_conditionings_by_replacing_latent(
+            [(str(path), 2, 0.9)], 64, 64, fake_encoder, jnp.float32
+        )
+        guides = image_conditionings_by_adding_guiding_latent(
+            [(str(path), 3, 0.7)], 64, 64, fake_encoder, jnp.float32
+        )
+        assert len(reps) == 1 and isinstance(reps[0], VideoConditionByLatentIndex)
+        assert len(guides) == 1 and isinstance(guides[0], VideoConditionByKeyframeIndex)
+        # the parity classes ARE engine conditioning items (the monolithic
+        # pipeline's isinstance dispatch sees them transparently)
+        assert isinstance(reps[0], EngineLat) and isinstance(guides[0], EngineKF)
+        assert reps[0].frame_idx == 2 and reps[0].strength == 0.9
+        assert guides[0].frame_idx == 3 and guides[0].strength == 0.7
+        assert reps[0].latent.shape == (1, 8, 1, 2, 2)
+
+    def test_guider_denoising_func_matches_manual_cfg(self, rng):
+        from ltx_pipelines.utils.helpers import (
+            guider_denoising_func,
+            simple_denoising_func,
+        )
+        from ltx_core.types import LatentState
+
+        def mk(lat):
+            return LatentState(
+                latent=lat, clean_latent=jnp.zeros_like(lat),
+                denoise_mask=jnp.ones_like(lat[..., :1]),
+                positions=jnp.zeros((1, 3, lat.shape[1], 2)),
+            )
+
+        v = mk(jnp.asarray(rng.normal(size=(1, 6, 4)).astype(np.float32)))
+        a = mk(jnp.asarray(rng.normal(size=(1, 3, 4)).astype(np.float32)))
+        ctx_p = jnp.ones((1, 2, 4))
+        ctx_n = jnp.zeros((1, 2, 4))
+
+        def fake_transformer(video=None, audio=None, perturbations=None):
+            # "denoised" depends on the context so CFG has a signal
+            scale = jnp.mean(video.context)
+            return video.latent * (0.5 + scale), audio.latent * (0.5 + scale)
+
+        sigmas = np.array([1.0, 0.0], dtype=np.float32)
+        dv_s, da_s = simple_denoising_func(ctx_p, ctx_p, fake_transformer)(v, a, sigmas, 0)
+        np.testing.assert_allclose(np.asarray(dv_s), np.asarray(v.latent) * 1.5, atol=1e-6)
+
+        g = CFGGuider(scale=4.0)
+        dv, da = guider_denoising_func(g, ctx_p, ctx_n, ctx_p, ctx_n, fake_transformer)(
+            v, a, sigmas, 0
+        )
+        cond, uncond = np.asarray(v.latent) * 1.5, np.asarray(v.latent) * 0.5
+        np.testing.assert_allclose(np.asarray(dv), cond + 3.0 * (cond - uncond), atol=1e-5)
+        cond_a, uncond_a = np.asarray(a.latent) * 1.5, np.asarray(a.latent) * 0.5
+        np.testing.assert_allclose(np.asarray(da), cond_a + 3.0 * (cond_a - uncond_a), atol=1e-5)
+
+    def test_denoise_audio_video_composed(self, rng):
+        from ltx_core.conditioning import VideoConditionByLatentIndex
+        from ltx_pipelines.utils.helpers import (
+            denoise_audio_video,
+            euler_denoising_loop,
+            simple_denoising_func,
+        )
+        from ltx_pipelines.utils.types import PipelineComponents
+
+        out_shape = VideoPixelShape(batch=1, frames=9, height=64, width=64, fps=24.0)
+        components = PipelineComponents(dtype=jnp.float32)
+        components.video_latent_channels = 8  # tiny-model channel count
+        cond_latent = jnp.asarray(rng.normal(size=(1, 8, 1, 2, 2)).astype(np.float32))
+
+        def fake_transformer(video=None, audio=None, perturbations=None):
+            return video.latent * 0.5, audio.latent * 0.5
+
+        v_state, a_state = denoise_audio_video(
+            output_shape=out_shape,
+            conditionings=[VideoConditionByLatentIndex(latent=cond_latent, frame_idx=0, strength=1.0)],
+            noiser=GaussianNoiser(seed=0),
+            sigmas=np.array([1.0, 0.5, 0.0], dtype=np.float32),
+            stepper=EulerDiffusionStep(),
+            denoising_loop_fn=euler_denoising_loop,
+            components=components,
+            dtype=jnp.float32,
+            denoise_fn=simple_denoising_func(jnp.ones((1, 2, 4)), jnp.ones((1, 2, 4)), fake_transformer),
+        )
+        assert v_state.latent.shape == (1, 8, 2, 2, 2)  # unpatchified video latent
+        expected_audio = AudioLatentShape.from_video_pixel_shape(out_shape)._replace(channels=8)
+        assert v_state.denoise_mask.shape[0] == 1
+        assert a_state.latent.shape[0] == 1 and a_state.latent.ndim == 4
+        assert a_state.latent.shape[2] == expected_audio.frames
+        assert np.all(np.isfinite(np.asarray(v_state.latent)))
+        assert np.all(np.isfinite(np.asarray(a_state.latent)))
+
+    def test_audio_shape_from_video_pixel_shape(self):
+        # 16000 / 160 / 4 = 25 latents/sec; 48 frames @ 24 fps = 2 s -> 50
+        shape = AudioLatentShape.from_video_pixel_shape(
+            VideoPixelShape(batch=1, frames=48, height=64, width=64, fps=24.0)
+        )
+        assert shape == AudioLatentShape(1, 8, 50, 16)
+
+    def test_clean_response_reference_semantics(self):
+        from ltx_pipelines.utils.helpers import clean_response
+
+        assert clean_response("“hello”") == 'hello"'
+        assert clean_response("123 ... drop leading: Words") == "drop leading: Words"
+        assert clean_response("<start_of_turn>model\nA cat") == "A cat"
+        assert clean_response("—–") == "--"  # no alpha at all: translated text returned
+
+    def test_helpers_name_parity(self):
+        """Name-for-name: every public function of the reference helpers
+        module exists here (reference ltx_pipelines/utils/helpers.py:29-389)."""
+        import ltx_pipelines.utils.helpers as h
+
+        for name in [
+            "get_device", "cleanup_memory",
+            "image_conditionings_by_replacing_latent",
+            "image_conditionings_by_adding_guiding_latent",
+            "euler_denoising_loop", "gradient_estimating_euler_denoising_loop",
+            "noise_video_state", "noise_audio_state", "create_noised_state",
+            "state_with_conditionings", "post_process_latent",
+            "modality_from_latent_state", "timesteps_from_mask",
+            "simple_denoising_func", "guider_denoising_func",
+            "denoise_audio_video", "clean_response", "assert_resolution",
+        ]:
+            assert callable(getattr(h, name)), name

@@ -308,6 +308,36 @@ class TestGenerateWithInt8Staging:
         decode_with_tiling(fake_decode, lat, cfg)
         assert set(seen) == set(tile_latent_shapes(lat.shape, cfg))
 
+    def test_aux_park_device_bit_exact(self, tmp_path):
+        """Parking the int8 aux trees on the compute device (no wire) must
+        produce the identical video to the host park."""
+        from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
+        from tests.test_generate import _text
+
+        cfg, bundle = self._bundle()
+        t_params = bundle.transformer_params
+        kw = dict(
+            height=64, width=64, num_frames=9, seed=0,
+            pipeline=PipelineType.DISTILLED, stage1_steps=1, stage2_steps=1,
+            tiling="none", dtype=jnp.float32, low_memory=True,
+            aux_int8_staging=True,
+        )
+        old = staging._MIN_QUANT_SIZE
+        staging._MIN_QUANT_SIZE = 256
+        try:
+            a = generate_video(
+                bundle, _text(cfg), output_path=tmp_path / "dev.mp4",
+                aux_park_device=True, **kw,
+            )
+            bundle.transformer_params = t_params
+            b = generate_video(
+                bundle, _text(cfg), output_path=tmp_path / "host.mp4",
+                aux_park_device=False, **kw,
+            )
+        finally:
+            staging._MIN_QUANT_SIZE = old
+        np.testing.assert_array_equal(a.video, b.video)
+
     def test_flag_requires_low_memory(self):
         from mlx_video_tpu.pipelines.generate import PipelineType, generate_video
         from tests.test_generate import _text
