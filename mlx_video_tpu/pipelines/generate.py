@@ -377,6 +377,7 @@ def generate_video(
     low_memory: bool = False,
     aux_int8_staging: bool = False,
     overlap_staging: Optional[bool] = None,
+    aux_park_device: Optional[bool] = None,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -416,6 +417,16 @@ def generate_video(
     transfer moves half the bytes; dequantized to bf16 on device in one
     jitted dispatch (io/staging.py). Weight-only int8 on conv stacks —
     drift is bounded in tests/test_staging.py.
+
+    ``aux_park_device``: with ``aux_int8_staging``, park the int8-quantized
+    aux trees in HBM instead of host RAM — the parked form is ~2x smaller
+    than bf16 (per-group int8 + scales, ~0.9 GiB for upsampler+decoder at
+    full geometry), and when that fits beside the transformer + scan arena
+    the staging TRANSFERS disappear entirely: "staging in" is one on-device
+    dequant dispatch. Default off (env ``MLX_VIDEO_AUX_PARK=device``
+    enables) — geometries whose scan arena already fills HBM (config-3
+    5184-token batched CFG) must keep the host park. Ignored without
+    aux_int8_staging (a bf16 park in HBM frees nothing).
 
     ``overlap_staging``: with ``low_memory``, issue the aux-param
     host->device copies ASYNCHRONOUSLY while the denoise scans are still
@@ -540,6 +551,15 @@ def generate_video(
         mesh = pp_mesh  # stage-boundary gathers replicate over the pipe mesh
 
     _host_dev = jax.devices("cpu")[0] if low_memory else None
+    if aux_park_device is None:
+        import os as _os_pk
+
+        aux_park_device = _os_pk.environ.get("MLX_VIDEO_AUX_PARK", "host") == "device"
+    # The park target for the int8 codec: host RAM (classic staging) or HBM
+    # (no wire at all — the parked int8 tree rides beside the transformer).
+    _park_dev = (
+        jax.devices()[0] if (aux_park_device and aux_int8_staging) else _host_dev
+    )
 
     def _device_fence():
         """Drain the device queue with an honest fence: enqueue a trivial
@@ -567,7 +587,7 @@ def generate_video(
             from mlx_video_tpu.io import staging as _st
 
             if to_host:
-                return _st.park_int8(tree, _host_dev)
+                return _st.park_int8(tree, _park_dev)
             if _st.is_parked(tree):
                 return _st.unpark_int8(tree, jax.devices()[0])
         target = _host_dev if to_host else jax.devices()[0]
@@ -911,6 +931,11 @@ def generate_video(
                 cfg_sequential=cfg_sequential,
                 **audio_kwargs,
             )
+            # (decode-program warmup dispatches AFTER this phase's latents
+            # fetch, not here: dispatching it while the scan is in flight
+            # measured WORSE on the chip — the per-stage program loads
+            # serialize ahead of the latents-fetch RPC and inflate this
+            # phase by more than they save in decode; A/B in PERF.md r4.)
             latents, audio_latents = _gather(latents), _gather(audio_latents)
             if joint_audio:
                 audio_kwargs["audio_latents"] = audio_latents

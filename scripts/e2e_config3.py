@@ -139,6 +139,11 @@ def main() -> None:
         images=[(img_path, 0, 1.0)],
         output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
         low_memory=not tiny and "--no-low-memory" not in sys.argv,
+        # per-group int8 transfer parking (35 dB-gated, tests/test_staging.py):
+        # halves the decoder/encoder staging bytes; at this geometry the dev
+        # scan arena fills HBM, so keep the HOST park (no aux_park_device)
+        # and let MLX_VIDEO_OVERLAP_STAGING control the async prefetch.
+        aux_int8_staging=not tiny and "--no-aux-int8" not in sys.argv,
         cfg_sequential=cfg_sequential,
         # preferred-layout placement: without it XLA prepends ~3 GB of
         # relayout copies of the 48-layer w4a8 stacks — the difference

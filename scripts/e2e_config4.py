@@ -236,6 +236,10 @@ def main() -> None:
             output_path=out, tiling="auto", dtype=jnp.bfloat16, profile=True,
             low_memory=not tiny,
             optimize_layouts=not tiny,
+            # per-group int8 transfer parking for the (many) aux stacks:
+            # enc + dec + ups + audio dec + vocoder are ~2.5 GB bf16 of
+            # host<->HBM staging otherwise (35 dB-gated codec).
+            aux_int8_staging=(not tiny) and "--no-aux-int8" not in sys.argv,
             **kwargs,
         )
         wall = time.time() - t0
