@@ -259,6 +259,32 @@ def main() -> None:
             # Param synthesis/staging means low_memory freed the transformer;
             # reload it for leg B by re-synthesizing (cheap relative to run).
             if not tiny and models.transformer_params is None:
+                # Evict the decode-phase aux trees first: the decoder /
+                # audio decoder / vocoder were staged IN for leg A's final
+                # decode and stay HBM-resident after the call (~2.5 GB
+                # bf16). Coexisting with the ~9.5 GiB w4a8 re-synthesis
+                # RESOURCE_EXHAUSTED'd the first r4 drive at exactly this
+                # line; park them to host as int8 (staging codec) and let
+                # leg B's low_memory staging bring each back on use.
+                from mlx_video_tpu.io import staging as _st
+
+                host_dev = jax.devices("cpu")[0]
+                for attr in (
+                    "vae_decoder_params", "vae_encoder_params",
+                    "audio_decoder_params", "vocoder_params",
+                    "upsampler_params",
+                ):
+                    t = getattr(models, attr)
+                    if t is not None:
+                        setattr(models, attr, _st.park_int8(t, host_dev))
+                del result
+                import gc
+
+                gc.collect()
+                # Drain the device queue (fetch, not block_until_ready —
+                # the tunnel returns early from the latter) so the parked
+                # buffers are actually freed before synthesis dispatches.
+                float(jnp.sum(jnp.ones((8,), jnp.float32)))
                 p = synth_q4_params(config)
                 models.transformer_params = prepare_w4a8(p, bits=4)
                 del p
