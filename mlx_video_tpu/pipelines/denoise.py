@@ -577,24 +577,43 @@ def preferred_param_formats(
     return compiled.input_formats[0][0]
 
 
-def relayout_params(params: dict, formats, donate: bool = False) -> dict:
+def relayout_params(
+    params: dict, formats, donate: bool = False, fence_bytes: int = 2 << 30
+) -> dict:
     """Re-place a param pytree into the layouts from
-    :func:`preferred_param_formats` (leaf-wise on-device relayout; the
-    transient is one leaf, not the tree).
+    :func:`preferred_param_formats` (leaf-wise on-device relayout).
 
     ``donate=True`` deletes each source buffer as soon as its relayouted
     copy exists (identity-checked: unchanged-layout leaves come back as the
     same buffer and are NOT deleted). Required at 19B on one chip — holding
     both placements of the full tree is 2x ~8-11 GB. The caller must drop
-    every other reference to the input tree (the old leaves raise on use)."""
+    every other reference to the input tree (the old leaves raise on use).
+
+    Donated relayouts are FENCED every ``fence_bytes`` of moved leaves: on
+    TPU the copies' output buffers are allocated at enqueue time while the
+    donated frees only retire as the queue drains, so dispatching the whole
+    tree at once makes both placements transiently coexist regardless of
+    the deletes (the r4 config-5 chip drive RESOURCE_EXHAUSTED'd exactly
+    there — the grad-step preferred formats change nearly every stacked
+    leaf). The fence FETCHES a scalar enqueued behind the copies (in-order
+    queue; block_until_ready returns early through the tunnel), bounding
+    the transient to ``fence_bytes``."""
+    moved_since_fence = 0
+    on_accel = jax.default_backend() != "cpu"
 
     def move(x, f):
+        nonlocal moved_since_fence
         y = jax.device_put(x, f)
         if donate and y is not x:
+            nbytes = getattr(x, "nbytes", 0)
             try:
                 x.delete()
             except Exception:
                 pass
+            moved_since_fence += nbytes
+            if on_accel and moved_since_fence >= fence_bytes:
+                float(jnp.sum(jnp.ones((8,), jnp.float32)))
+                moved_since_fence = 0
         return y
 
     return jax.tree.map(move, params, formats)

@@ -173,15 +173,18 @@ def main() -> None:
             "wall_s": round(wall, 2),
             "speedup": round(base_t / wall, 3),
             "rel_err": round(rel, 5),
+            # PSNR-style signal-to-drift: 20*log10(||v0|| / ||v - v0||),
+            # comparable to the composed-pipeline PSNR gates (35 dB bar).
+            "drift_db": round(-20.0 * float(np.log10(rel)), 1) if rel > 0 else float("inf"),
         }
         rows.append(row)
         print(json.dumps(row))
 
-    print("\n| dial | steps/s | x vs off | rel-err |")
-    print("|---|---|---|---|")
+    print("\n| dial | steps/s | x vs off | rel-err | drift dB |")
+    print("|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['setting']} | {r['steps_per_sec']} | {r['speedup']:.2f}x "
-              f"| {r['rel_err']:.4f} |")
+              f"| {r['rel_err']:.4f} | {r['drift_db']} |")
 
 
 if __name__ == "__main__":

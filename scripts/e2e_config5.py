@@ -173,7 +173,6 @@ def main() -> None:
 
         gc.collect()
         opt = make_optimizer(cfg.lr)
-        ost = opt.init(train)
         if not tiny:
             # Preferred-layout placement of the frozen base: without it XLA
             # prepends ~3 GB of in-program relayout copies of the 48-layer
@@ -191,7 +190,21 @@ def main() -> None:
                 train, frozen, sb0, jax.random.key(1), tr.model_config,
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
-            frozen = relayout_params(frozen, ff, donate=True)
+            try:
+                ms = jax.local_devices()[0].memory_stats()
+                print(
+                    f"hbm in use before relayout: "
+                    f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
+                    f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f})",
+                    file=sys.stderr,
+                )
+            except Exception:
+                pass
+            # 1 GiB fence chunks: the donated frees only retire as the
+            # queue drains, and the second r4 drive OOM'd at the first
+            # 2 GiB fence with the optimizer moments already resident
+            # (opt.init now runs AFTER the relayout for the same reason).
+            frozen = relayout_params(frozen, ff, donate=True, fence_bytes=1 << 30)
             # Retire the relayout transients (donation still copies the
             # leaves whose layout changed) BEFORE the first grad_step claims
             # its arena: dispatch is async through the tunnel and the two
@@ -210,6 +223,9 @@ def main() -> None:
                 )
             except Exception:
                 pass
+        # Moments AFTER the relayout: their ~2x-train footprint narrowed
+        # the relayout's transient headroom to less than one fence chunk.
+        ost = opt.init(train)
         key = jax.random.key(0)
         times: dict = {}
         step = 0
