@@ -939,3 +939,26 @@ class TestPartitionedTraining:
         assert float(l0) == float(l1)
         for k in g0:
             np.testing.assert_array_equal(np.asarray(g0[k]), np.asarray(g1[k]), err_msg=k)
+
+    def test_relayout_fenced_donate_matches(self):
+        """fence_bytes=1 forces the per-chunk fence branch on every moved
+        leaf (no-op fetch on CPU); values and donation semantics must match
+        the unfenced path (r4 chip OOM fix: bound the in-flight transient)."""
+        from mlx_video_tpu.pipelines.denoise import relayout_params
+        from mlx_video_tpu.trainer.train_step import (
+            grad_step_trainable,
+            partition_trainable,
+            preferred_trainable_formats,
+        )
+
+        cfg, params, mask, sb = self._setup()
+        key = jax.random.key(5)
+        train, frozen = partition_trainable(params, mask)
+        l0, _ = grad_step_trainable(train, frozen, sb, key, cfg)
+        _, ff = preferred_trainable_formats(train, frozen, sb, key, cfg)
+        expect = {k: np.asarray(v).copy() for k, v in frozen.items()}
+        frozen2 = relayout_params(frozen, ff, donate=True, fence_bytes=1)
+        for k, v in frozen2.items():
+            np.testing.assert_array_equal(np.asarray(v), expect[k], err_msg=k)
+        l1, _ = grad_step_trainable(train, frozen2, sb, key, cfg)
+        assert float(l0) == float(l1)
