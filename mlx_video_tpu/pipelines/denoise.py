@@ -598,12 +598,23 @@ def relayout_params(
     leaf). The fence FETCHES a scalar enqueued behind the copies (in-order
     queue; block_until_ready returns early through the tunnel), bounding
     the transient to ``fence_bytes``."""
+    import os as _os
+    import sys as _sys
+
+    debug = _os.environ.get("MLX_VIDEO_RELAYOUT_DEBUG") == "1"
     moved_since_fence = 0
     on_accel = jax.default_backend() != "cpu"
 
-    def move(x, f):
+    def move(path, x, f):
         nonlocal moved_since_fence
         y = jax.device_put(x, f)
+        if debug:  # before the fence: shows the leaf in flight on an OOM
+            print(
+                f"relayout {jax.tree_util.keystr(path)}: "
+                f"{getattr(x, 'nbytes', 0) / 2**20:.0f} MiB "
+                f"{'moved' if y is not x else 'kept'}",
+                file=_sys.stderr, flush=True,
+            )
         if donate and y is not x:
             nbytes = getattr(x, "nbytes", 0)
             try:
@@ -616,7 +627,7 @@ def relayout_params(
                 moved_since_fence = 0
         return y
 
-    return jax.tree.map(move, params, formats)
+    return jax.tree_util.tree_map_with_path(move, params, formats)
 
 
 @partial(jax.jit, static_argnames=("config", "use_cfg", "enable_audio", "sp", "pp", "cfg_sequential"))

@@ -173,11 +173,13 @@ def main() -> None:
 
         gc.collect()
         opt = make_optimizer(cfg.lr)
-        if not tiny:
+        if not tiny and "--no-relayout" not in sys.argv:
             # Preferred-layout placement of the frozen base: without it XLA
             # prepends ~3 GB of in-program relayout copies of the 48-layer
             # w4a8 stacks inside grad_step (the r2 chip run OOM'd at
-            # 17.11/15.75 GB on exactly that margin). Only the frozen
+            # 17.11/15.75 GB on exactly that margin; --no-relayout retests
+            # that margin under the partitioned-LoRA step, whose float0
+            # frozen grads removed a further 4.52 GB). Only the frozen
             # subtree is re-placed: it never flows through the optimizer, so
             # its layouts are stable across steps; the small LoRA factors
             # stay default so apply_updates needs no layout pinning.
@@ -190,6 +192,13 @@ def main() -> None:
                 train, frozen, sb0, jax.random.key(1), tr.model_config,
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
+            # Drop the AUTO-layout grad executable from the global pjit
+            # cache: its loaded form (and any device-side reservation)
+            # otherwise persists through the relayout — the third r4 OOM
+            # at the first 1 GiB fence with only ~7.4 GiB of live params
+            # is unexplained by buffers alone. The real grad_step compiles
+            # fresh below (persistent cache keeps it cheap).
+            jax.clear_caches()
             try:
                 ms = jax.local_devices()[0].memory_stats()
                 print(
