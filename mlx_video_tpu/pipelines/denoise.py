@@ -435,7 +435,8 @@ def _denoise_step(
 
 _SCAN_STATICS = ("config", "use_cfg", "enable_audio", "progress", "sp",
                  "cfg_cache_interval", "pp", "attn_broadcast_interval",
-                 "use_teacache", "cfg_sequential")
+                 "use_teacache", "cfg_sequential", "return_carry",
+                 "progress_total")
 
 
 def _denoise_scan_impl(
@@ -444,6 +445,7 @@ def _denoise_scan_impl(
     sig_pairs, config, cfg_scale, use_cfg, enable_audio, progress=False, sp=None,
     cfg_cache_interval=1, pp=None, attn_broadcast_interval=1, use_teacache=False,
     teacache_threshold=0.0, cfg_sequential=False,
+    step_offset=None, dial_carry=None, return_carry=False, progress_total=None,
 ):
     """The WHOLE denoise call is one compiled program: bundle construction
     (RoPE tables, contexts, masks) + the sigma-scan. Building the bundle
@@ -456,6 +458,18 @@ def _denoise_scan_impl(
     the program, so sweeping values shares ONE compiled scan instead of
     paying a full multi-minute recompile per value (a serve client tuning a
     dial would otherwise grow the compile cache without bound).
+
+    **Segmentation** (``step_offset`` / ``dial_carry`` / ``return_carry`` /
+    ``progress_total``): a long schedule at big geometry runs as ONE device
+    program for 60+ s, which the TPU worker's watchdog kills (r4 chip
+    drives: 40-step x 5184-token scans crashed the worker; 8-step scans of
+    the identical program were fine). ``denoise()`` therefore dispatches the
+    schedule in segments of the SAME compiled program: ``step_offset`` (a
+    traced scalar) keeps the absolute step index flowing into the dial
+    ``% k`` logic and progress events, ``dial_carry``/``return_carry``
+    thread the dial state (TeaCache / guidance-delta / PAB caches) between
+    segments, and ``progress_total`` keeps the display denominator at the
+    full schedule length. Exact: identical math to the single-scan form.
     """
     bundle = _make_bundle(
         config, latents, positions, context, state, use_cfg, neg_context,
@@ -472,31 +486,36 @@ def _denoise_scan_impl(
     num_steps = sig_pairs.shape[0]
     step = partial(
         _denoise_step, params, bundle, config, cfg_scale, use_cfg, enable_audio,
-        progress, num_steps, sp, cfg_cache_interval, pp, attn_broadcast_interval,
+        progress, progress_total if progress_total is not None else num_steps,
+        sp, cfg_cache_interval, pp, attn_broadcast_interval,
         use_teacache, teacache_threshold, cfg_sequential,
     )
-    xs = (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
+    idx = jnp.arange(num_steps, dtype=jnp.int32)
+    if step_offset is not None:
+        idx = idx + step_offset
+    xs = (sig_pairs, idx)
+    out_carry = None
     if use_teacache and not enable_audio:
         # TeaCache carry: cached combined velocity (fp32 tokens), previous
         # change signal, accumulated relative change. Step 0 is always full
         # so the zeros velocity init is never read.
         b, c = latents.shape[0], latents.shape[1]
         seq = latents.shape[2] * latents.shape[3] * latents.shape[4]
-        init_tc = (
+        init_tc = dial_carry if dial_carry is not None else (
             jnp.zeros((b, seq, c), dtype=jnp.float32),
             jnp.zeros((b, seq, config.inner_dim), dtype=jnp.float32),
             jnp.float32(0.0),
         )
-        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_tc), xs)
+        (v, a, out_carry), _ = jax.lax.scan(step, (init_v, init_a, init_tc), xs)
     elif use_cfg and cfg_cache_interval > 1 and not enable_audio:
         # guidance-delta carry (fp32 tokens); step 0 is always a full step
         # (0 % k == 0) so the zeros init is never read.
-        init_delta = jnp.zeros(
+        init_delta = dial_carry if dial_carry is not None else jnp.zeros(
             (latents.shape[0], latents.shape[2] * latents.shape[3] * latents.shape[4],
              latents.shape[1]),
             dtype=jnp.float32,
         )
-        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_delta), xs)
+        (v, a, out_carry), _ = jax.lax.scan(step, (init_v, init_a, init_delta), xs)
     elif attn_broadcast_interval > 1 and not enable_audio:
         # per-layer SELF-attention output cache (model dtype; cross-attn is
         # recomputed — see block_apply); step 0 is always a full (collect)
@@ -504,18 +523,26 @@ def _denoise_scan_impl(
         n_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
         bf = latents.shape[0] * (2 if use_cfg else 1)
         seq = latents.shape[2] * latents.shape[3] * latents.shape[4]
-        init_cache = {
+        init_cache = dial_carry if dial_carry is not None else {
             "self": jnp.zeros((n_layers, bf, seq, config.inner_dim), dtype=latents.dtype),
         }
-        (v, a, _), _ = jax.lax.scan(step, (init_v, init_a, init_cache), xs)
+        (v, a, out_carry), _ = jax.lax.scan(step, (init_v, init_a, init_cache), xs)
     else:
         (v, a), _ = jax.lax.scan(step, (init_v, init_a), xs)
+    if return_carry:
+        return v, a, out_carry
     return v, a
 
 
 from mlx_video_tpu.utils.aot import aot_jit as _aot_jit
 
-_denoise_scan = _aot_jit(_denoise_scan_impl, static_argnames=_SCAN_STATICS)
+# dial_carry is donated: between segments the incoming dial state is dead
+# the moment the next segment's output exists, and the PAB cache is ~4 GiB
+# at dev geometry — an un-aliased in+out pair would not fit beside the 19B.
+_denoise_scan = _aot_jit(
+    _denoise_scan_impl, static_argnames=_SCAN_STATICS,
+    donate_argnames=("dial_carry",),
+)
 
 
 def preferred_param_formats(
@@ -814,12 +841,11 @@ def denoise(
     num_steps = sig_pairs.shape[0]
 
     if progress_callback is None:
+        import os as _os
+
         from mlx_video_tpu.utils.profiling import progress_echo_enabled
 
-        v, a = _denoise_scan(
-            params, latents, positions, context, neg_context, state,
-            audio_latents, audio_positions, audio_context, audio_neg_context,
-            sig_pairs,
+        common = dict(
             config=config, cfg_scale=cfg_scale, use_cfg=use_cfg, enable_audio=enable_audio,
             progress=progress_echo_enabled(), sp=sequence_parallel,
             cfg_cache_interval=cfg_cache_interval, pp=pipeline_parallel,
@@ -828,6 +854,42 @@ def denoise(
             teacache_threshold=float(teacache_threshold),
             cfg_sequential=bool(cfg_sequential and use_cfg),
         )
+        # Segment long schedules into multiple dispatches of the SAME
+        # compiled scan: a single 60+ s device program triggers the TPU
+        # worker watchdog (r4: 40-step 5184-token scans crashed the worker;
+        # the 8-step prefix of the identical program was fine). step_offset
+        # + dial-carry threading keep the math identical to one scan.
+        # MLX_VIDEO_SCAN_SEGMENT=0 disables; default 8 steps per dispatch
+        # (= the distilled stage-1 schedule, so short runs are one program).
+        seg = int(_os.environ.get("MLX_VIDEO_SCAN_SEGMENT", "8"))
+        if 0 < seg < num_steps:
+            has_video = latents is not None
+            v = latents
+            a = audio_latents
+            carry = None
+            off = 0
+            while off < num_steps:
+                chunk = sig_pairs[off:off + seg]
+                v, a, carry = _denoise_scan(
+                    params,
+                    v if has_video else None,
+                    positions, context, neg_context, state,
+                    a if enable_audio else None,
+                    audio_positions, audio_context, audio_neg_context,
+                    chunk,
+                    step_offset=jnp.asarray(off, dtype=jnp.int32),
+                    dial_carry=carry, return_carry=True,
+                    progress_total=num_steps,
+                    **common,
+                )
+                off += int(chunk.shape[0])
+        else:
+            v, a = _denoise_scan(
+                params, latents, positions, context, neg_context, state,
+                audio_latents, audio_positions, audio_context, audio_neg_context,
+                sig_pairs,
+                **common,
+            )
     else:
         bundle = _make_bundle(
             config, latents, positions, context, state, use_cfg, neg_context,

@@ -222,6 +222,54 @@ class TestDenoise:
         assert a.shape == a_latents.shape
         assert np.all(np.isfinite(np.asarray(a)))
 
+    def test_segmented_scan_matches_single(self, video_setup, monkeypatch):
+        """MLX_VIDEO_SCAN_SEGMENT chunks the schedule into several dispatches
+        of the same compiled scan (TPU-worker-watchdog workaround, r4);
+        step_offset + dial-carry threading must keep every mode bit-exact
+        against the single-scan form."""
+        cfg, params, latents, positions, context, neg_context = video_setup
+        sigmas = [1.0, 0.9, 0.7, 0.5, 0.3, 0.15, 0.0]  # 6 steps
+
+        cases = [
+            ("distilled", dict()),
+            ("cfg", dict(neg_context=neg_context, cfg_scale=3.0)),
+            ("cfg_cache", dict(neg_context=neg_context, cfg_scale=3.0,
+                               cfg_cache_interval=2)),
+            ("pab", dict(neg_context=neg_context, cfg_scale=3.0,
+                         attn_broadcast_interval=2)),
+            ("teacache", dict(teacache_threshold=0.05)),
+        ]
+        for name, kw in cases:
+            monkeypatch.setenv("MLX_VIDEO_SCAN_SEGMENT", "0")
+            v1, _ = dn.denoise(params, cfg, latents, positions, context, sigmas, **kw)
+            monkeypatch.setenv("MLX_VIDEO_SCAN_SEGMENT", "2")
+            v2, _ = dn.denoise(params, cfg, latents, positions, context, sigmas, **kw)
+            # 2 does not divide 6 evenly? it does; also test a remainder split
+            monkeypatch.setenv("MLX_VIDEO_SCAN_SEGMENT", "4")  # 4 + 2 remainder
+            v3, _ = dn.denoise(params, cfg, latents, positions, context, sigmas, **kw)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3), err_msg=name)
+
+    def test_segmented_av_joint_matches_single(self, monkeypatch):
+        cfg = tiny_test_config(LTXModelType.AudioVideo)
+        params = init_ltx_params(jax.random.key(1), cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, f, h, w, t = 1, 2, 2, 2, 6
+        latents = jnp.asarray(rng.normal(size=(b, cfg.in_channels, f, h, w)).astype(np.float32))
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32))
+        a_latents = jnp.asarray(rng.normal(size=(b, 8, t, cfg.audio_in_channels // 8)).astype(np.float32))
+        a_positions = jnp.asarray(create_audio_position_grid(b, t))
+        a_context = jnp.asarray(rng.normal(size=(b, 8, cfg.audio_caption_channels)).astype(np.float32))
+        args = (params, cfg, latents, positions, context, [1.0, 0.7, 0.4, 0.2, 0.0])
+        kw = dict(audio_latents=a_latents, audio_positions=a_positions, audio_context=a_context)
+        monkeypatch.setenv("MLX_VIDEO_SCAN_SEGMENT", "0")
+        v1, a1 = dn.denoise(*args, **kw)
+        monkeypatch.setenv("MLX_VIDEO_SCAN_SEGMENT", "3")  # 3 + 1 remainder
+        v2, a2 = dn.denoise(*args, **kw)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
     def test_latent_flatten_round_trip(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 4, 3, 2, 5)).astype(np.float32))
         t = dn.flatten_video_latents(x)
