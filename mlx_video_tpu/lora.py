@@ -313,11 +313,14 @@ def inject_lora(
     tensor is indistinguishable from w8/gs32), and W8A8 nodes store
     ``int8_weight`` rather than ``weight`` at all. Any linear the skeleton
     knows gets exact (in, out) dims regardless of its storage format."""
-    import copy
-
     from mlx_video_tpu.models.ltx.model import init_ltx_params
 
-    params = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    # Fresh containers, SHARED leaves: tree.map rebuilds every dict on
+    # unflatten, so walk()'s in-place key inserts below cannot mutate the
+    # caller's tree. A deepcopy here would device-copy every leaf —
+    # a transient 2x of the full base (7+ GiB at 19B q4) that OOM'd the
+    # single-chip LoRA-finetune drive before training even started.
+    params = jax.tree.map(lambda x: x, params)
     targets = lora_config.target_modules or DEFAULT_TARGET_MODULES
     rank = lora_config.rank
     scale = lora_config.alpha / rank if rank > 0 else 1.0

@@ -81,6 +81,40 @@ def synth_dataset(root, buckets, caption_channels, with_reference, n_per_bucket=
                 )
 
 
+def _hbm_report(tag: str, probe: bool = False) -> None:
+    """Visibility on axon, where device.memory_stats() returns None: report
+    the Python-visible device-resident bytes (live jax arrays), and — when
+    ``probe`` — measure actual free HBM by allocating 512 MiB chunks until
+    RESOURCE_EXHAUSTED (chunks freed immediately after). The probe is how
+    we separate "live buffers" from invisible residency (loaded
+    executables, allocator reservations)."""
+    import jax
+    import jax.numpy as jnp
+
+    live = sum(
+        getattr(a, "nbytes", 0)
+        for a in jax.live_arrays()
+        if "cpu" not in str(getattr(a, "device", ""))
+    )
+    msg = f"[hbm] {tag}: live arrays {live / 2**30:.2f} GiB"
+    if probe:
+        chunks = []
+        try:
+            for _ in range(64):
+                c = jnp.ones((512 * 2**20 // 4,), jnp.float32)
+                c.block_until_ready()
+                float(c[0])
+                chunks.append(c)
+        except Exception:
+            pass
+        free = len(chunks) * 0.5
+        for c in chunks:
+            c.delete()
+        del chunks
+        msg += f", free (probed) ~{free:.1f} GiB"
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -172,6 +206,13 @@ def main() -> None:
         import gc
 
         gc.collect()
+        # Drain the pending frees (opt_state moments, any injection
+        # transients) before the next allocation burst: allocations happen
+        # at enqueue while frees retire only as the queue drains, and an
+        # OOM from that race is STICKY on this backend (utils/device.py).
+        from mlx_video_tpu.utils.device import drain_device_queue
+
+        drain_device_queue()
         opt = make_optimizer(cfg.lr)
         if not tiny and "--no-relayout" not in sys.argv:
             # Preferred-layout placement of the frozen base: without it XLA
@@ -187,11 +228,14 @@ def main() -> None:
 
             fb = next(iter(iter_batches(tr.dataset, 1, shuffle=True, seed=0)))
             sb0 = tr._prepare(fb)
+            probe = os.environ.get("MLX_VIDEO_HBM_PROBE") == "1"
+            _hbm_report("before layout discovery", probe=probe)
             t_fmt = time.time()
             _, ff = preferred_trainable_formats(
                 train, frozen, sb0, jax.random.key(1), tr.model_config,
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
+            _hbm_report("after layout discovery", probe=probe)
             # Drop the AUTO-layout grad executable from the global pjit
             # cache: its loaded form (and any device-side reservation)
             # otherwise persists through the relayout — the third r4 OOM
@@ -199,16 +243,9 @@ def main() -> None:
             # is unexplained by buffers alone. The real grad_step compiles
             # fresh below (persistent cache keeps it cheap).
             jax.clear_caches()
-            try:
-                ms = jax.local_devices()[0].memory_stats()
-                print(
-                    f"hbm in use before relayout: "
-                    f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
-                    f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f})",
-                    file=sys.stderr,
-                )
-            except Exception:
-                pass
+            gc.collect()
+            drain_device_queue()
+            _hbm_report("after clear_caches+gc, before relayout", probe=probe)
             # 1 GiB fence chunks: the donated frees only retire as the
             # queue drains, and the second r4 drive OOM'd at the first
             # 2 GiB fence with the optimizer moments already resident
@@ -222,19 +259,13 @@ def main() -> None:
             # FETCHING a scalar enqueued behind the relayout (in-order queue).
             float(jnp.sum(jnp.ones((8,), jnp.float32)))
             print(f"layout discovery+relayout {time.time() - t_fmt:.1f}s", file=sys.stderr)
-            try:
-                ms = jax.local_devices()[0].memory_stats()
-                print(
-                    f"hbm in use after relayout: "
-                    f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
-                    f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f})",
-                    file=sys.stderr,
-                )
-            except Exception:
-                pass
+            _hbm_report("after relayout", probe=probe)
         # Moments AFTER the relayout: their ~2x-train footprint narrowed
         # the relayout's transient headroom to less than one fence chunk.
         ost = opt.init(train)
+        drain_device_queue()
+        if not tiny:
+            _hbm_report("after opt.init")
         key = jax.random.key(0)
         times: dict = {}
         step = 0
@@ -250,6 +281,12 @@ def main() -> None:
                     train, frozen, sb, sub, tr.model_config,
                     first_frame_conditioning_p=cfg.first_frame_conditioning_p,
                 )
+                if step == 0 and not tiny:
+                    # First step: fence between grad and apply so an OOM
+                    # pinpoints which program (and so the apply's allocs
+                    # don't race the grad arena's frees at enqueue).
+                    lv0 = float(loss)
+                    print(f"step0 grad ok loss={lv0:.4f}", file=sys.stderr, flush=True)
                 train, ost = apply_updates_trainable(
                     train, ost, grads, optimizer=opt, accum_steps=1
                 )

@@ -183,6 +183,21 @@ class TestLoRA:
         out, _ = ltx_apply(lparams, cfg, video=video)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_inject_shares_leaves_and_does_not_mutate_input(self):
+        """inject_lora must rebuild containers but SHARE the base leaves:
+        a deepcopy here device-copied the whole base (transient 2x, 7+ GiB
+        at 19B q4 — OOM'd the single-chip LoRA finetune drive), and the
+        caller's tree must not grow lora keys in place."""
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        lparams = inject_lora(params, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        # base leaves are the same buffers, not copies
+        assert lparams["blocks"]["attn1"]["to_q"]["weight"] is params["blocks"]["attn1"]["to_q"]["weight"]
+        assert lparams["video"]["patchify_proj"]["weight"] is params["video"]["patchify_proj"]["weight"]
+        # the input tree is untouched (no in-place key inserts)
+        assert "lora_A" not in params["blocks"]["attn1"]["to_q"]
+        assert "lora_A" in lparams["blocks"]["attn1"]["to_q"]
+
     def test_nonzero_B_changes_output(self):
         cfg = tiny_test_config(LTXModelType.VideoOnly)
         params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
