@@ -43,12 +43,24 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     trainable_mask: Optional[dict] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping; optionally masked to LoRA leaves."""
+    """AdamW with global-norm clipping; optionally masked to LoRA leaves.
+
+    ``mu_dtype``: storage dtype for the FIRST moment (optax semantics).
+    ``jnp.bfloat16`` halves the mu buffers — at 19B/r64 LoRA that is
+    0.45 GiB of HBM, the margin that fits the fused train step on one
+    16 GB v5e. The second moment stays fp32 (sqrt of small EMAs is
+    precision-sensitive); bf16 mu only coarsens the gradient EMA, a
+    standard large-scale tradeoff."""
     chain = []
     if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay))
+    chain.append(
+        optax.adamw(
+            learning_rate, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype
+        )
+    )
     tx = optax.chain(*chain)
     if trainable_mask is not None:
         # NOTE: optax.masked would pass raw gradients THROUGH for masked-out
@@ -221,6 +233,290 @@ def preferred_trainable_formats(train, frozen, sb, key, config, **kwargs):
     abs_args = jax.tree.map(_sds, (train, frozen, sb, key))
     informats = auto.lower(*abs_args, config=config, **kwargs).compile().input_formats[0]
     return informats[0], informats[1]
+
+
+class LayoutStableStep(NamedTuple):
+    """Compiled layout-stable partitioned train cycle (one placement, zero
+    per-step relayout copies). See :func:`build_layout_stable_trainable`."""
+
+    grad_fns: dict  # {sb_shapes_key: AOT-compiled (train, frozen, sb, key) -> (loss, grads)}
+    apply_fn: object  # AOT-compiled (train, ost, grads) -> (train, ost)
+    train_formats: object
+    frozen_formats: object
+    ost_formats: object
+    grads_formats: object
+
+    def grad(self, train, frozen, sb, key):
+        k = _sb_shape_key(sb)
+        fn = self.grad_fns.get(k)
+        if fn is None:
+            raise KeyError(
+                f"no compiled grad step for batch shapes {k}; known: "
+                f"{sorted(self.grad_fns)} — pass every bucket's abstract "
+                "batch to build_layout_stable_trainable"
+            )
+        return fn(train, frozen, sb, key)
+
+    def apply(self, train, ost, grads):
+        return self.apply_fn(train, ost, grads)
+
+
+def _sb_shape_key(sb) -> tuple:
+    return tuple(
+        (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape") else None
+        for x in jax.tree.leaves(sb)
+    )
+
+
+def build_layout_stable_trainable(
+    optimizer,
+    config: LTXModelConfig,
+    train,
+    frozen,
+    sbs,
+    *,
+    accum_steps: int = 1,
+    first_frame_conditioning_p: float = 0.1,
+    timestep_sampling_mode: str = "uniform",
+    timestep_sampling_std: float = 1.0,
+    sp=None,
+    pp=None,
+):
+    """Compile a LAYOUT-STABLE partitioned LoRA train cycle.
+
+    Why this exists (measured at 19B w4a8 on one v5e, PERF.md r4): with
+    default row-major param layouts, XLA prepends in-program relayout
+    copies of the 48-layer weight stacks inside ``grad_step_trainable`` —
+    relayouting only the frozen subtree still leaves **5.1 GiB** of HLO
+    temp copies (AUTO wants non-default layouts for the LoRA factor stacks
+    too, and fixing them to row-major shifts the frozen preferences), vs
+    **2.1 GiB** when every input is in its preferred layout. On a 16 GB
+    chip that 3 GiB is the difference between fitting and OOM.
+
+    The cycle must also be CLOSED under the update: ``apply_updates``
+    returns the new train/opt-state leaves, and if those come back
+    row-major the next ``grad_step`` pays the copies again (or recompiles).
+    So this builder:
+
+    1. discovers AUTO input formats (train, frozen) of the grad step at the
+       PRIMARY batch geometry (``sbs[0]``) — batch/key stay default (they
+       arrive from host each step);
+    2. compiles one grad executable per batch geometry with inputs pinned
+       to those formats and the grads output pinned to its AUTO preference
+       ``gf`` (discovered once, shared across geometries);
+    3. compiles the update with inputs ``(tf, AUTO ost, gf)``, reads the
+       discovered opt-state formats, then re-compiles pinned
+       ``in=(tf, ost_fmt, gf) -> out=(tf, ost_fmt)`` with donation — in/out
+       layouts match, so every train/opt-state buffer aliases in place.
+
+    ``train``/``frozen``/``sbs`` may be concrete or abstract; only shapes
+    and dtypes are read. Place the real trees with
+    ``relayout_params(train, step.train_formats)`` etc. before stepping.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    dflt = Format()
+    AUTO = Format(Layout.AUTO)
+
+    def _sds(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x
+
+    abs_train, abs_frozen = jax.tree.map(_sds, (train, frozen))
+    abs_sbs = [jax.tree.map(_sds, sb) for sb in sbs]
+    abs_key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+
+    def _grad(train_, frozen_, sb_, key_):
+        return grad_step_trainable.__wrapped__(
+            train_, frozen_, sb_, key_, config,
+            first_frame_conditioning_p, timestep_sampling_mode,
+            timestep_sampling_std, sp, pp,
+        )
+
+    def _dflt_tree(t):
+        return jax.tree.map(lambda _: dflt, t)
+
+    # 1. param-format discovery at the primary geometry
+    disc = (
+        jax.jit(_grad, in_shardings=(AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt))
+        .lower(abs_train, abs_frozen, abs_sbs[0], abs_key)
+        .compile()
+    )
+    tf, ff = disc.input_formats[0][0], disc.input_formats[0][1]
+
+    # 2. per-geometry grad executables; grads output format from the primary
+    gf = None
+    grad_fns = {}
+    for abs_sb in abs_sbs:
+        out_spec = (dflt, AUTO if gf is None else gf)
+        c = (
+            jax.jit(
+                _grad,
+                in_shardings=(tf, ff, _dflt_tree(abs_sb), dflt),
+                out_shardings=out_spec,
+            )
+            .lower(abs_train, abs_frozen, abs_sb, abs_key)
+            .compile()
+        )
+        if gf is None:
+            # output_formats mirrors the output pytree: (loss_fmt, grads_fmts)
+            gf = c.output_formats[1]
+        grad_fns[_sb_shape_key(abs_sb)] = c
+
+    # 3. layout-closed update with full aliasing
+    abs_ost = jax.eval_shape(optimizer.init, abs_train)
+    abs_grads = abs_train
+
+    def _apply(train_, ost_, grads_):
+        return apply_updates_trainable.__wrapped__(
+            train_, ost_, grads_, optimizer, accum_steps
+        )
+
+    ost_fmt = (
+        jax.jit(_apply, in_shardings=(tf, jax.tree.map(lambda _: AUTO, abs_ost), gf))
+        .lower(abs_train, abs_ost, abs_grads)
+        .compile()
+        .input_formats[0][1]
+    )
+    apply_fn = (
+        jax.jit(
+            _apply,
+            donate_argnums=(0, 1, 2),
+            in_shardings=(tf, ost_fmt, gf),
+            out_shardings=(tf, ost_fmt),
+        )
+        .lower(abs_train, abs_ost, abs_grads)
+        .compile()
+    )
+
+    return LayoutStableStep(
+        grad_fns=grad_fns,
+        apply_fn=apply_fn,
+        train_formats=tf,
+        frozen_formats=ff,
+        ost_formats=ost_fmt,
+        grads_formats=gf,
+    )
+
+
+class FusedLayoutStableStep(NamedTuple):
+    """One compiled program per geometry doing grad AND update: the grads
+    never cross a program boundary, so their ~1.2 GiB (at 19B/r64) of
+    fp32 output+argument buffers and the separate update program's
+    transients disappear. See :func:`build_fused_layout_stable`."""
+
+    step_fns: dict  # {sb_shapes_key: (train, frozen, ost, sb, key) -> (loss, train, ost)}
+    train_formats: object
+    frozen_formats: object
+    ost_formats: object
+
+    def step(self, train, frozen, ost, sb, key):
+        k = _sb_shape_key(sb)
+        fn = self.step_fns.get(k)
+        if fn is None:
+            raise KeyError(
+                f"no compiled fused step for batch shapes {k}; known: "
+                f"{sorted(self.step_fns)}"
+            )
+        return fn(train, frozen, ost, sb, key)
+
+
+def build_fused_layout_stable(
+    optimizer,
+    config: LTXModelConfig,
+    train,
+    frozen,
+    sbs,
+    *,
+    first_frame_conditioning_p: float = 0.1,
+    timestep_sampling_mode: str = "uniform",
+    timestep_sampling_std: float = 1.0,
+    sp=None,
+    pp=None,
+):
+    """Like :func:`build_layout_stable_trainable`, but grad + optimizer
+    update are ONE jitted program per geometry (``accum_steps=1``
+    semantics — use the unfused builder for gradient accumulation).
+
+    Peak-memory shape at 19B/r64 on one 16 GB chip: params 8.3 + moments
+    2.4 + grad arena ~2.1 GiB, with the grads internal to the program and
+    train/moments donated in place — vs the unfused cycle where the grads'
+    fp32 outputs (1.2 GiB) and the update's transients stack on top at the
+    step boundary.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    dflt = Format()
+    AUTO = Format(Layout.AUTO)
+
+    def _sds(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x
+
+    abs_train, abs_frozen = jax.tree.map(_sds, (train, frozen))
+    abs_sbs = [jax.tree.map(_sds, sb) for sb in sbs]
+    abs_key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+    abs_ost = jax.eval_shape(optimizer.init, abs_train)
+
+    def _fused(train_, frozen_, ost_, sb_, key_):
+        loss, grads = grad_step_trainable.__wrapped__(
+            train_, frozen_, sb_, key_, config,
+            first_frame_conditioning_p, timestep_sampling_mode,
+            timestep_sampling_std, sp, pp,
+        )
+        new_train, new_ost = apply_updates_trainable.__wrapped__(
+            train_, ost_, grads, optimizer, 1
+        )
+        return loss, new_train, new_ost
+
+    def _dflt_tree(t):
+        return jax.tree.map(lambda _: dflt, t)
+
+    # Discovery at the primary geometry: AUTO inputs define the canonical
+    # (train, frozen, ost) formats. The discovery compile itself must fit
+    # HBM (the TPU AOT compiler enforces it), so it carries the SAME
+    # donation as the production step and AUTO outputs — without aliasing,
+    # the unaliased new-train/new-ost outputs alone pushed the 19B compile
+    # 790 MB over capacity.
+    disc = (
+        jax.jit(
+            _fused,
+            donate_argnums=(0, 2),
+            in_shardings=(AUTO, AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt),
+            out_shardings=(dflt, AUTO, AUTO),
+        )
+        .lower(abs_train, abs_frozen, abs_ost, abs_sbs[0], abs_key)
+        .compile()
+    )
+    tf, ff, of = disc.input_formats[0][:3]
+    out_tf, out_of = disc.output_formats[1], disc.output_formats[2]
+
+    def _formats_equal(a, b) -> bool:
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        return len(la) == len(lb) and all(str(x) == str(y) for x, y in zip(la, lb))
+
+    step_fns = {}
+    # the cycle is closed iff outputs come back in the input formats; the
+    # donating AUTO compile almost always picks them equal (aliasing wants
+    # it) — reuse it for the primary geometry then, else re-pin
+    if _formats_equal((tf, of), (out_tf, out_of)):
+        step_fns[_sb_shape_key(abs_sbs[0])] = disc
+    for abs_sb in abs_sbs:
+        if _sb_shape_key(abs_sb) in step_fns:
+            continue
+        c = (
+            jax.jit(
+                _fused,
+                donate_argnums=(0, 2),
+                in_shardings=(tf, ff, of, _dflt_tree(abs_sb), dflt),
+                out_shardings=(dflt, tf, of),
+            )
+            .lower(abs_train, abs_frozen, abs_ost, abs_sb, abs_key)
+            .compile()
+        )
+        step_fns[_sb_shape_key(abs_sb)] = c
+
+    return FusedLayoutStableStep(
+        step_fns=step_fns, train_formats=tf, frozen_formats=ff, ost_formats=of
+    )
 
 
 def _is_float0(x) -> bool:

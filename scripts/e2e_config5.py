@@ -213,56 +213,56 @@ def main() -> None:
         from mlx_video_tpu.utils.device import drain_device_queue
 
         drain_device_queue()
-        opt = make_optimizer(cfg.lr)
-        if not tiny and "--no-relayout" not in sys.argv:
-            # Preferred-layout placement of the frozen base: without it XLA
-            # prepends ~3 GB of in-program relayout copies of the 48-layer
-            # w4a8 stacks inside grad_step (the r2 chip run OOM'd at
-            # 17.11/15.75 GB on exactly that margin; --no-relayout retests
-            # that margin under the partitioned-LoRA step, whose float0
-            # frozen grads removed a further 4.52 GB). Only the frozen
-            # subtree is re-placed: it never flows through the optimizer, so
-            # its layouts are stable across steps; the small LoRA factors
-            # stay default so apply_updates needs no layout pinning.
+        # bf16 first moment: 0.45 GiB at r64 — the margin between the fused
+        # 19B step compiling at 15.41 vs OOMing at 15.86/15.75 GiB.
+        opt = make_optimizer(cfg.lr, mu_dtype=None if tiny else jnp.bfloat16)
+        # Layout-stable train cycle (train_step.build_layout_stable_trainable):
+        # relayouting only the frozen subtree still left 5.1 GiB of HLO temp
+        # relayout copies inside grad_step (AUTO wants non-default layouts
+        # for the LoRA factor stacks too) — live 10.7 + temps 5.1 + grads
+        # 1.2 > 15.75 GiB was the fourth r4 OOM. The builder discovers
+        # formats for train+frozen+grads+moments at BOTH bucket geometries,
+        # pins jit in/out formats so updated leaves come back in the same
+        # layouts (full donation aliasing), and the one-time placement below
+        # is the only relayout that ever runs.
+        use_layout_stable = "--no-relayout" not in sys.argv
+        if use_layout_stable:
             from mlx_video_tpu.pipelines.denoise import relayout_params
+            from mlx_video_tpu.trainer.train_step import build_fused_layout_stable
 
-            fb = next(iter(iter_batches(tr.dataset, 1, shuffle=True, seed=0)))
-            sb0 = tr._prepare(fb)
+            # one prepared batch per distinct latent geometry; largest first
+            # (it defines the param layouts)
+            sb_by_shape: dict = {}
+            for fb in iter_batches(tr.dataset, 1, shuffle=False, seed=0):
+                sbx = tr._prepare(fb)
+                sb_by_shape.setdefault(tuple(sbx.video_latents.shape), sbx)
+            abs_sbs = [
+                sb_by_shape[s]
+                for s in sorted(sb_by_shape, key=lambda s: -s[1])
+            ]
             probe = os.environ.get("MLX_VIDEO_HBM_PROBE") == "1"
             _hbm_report("before layout discovery", probe=probe)
             t_fmt = time.time()
-            _, ff = preferred_trainable_formats(
-                train, frozen, sb0, jax.random.key(1), tr.model_config,
+            step_fns = build_fused_layout_stable(
+                opt, tr.model_config, train, frozen, abs_sbs,
                 first_frame_conditioning_p=cfg.first_frame_conditioning_p,
             )
-            _hbm_report("after layout discovery", probe=probe)
-            # Drop the AUTO-layout grad executable from the global pjit
-            # cache: its loaded form (and any device-side reservation)
-            # otherwise persists through the relayout — the third r4 OOM
-            # at the first 1 GiB fence with only ~7.4 GiB of live params
-            # is unexplained by buffers alone. The real grad_step compiles
-            # fresh below (persistent cache keeps it cheap).
-            jax.clear_caches()
-            gc.collect()
+            print(f"layout-stable build {time.time() - t_fmt:.1f}s", file=sys.stderr)
+            _hbm_report("after layout-stable build", probe=probe)
+            t_fmt = time.time()
+            train = relayout_params(train, step_fns.train_formats, donate=True)
+            frozen = relayout_params(
+                frozen, step_fns.frozen_formats, donate=True, fence_bytes=1 << 30
+            )
             drain_device_queue()
-            _hbm_report("after clear_caches+gc, before relayout", probe=probe)
-            # 1 GiB fence chunks: the donated frees only retire as the
-            # queue drains, and the second r4 drive OOM'd at the first
-            # 2 GiB fence with the optimizer moments already resident
-            # (opt.init now runs AFTER the relayout for the same reason).
-            frozen = relayout_params(frozen, ff, donate=True, fence_bytes=1 << 30)
-            # Retire the relayout transients (donation still copies the
-            # leaves whose layout changed) BEFORE the first grad_step claims
-            # its arena: dispatch is async through the tunnel and the two
-            # otherwise coexist (r3 chip run OOM'd at the first loss sync).
-            # block_until_ready lies through the tunnel — drain the queue by
-            # FETCHING a scalar enqueued behind the relayout (in-order queue).
-            float(jnp.sum(jnp.ones((8,), jnp.float32)))
-            print(f"layout discovery+relayout {time.time() - t_fmt:.1f}s", file=sys.stderr)
-            _hbm_report("after relayout", probe=probe)
-        # Moments AFTER the relayout: their ~2x-train footprint narrowed
-        # the relayout's transient headroom to less than one fence chunk.
+            print(f"param placement {time.time() - t_fmt:.1f}s", file=sys.stderr)
+            _hbm_report("after placement", probe=probe)
+        # Moments AFTER the placement (their ~2x-train footprint would eat
+        # the relayout's transient headroom), then placed into the formats
+        # the pinned apply executable expects.
         ost = opt.init(train)
+        if use_layout_stable:
+            ost = relayout_params(ost, step_fns.ost_formats, donate=True)
         drain_device_queue()
         if not tiny:
             _hbm_report("after opt.init")
@@ -277,19 +277,16 @@ def main() -> None:
                 ts = time.time()
                 sb = tr._prepare(batch)
                 key, sub = jax.random.split(key)
-                loss, grads = grad_step_trainable(
-                    train, frozen, sb, sub, tr.model_config,
-                    first_frame_conditioning_p=cfg.first_frame_conditioning_p,
-                )
-                if step == 0 and not tiny:
-                    # First step: fence between grad and apply so an OOM
-                    # pinpoints which program (and so the apply's allocs
-                    # don't race the grad arena's frees at enqueue).
-                    lv0 = float(loss)
-                    print(f"step0 grad ok loss={lv0:.4f}", file=sys.stderr, flush=True)
-                train, ost = apply_updates_trainable(
-                    train, ost, grads, optimizer=opt, accum_steps=1
-                )
+                if use_layout_stable:
+                    loss, train, ost = step_fns.step(train, frozen, ost, sb, sub)
+                else:
+                    loss, grads = grad_step_trainable(
+                        train, frozen, sb, sub, tr.model_config,
+                        first_frame_conditioning_p=cfg.first_frame_conditioning_p,
+                    )
+                    train, ost = apply_updates_trainable(
+                        train, ost, grads, optimizer=opt, accum_steps=1
+                    )
                 lv = float(loss)  # honest sync
                 assert np.isfinite(lv), f"non-finite loss at step {step}"
                 shape = tuple(np.asarray(sb.video_latents).shape)
@@ -311,7 +308,7 @@ def main() -> None:
             "mode": "tiny" if tiny else "19b-w4a8 base, lora r64, remat, 1 chip",
             "per_shape": report,
         }))
-        del tr, train, frozen, ost, grads
+        del tr, train, frozen, ost
 
 
 if __name__ == "__main__":

@@ -962,3 +962,132 @@ class TestPartitionedTraining:
             np.testing.assert_array_equal(np.asarray(v), expect[k], err_msg=k)
         l1, _ = grad_step_trainable(train, frozen2, sb, key, cfg)
         assert float(l0) == float(l1)
+
+    def test_layout_stable_cycle_matches_plain_path(self):
+        """build_layout_stable_trainable: the fully format-pinned grad/apply
+        cycle (train+frozen+grads+moments placed once, jit in/out formats
+        closed under the update — the r4 fix for 5.1 GiB of per-step HLO
+        relayout copies at 19B) must produce the same losses and the same
+        trained factors as the plain partitioned path, across two batch
+        geometries."""
+        from mlx_video_tpu.pipelines.denoise import relayout_params
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+        from mlx_video_tpu.trainer.strategies import StrategyBatch
+        from mlx_video_tpu.trainer.train_step import (
+            apply_updates_trainable,
+            build_layout_stable_trainable,
+            grad_step_trainable,
+            make_optimizer,
+            partition_trainable,
+        )
+
+        cfg, params, mask, sb_big = self._setup()
+        rng = np.random.default_rng(7)
+        b, f, h, w = 1, 2, 2, 1  # second, smaller geometry
+        s = f * h * w
+        sb_small = StrategyBatch(
+            video_latents=jnp.asarray(rng.normal(size=(b, s, cfg.in_channels)).astype(np.float32)),
+            positions=jnp.asarray(create_position_grid(b, f, h, w)),
+            context=jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32)),
+            context_mask=None,
+            first_frame_token_mask=jnp.zeros((b, s), bool).at[:, : h * w].set(True),
+            always_conditioned_mask=jnp.zeros((b, s), bool),
+        )
+        opt = make_optimizer(1e-3)
+        key = jax.random.key(11)
+
+        # plain path
+        train0, frozen0 = partition_trainable(params, mask)
+        ost0 = opt.init(train0)
+        losses_plain = []
+        tr_p, ost_p = train0, ost0
+        for i, sb in enumerate((sb_big, sb_small, sb_big)):
+            l, g = grad_step_trainable(tr_p, frozen0, sb, jax.random.fold_in(key, i), cfg)
+            losses_plain.append(float(l))
+            tr_p, ost_p = apply_updates_trainable(tr_p, ost_p, g, optimizer=opt, accum_steps=1)
+
+        # layout-stable path — fresh leaves (the plain path's apply DONATED
+        # its train/ost buffers; _setup is seed-deterministic so the values
+        # are identical)
+        cfg2, params2, mask2, _ = self._setup()
+        train1, frozen1 = partition_trainable(params2, mask2)
+        step = build_layout_stable_trainable(opt, cfg, train1, frozen1, [sb_big, sb_small])
+        train1 = relayout_params(train1, step.train_formats)
+        frozen1 = relayout_params(frozen1, step.frozen_formats)
+        ost1 = relayout_params(opt.init(train1), step.ost_formats)
+        losses_stable = []
+        for i, sb in enumerate((sb_big, sb_small, sb_big)):
+            l, g = step.grad(train1, frozen1, sb, jax.random.fold_in(key, i))
+            losses_stable.append(float(l))
+            train1, ost1 = step.apply(train1, ost1, g)
+
+        np.testing.assert_allclose(losses_stable, losses_plain, rtol=1e-6)
+        for k in tr_p:
+            np.testing.assert_allclose(
+                np.asarray(train1[k]), np.asarray(tr_p[k]), atol=1e-6, err_msg=k
+            )
+        # unknown geometry fails loudly, not with a silent recompile
+        sb_other = jax.tree.map(lambda x: x, sb_small)._replace(
+            video_latents=jnp.zeros((1, 2, cfg.in_channels), jnp.float32),
+            positions=jnp.zeros((1, 3, 2, 2), jnp.float32),
+            first_frame_token_mask=jnp.zeros((1, 2), bool),
+            always_conditioned_mask=jnp.zeros((1, 2), bool),
+        )
+        with pytest.raises(KeyError):
+            step.grad(train1, frozen1, sb_other, key)
+
+    def test_fused_layout_stable_matches_plain_path(self):
+        """build_fused_layout_stable: grad+update as ONE pinned program per
+        geometry (grads never cross a program boundary — the 19B/r64 chip
+        fit depends on it) must track the plain partitioned path exactly."""
+        from mlx_video_tpu.pipelines.denoise import relayout_params
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+        from mlx_video_tpu.trainer.strategies import StrategyBatch
+        from mlx_video_tpu.trainer.train_step import (
+            apply_updates_trainable,
+            build_fused_layout_stable,
+            grad_step_trainable,
+            make_optimizer,
+            partition_trainable,
+        )
+
+        cfg, params, mask, sb_big = self._setup()
+        rng = np.random.default_rng(9)
+        b, f, h, w = 1, 2, 2, 1
+        s = f * h * w
+        sb_small = StrategyBatch(
+            video_latents=jnp.asarray(rng.normal(size=(b, s, cfg.in_channels)).astype(np.float32)),
+            positions=jnp.asarray(create_position_grid(b, f, h, w)),
+            context=jnp.asarray(rng.normal(size=(b, 8, cfg.caption_channels)).astype(np.float32)),
+            context_mask=None,
+            first_frame_token_mask=jnp.zeros((b, s), bool).at[:, : h * w].set(True),
+            always_conditioned_mask=jnp.zeros((b, s), bool),
+        )
+        opt = make_optimizer(1e-3)
+        key = jax.random.key(13)
+
+        train0, frozen0 = partition_trainable(params, mask)
+        ost0 = opt.init(train0)
+        losses_plain = []
+        tr_p, ost_p = train0, ost0
+        for i, sb in enumerate((sb_big, sb_small, sb_big)):
+            l, g = grad_step_trainable(tr_p, frozen0, sb, jax.random.fold_in(key, i), cfg)
+            losses_plain.append(float(l))
+            tr_p, ost_p = apply_updates_trainable(tr_p, ost_p, g, optimizer=opt, accum_steps=1)
+
+        cfg2, params2, mask2, _ = self._setup()
+        train1, frozen1 = partition_trainable(params2, mask2)
+        step = build_fused_layout_stable(opt, cfg, train1, frozen1, [sb_big, sb_small])
+        train1 = relayout_params(train1, step.train_formats)
+        frozen1 = relayout_params(frozen1, step.frozen_formats)
+        ost1 = relayout_params(opt.init(train1), step.ost_formats)
+        losses_fused = []
+        for i, sb in enumerate((sb_big, sb_small, sb_big)):
+            l, train1, ost1 = step.step(train1, frozen1, ost1, sb, jax.random.fold_in(key, i))
+            losses_fused.append(float(l))
+
+        np.testing.assert_allclose(losses_fused, losses_plain, rtol=1e-6)
+        for k in tr_p:
+            np.testing.assert_allclose(
+                np.asarray(train1[k]), np.asarray(tr_p[k]), atol=1e-6, err_msg=k
+            )
