@@ -575,11 +575,7 @@ def preferred_param_formats(
     """
     from jax.experimental.layout import Format, Layout
 
-    auto = jax.jit(
-        _denoise_scan_impl,
-        static_argnames=_SCAN_STATICS,
-        in_shardings=Format(Layout.AUTO),
-    )
+    from mlx_video_tpu.utils import layouts as layout_cache
 
     def _sds(x):
         return jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x
@@ -593,6 +589,23 @@ def preferred_param_formats(
          audio_latents, audio_positions, audio_context,
          audio_neg_context if use_cfg else None, sig_pairs),
     )
+    statics = (
+        config, use_cfg, audio_latents is not None,
+        bool(cfg_sequential and use_cfg),
+    )
+    # Disk-cached discovery: the AUTO compile costs 8-20 s per geometry per
+    # process even against a warm persistent XLA cache (59 s of the warm
+    # config-4 drive); the formats themselves are a few KB of JSON.
+    key = layout_cache.cache_key("denoise_scan_params", args, statics)
+    cached = layout_cache.load_formats(key, jax.tree.map(_sds, params))
+    if cached is not None:
+        return cached
+
+    auto = jax.jit(
+        _denoise_scan_impl,
+        static_argnames=_SCAN_STATICS,
+        in_shardings=Format(Layout.AUTO),
+    )
     compiled = auto.lower(
         *args,
         config=config,
@@ -601,7 +614,9 @@ def preferred_param_formats(
         enable_audio=audio_latents is not None,
         cfg_sequential=bool(cfg_sequential and use_cfg),
     ).compile()
-    return compiled.input_formats[0][0]
+    fmts = compiled.input_formats[0][0]
+    layout_cache.save_formats(key, fmts)
+    return fmts
 
 
 def relayout_params(

@@ -475,19 +475,37 @@ def build_fused_layout_stable(
     # HBM (the TPU AOT compiler enforces it), so it carries the SAME
     # donation as the production step and AUTO outputs — without aliasing,
     # the unaliased new-train/new-ost outputs alone pushed the 19B compile
-    # 790 MB over capacity.
-    disc = (
-        jax.jit(
-            _fused,
-            donate_argnums=(0, 2),
-            in_shardings=(AUTO, AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt),
-            out_shardings=(dflt, AUTO, AUTO),
-        )
-        .lower(abs_train, abs_frozen, abs_ost, abs_sbs[0], abs_key)
-        .compile()
+    # 790 MB over capacity. Discovered formats are disk-cached
+    # (utils/layouts.py) so warm processes skip this compile entirely.
+    from mlx_video_tpu.utils import layouts as layout_cache
+
+    # the optimizer itself is not keyed (its repr embeds per-process
+    # function addresses); its layout-relevant fingerprint — the moment
+    # tree's shapes and dtypes — is already covered by abs_ost
+    statics = (
+        config, first_frame_conditioning_p, timestep_sampling_mode,
+        timestep_sampling_std, sp, pp,
     )
-    tf, ff, of = disc.input_formats[0][:3]
-    out_tf, out_of = disc.output_formats[1], disc.output_formats[2]
+    ckey = layout_cache.cache_key(
+        "fused_train_step", (abs_train, abs_frozen, abs_ost, abs_sbs[0]), statics
+    )
+    cached = layout_cache.load_formats(ckey, (abs_train, abs_frozen, abs_ost))
+    disc = None
+    if cached is not None:
+        tf, ff, of = cached
+    else:
+        disc = (
+            jax.jit(
+                _fused,
+                donate_argnums=(0, 2),
+                in_shardings=(AUTO, AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt),
+                out_shardings=(dflt, AUTO, AUTO),
+            )
+            .lower(abs_train, abs_frozen, abs_ost, abs_sbs[0], abs_key)
+            .compile()
+        )
+        tf, ff, of = disc.input_formats[0][:3]
+        layout_cache.save_formats(ckey, (tf, ff, of))
 
     def _formats_equal(a, b) -> bool:
         la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
@@ -497,7 +515,9 @@ def build_fused_layout_stable(
     # the cycle is closed iff outputs come back in the input formats; the
     # donating AUTO compile almost always picks them equal (aliasing wants
     # it) — reuse it for the primary geometry then, else re-pin
-    if _formats_equal((tf, of), (out_tf, out_of)):
+    if disc is not None and _formats_equal(
+        (tf, of), (disc.output_formats[1], disc.output_formats[2])
+    ):
         step_fns[_sb_shape_key(abs_sbs[0])] = disc
     for abs_sb in abs_sbs:
         if _sb_shape_key(abs_sb) in step_fns:
