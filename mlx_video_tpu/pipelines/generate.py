@@ -1144,16 +1144,29 @@ def generate_video(
     # (int8-parked they are ~0.4 GiB in flight); a geometry whose arena
     # cannot spare that disables the overlap, keeping this fence strict.
     if not decode_latents_only and output_path is not None:
-        _prefetch("vae_decoder_params")
-        if audio and models.audio_decoder_params is not None:
-            _prefetch("audio_decoder_params")
-            _prefetch("vocoder_params")
-        _warmup_decode_programs(
-            (1, latent_channels, latent_frames, latent_h, latent_w),
-            tiling_config, keys[2],
+        # Rides the denoise drain window: the staging transfers and decoder
+        # program loads below overlap the still-executing scan. Timed as
+        # its own phase so the overlap is visible instead of vanishing
+        # between phases (the config-3 warm table undercounted ~45 s here).
+        with timer.phase("decode_prefetch_warmup"):
+            _prefetch("vae_decoder_params")
+            if audio and models.audio_decoder_params is not None:
+                _prefetch("audio_decoder_params")
+                _prefetch("vocoder_params")
+            _warmup_decode_programs(
+                (1, latent_channels, latent_frames, latent_h, latent_w),
+                tiling_config, keys[2],
+            )
+    # This fetch is where the still-executing denoise scan actually drains:
+    # the denoise phases above time DISPATCH only (async), so without its
+    # own phase the scan's wall (~65 s at config-3 40-step) would be
+    # attributed to nothing and the phase table would undercount the run.
+    # The _prefetch/_warmup calls above deliberately ride this drain window.
+    with timer.phase("denoise_drain_fetch"):
+        latents_np = np.asarray(latents, dtype=np.float32)
+        audio_np = (
+            np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
         )
-    latents_np = np.asarray(latents, dtype=np.float32)
-    audio_np = np.asarray(audio_latents, dtype=np.float32) if audio_latents is not None else None
 
     if low_memory:
         # Reference-parity staging (generate.py:3504-3506 del transformer +
