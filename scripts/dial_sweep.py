@@ -114,6 +114,24 @@ def main() -> None:
     sched = [float(s) for s in ltx2_scheduler(steps=steps, num_tokens=f * h * w)]
     n_steps = len(sched) - 1
 
+    if not tiny and "--no-relayout" not in sys.argv:
+        # Production layout placement (generate.py's layout_opt): without it
+        # XLA carries ~3 GB of in-program relayout copies of the w4a8
+        # stacks, and the PAB setting's attention cache (+~4 GiB at this
+        # geometry) pushed the compile to 18.09/15.75 GiB — OOM. Formats
+        # come from the disk cache when warm (utils/layouts.py).
+        from mlx_video_tpu.pipelines.denoise import preferred_param_formats, relayout_params
+        from mlx_video_tpu.utils.device import drain_device_queue
+
+        t0 = time.time()
+        fmts = preferred_param_formats(
+            params, config, latents, positions, context,
+            neg_context=neg_context, cfg_scale=4.5,
+        )
+        params = relayout_params(params, fmts, donate=True, fence_bytes=1 << 30)
+        drain_device_queue()
+        print(f"layout placement {time.time() - t0:.1f}s", file=sys.stderr)
+
     # Honest device sync through the tunnel: fetch a scalar reduction.
     sum_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
 
