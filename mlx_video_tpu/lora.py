@@ -307,6 +307,17 @@ def inject_lora(
     """Add trainable (lora_A ~ N(0, 0.01), lora_B = 0) leaves to every
     matching linear. Block linears get stacked (L, ...) factors.
 
+    Ownership: the returned tree has FRESH containers but SHARES every base
+    leaf's device buffer with ``params`` (a deepcopy would transiently
+    double the full base on device — 7+ GiB at 19B q4, which OOM'd the
+    single-chip finetune drive). Consequence: a donating step
+    (``donate_argnums``) or explicit ``.delete()`` on either tree's leaves
+    invalidates the other. If the caller keeps ``params`` alive across a
+    donating train step on the injected tree (e.g. serve LoRA hot-swap over
+    a resident base), copy the shared leaves first —
+    ``utils/trees.py:own_derived_leaves(injected, base)`` or
+    ``parallel.sharding.shard_params(injected, mesh, force_copy=True)``.
+
     Shapes come from the config's ``eval_shape`` skeleton (zero memory), not
     from the stored leaves: quantized storage makes shape-only recovery
     ambiguous (``group_size x bits`` is underdetermined — a q4/gs64 packed

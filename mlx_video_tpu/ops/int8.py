@@ -172,6 +172,10 @@ def quantize_params_w8a8(params: dict) -> dict:
     quantization axes are relative to the trailing (in, out) dims, so stacked
     weights quantize per layer for free). Dense ``weight`` ->
     ``int8_weight``/``int8_scale``; bias and any LoRA leaves pass through.
+
+    The returned tree OWNS every leaf — passthrough leaves are device-copied
+    so donating steps on the result cannot invalidate ``params``
+    (utils/trees.py ownership contract).
     """
 
     def convert_linear(leaf_dict: dict) -> dict:
@@ -199,4 +203,6 @@ def quantize_params_w8a8(params: dict) -> dict:
                 out[name] = child
         return out
 
-    return walk(params, False)
+    from mlx_video_tpu.utils.trees import own_derived_leaves
+
+    return own_derived_leaves(walk(params, False), params)

@@ -210,6 +210,13 @@ def prepare_w4a8(params: dict, bits: int = 4) -> dict:
     group's 2^bits-level grid unless a channel's group scales vary by more
     than ~127/2^bits x; measured on the DiT this adds <0.2% relative error
     over q4-dequant execution (tests/test_lora_quant.py::TestW4A8).
+
+    Ownership: the returned tree SHARES storage with ``params`` (only
+    ``int8_scale`` leaves are new) — copying the packed q4 stacks here would
+    transiently double the full model. Callers normally pass a temporary
+    (``prepare_w4a8(quantize_dit_params(...))``, whose inner call already
+    owns its leaves); if you keep ``params`` alive across a donating step on
+    the result, copy first (utils/trees.py:own_derived_leaves).
     """
     levels = (1 << bits) - 1
 
@@ -252,6 +259,11 @@ def quantize_dit_params(
     Only 2D-weight linears inside transformer blocks are quantized (the
     reference's predicate scope, ltx.py:676-713); norms / tables / adaLN MLPs
     stay in bf16.
+
+    The returned tree OWNS every leaf: quantized leaves are freshly computed
+    and passthrough leaves (biases, norms, tables) are device-copied, so a
+    donating train/infer step on the result can never invalidate ``params``
+    (see utils/trees.py for the ownership contract).
     """
     patterns = SCOPE_PATTERNS[scope]
 
@@ -273,4 +285,6 @@ def quantize_dit_params(
                 out[k] = v
         return out
 
-    return walk(params, "")
+    from mlx_video_tpu.utils.trees import own_derived_leaves
+
+    return own_derived_leaves(walk(params, ""), params)

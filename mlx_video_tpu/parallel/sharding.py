@@ -26,6 +26,7 @@ import re
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -179,12 +180,23 @@ def opt_state_specs(opt_state) -> object:
     return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Place a parameter pytree onto the mesh per the TP/FSDP rules."""
+def shard_params(params: dict, mesh: Mesh, force_copy: bool = False) -> dict:
+    """Place a parameter pytree onto the mesh per the TP/FSDP rules.
+
+    ``device_put`` onto an already-matching sharding is a no-op that returns
+    the SAME buffer — the result then aliases ``params``, and donating it
+    (``donate_argnums``) would delete the caller's tree too. Pass
+    ``force_copy=True`` to guarantee fresh buffers for every leaf (donation
+    safety for derived trees; see utils/trees.py)."""
     specs = param_specs(params)
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)), params, specs
-    )
+
+    def put(leaf, spec):
+        out = jax.device_put(leaf, NamedSharding(mesh, spec))
+        if force_copy and out is leaf:
+            out = jnp.copy(leaf)
+        return out
+
+    return jax.tree.map(put, params, specs)
 
 
 def data_spec(ndim: int, batch_axes=("data",)) -> P:

@@ -636,3 +636,77 @@ class TestW4A8:
         cos = float((a.ravel() @ b.ravel()) / (np.linalg.norm(a) * np.linalg.norm(b)))
         rel = float(np.linalg.norm(a - b) / np.linalg.norm(b))
         assert cos > 0.9999 and rel < 0.01, (cos, rel)
+
+
+class TestDerivedTreeOwnership:
+    """Round-4 regression (VERDICT r4 weak #1): donated steps on a tree
+    derived from a held base (quantize -> w4a8 -> inject_lora) deleted the
+    base's aliased leaves, crashing the next read of the base with
+    "Array has been deleted". The quant constructors now OWN every leaf."""
+
+    def _base_and_batch(self):
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+        from mlx_video_tpu.trainer.train_step import TrainBatch
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, num_layers=2)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        b, f, h, w = 2, 2, 4, 4
+        batch = TrainBatch(
+            latents=jax.random.normal(jax.random.key(1), (b, cfg.in_channels, f, h, w)),
+            positions=jnp.asarray(create_position_grid(b, f, h, w)),
+            context=jax.random.normal(jax.random.key(2), (b, 8, cfg.caption_channels)),
+        )
+        return cfg, params, batch
+
+    def test_quant_trees_share_nothing_with_base(self):
+        from mlx_video_tpu.ops.int8 import quantize_params_w8a8
+        from mlx_video_tpu.utils.trees import shared_leaf_count
+
+        cfg, params, _ = self._base_and_batch()
+        assert shared_leaf_count(quantize_dit_params(params, group_size=16, bits=4), params) == 0
+        assert shared_leaf_count(quantize_params_w8a8(params), params) == 0
+
+    def test_donated_step_on_derived_tree_leaves_base_alive(self):
+        from mlx_video_tpu.lora import LoRAConfig, inject_lora, lora_mask
+        from mlx_video_tpu.ops.quant import prepare_w4a8
+        from mlx_video_tpu.trainer.train_step import make_optimizer, train_step
+
+        cfg, params, batch = self._base_and_batch()
+        lq = inject_lora(
+            prepare_w4a8(quantize_dit_params(params, group_size=16, bits=4)),
+            cfg, LoRAConfig(rank=2), jax.random.key(8),
+        )
+        opt = make_optimizer(learning_rate=1e-4, trainable_mask=lora_mask(lq))
+        state = opt.init(lq)
+        lq2, state, loss = train_step(lq, state, cfg, opt, batch, jax.random.key(9))
+        jax.block_until_ready(lq2)
+        assert np.isfinite(float(loss))
+        # every leaf of the held base must still be readable
+        for leaf in jax.tree.leaves(params):
+            np.asarray(leaf)
+
+    def test_own_derived_leaves_breaks_aliasing(self):
+        from mlx_video_tpu.lora import LoRAConfig, inject_lora
+        from mlx_video_tpu.utils.trees import own_derived_leaves, shared_leaf_count
+
+        cfg, params, _ = self._base_and_batch()
+        injected = inject_lora(params, cfg, LoRAConfig(rank=2), jax.random.key(0))
+        assert shared_leaf_count(injected, params) > 0  # documented sharing
+        owned = own_derived_leaves(injected, params)
+        assert shared_leaf_count(owned, params) == 0
+        for a, b in zip(jax.tree.leaves(owned), jax.tree.leaves(injected)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shard_params_force_copy(self):
+        from mlx_video_tpu.parallel.mesh import create_mesh, factor_devices
+        from mlx_video_tpu.parallel.sharding import shard_params
+        from mlx_video_tpu.utils.trees import shared_leaf_count
+
+        cfg, params, _ = self._base_and_batch()
+        mesh = create_mesh(factor_devices(len(jax.devices())))
+        with mesh:
+            sharded = shard_params(params, mesh)
+            # second placement is a no-op -> aliases
+            assert shared_leaf_count(shard_params(sharded, mesh), sharded) > 0
+            copied = shard_params(sharded, mesh, force_copy=True)
+            assert shared_leaf_count(copied, sharded) == 0
