@@ -157,6 +157,33 @@ def clean_response(text: str) -> str:
     return text
 
 
+def generate_enhanced_prompt(
+    text_encoder,
+    prompt: str,
+    image_path: str = None,
+    image_long_side: int = 896,
+    seed: int = 42,
+) -> str:
+    """Enhance ``prompt`` with the Gemma text encoder and normalize the
+    response (reference: helpers.py:363-381).
+
+    With ``image_path`` the image is decoded and resized
+    aspect-ratio-preserving to ``image_long_side`` on its long side, then the
+    I2V enhancement path runs; otherwise T2V. The response goes through
+    :func:`clean_response`."""
+    import logging
+
+    if image_path:
+        from ltx_pipelines.utils.media_io import decode_image, resize_aspect_ratio_preserving
+
+        image = resize_aspect_ratio_preserving(decode_image(image_path), image_long_side)
+        prompt = text_encoder.enhance_i2v(prompt, image, seed=seed)
+    else:
+        prompt = text_encoder.enhance_t2v(prompt, seed=seed)
+    logging.info("Enhanced prompt: %s", prompt)
+    return clean_response(prompt)
+
+
 def assert_resolution(height: int, width: int, is_two_stage: bool) -> None:
     """(reference: helpers.py:382+)."""
     divisor = 64 if is_two_stage else 32

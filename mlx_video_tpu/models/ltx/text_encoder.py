@@ -429,12 +429,14 @@ class LTX2TextEncoder:
                         self.tokenizer.convert_tokens_to_ids("<end_of_turn>"))
             if isinstance(t, int) and t >= 0
         ) or (1,)
+        seed = kw.get("seed")
         tokens = gemma_generate(
             self.params["language_model"], self.gemma_config, np.asarray(ids),
             max_new_tokens=max_new_tokens,
             temperature=kw.get("temperature", 0.7),
             top_p=kw.get("top_p", 1.0),
             eos_token_ids=eos_ids,
+            key=None if seed is None else jax.random.key(int(seed)),
         )
         return self.tokenizer.decode(tokens).strip()
 
@@ -443,7 +445,16 @@ class LTX2TextEncoder:
         out = self._chat(system, prompt, max_new_tokens, **kw)
         return out or prompt
 
-    def enhance_i2v(self, prompt: str, max_new_tokens: int = 512, **kw) -> str:
+    def enhance_i2v(self, prompt: str, image=None, max_new_tokens: int = 512, **kw) -> str:
+        """I2V prompt enhancement (reference: text_encoder.py enhance_i2v).
+
+        ``image`` ((H, W, C) uint8/float array) is accepted for API parity
+        with the reference, whose Gemma runs through a multimodal VLM stack;
+        this framework's Gemma-3 text encoder is the text-only LM (the
+        vision tower is not part of the LTX-2 checkpoint's conditioning
+        path), so enhancement is steered by the I2V system prompt alone and
+        the pixels do not enter the chat."""
+        del image  # text-only LM; see docstring
         system = kw.pop("system_prompt", None) or load_system_prompt("gemma_i2v_system_prompt.txt")
         out = self._chat(system, prompt, max_new_tokens, **kw)
         return out or prompt

@@ -967,5 +967,40 @@ class TestComposedHelpers:
             "modality_from_latent_state", "timesteps_from_mask",
             "simple_denoising_func", "guider_denoising_func",
             "denoise_audio_video", "clean_response", "assert_resolution",
+            "generate_enhanced_prompt",
         ]:
             assert callable(getattr(h, name)), name
+
+    def test_generate_enhanced_prompt(self, tmp_path):
+        """Wrapper composition (reference helpers.py:363-381): t2v path calls
+        enhance_t2v, i2v path decodes+resizes the image and calls enhance_i2v;
+        both responses go through clean_response."""
+        import numpy as np
+        from PIL import Image
+
+        from ltx_pipelines.utils.helpers import generate_enhanced_prompt
+
+        calls = {}
+
+        class StubEncoder:
+            def enhance_t2v(self, prompt, seed=None):
+                calls["t2v"] = (prompt, seed)
+                return "<start_of_turn>model\n“Enhanced” text"
+
+            def enhance_i2v(self, prompt, image, seed=None):
+                calls["i2v"] = (prompt, np.asarray(image).shape, seed)
+                return "... 1: An image prompt"
+
+        out = generate_enhanced_prompt(StubEncoder(), "a cat", seed=7)
+        assert out == 'Enhanced" text'
+        assert calls["t2v"] == ("a cat", 7)
+
+        img = tmp_path / "cond.png"
+        Image.fromarray(np.zeros((100, 200, 3), dtype=np.uint8)).save(img)
+        out = generate_enhanced_prompt(
+            StubEncoder(), "a dog", image_path=str(img), image_long_side=64
+        )
+        assert out == "An image prompt"
+        prompt, shape, seed = calls["i2v"]
+        assert prompt == "a dog" and seed == 42
+        assert max(shape[:2]) == 64  # long side hit image_long_side
