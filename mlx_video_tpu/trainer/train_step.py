@@ -335,16 +335,36 @@ def build_layout_stable_trainable(
     def _dflt_tree(t):
         return jax.tree.map(lambda _: dflt, t)
 
-    # 1. param-format discovery at the primary geometry
-    disc = (
-        jax.jit(_grad, in_shardings=(AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt))
-        .lower(abs_train, abs_frozen, abs_sbs[0], abs_key)
-        .compile()
+    abs_ost = jax.eval_shape(optimizer.init, abs_train)
+
+    # Discovered formats are disk-cached like the fused builder's
+    # (utils/layouts.py): warm processes skip both discovery compiles. The
+    # gf (grads output format) is discovered by the FIRST production grad
+    # compile below, so only (tf, ff, ost_fmt) need the cache; gf is cached
+    # too to keep re-pinned geometries deterministic across processes.
+    from mlx_video_tpu.utils import layouts as layout_cache
+
+    statics = (
+        config, first_frame_conditioning_p, timestep_sampling_mode,
+        timestep_sampling_std, sp, pp, accum_steps,
     )
-    tf, ff = disc.input_formats[0][0], disc.input_formats[0][1]
+    ckey = layout_cache.cache_key(
+        "layout_stable_trainable", (abs_train, abs_frozen, abs_ost, abs_sbs[0]), statics
+    )
+    cached = layout_cache.load_formats(ckey, (abs_train, abs_frozen, abs_train, abs_ost))
+    if cached is not None:
+        tf, ff, gf, ost_fmt = cached
+    else:
+        # 1. param-format discovery at the primary geometry
+        disc = (
+            jax.jit(_grad, in_shardings=(AUTO, AUTO, _dflt_tree(abs_sbs[0]), dflt))
+            .lower(abs_train, abs_frozen, abs_sbs[0], abs_key)
+            .compile()
+        )
+        tf, ff = disc.input_formats[0][0], disc.input_formats[0][1]
+        gf = ost_fmt = None
 
     # 2. per-geometry grad executables; grads output format from the primary
-    gf = None
     grad_fns = {}
     for abs_sb in abs_sbs:
         out_spec = (dflt, AUTO if gf is None else gf)
@@ -363,7 +383,6 @@ def build_layout_stable_trainable(
         grad_fns[_sb_shape_key(abs_sb)] = c
 
     # 3. layout-closed update with full aliasing
-    abs_ost = jax.eval_shape(optimizer.init, abs_train)
     abs_grads = abs_train
 
     def _apply(train_, ost_, grads_):
@@ -371,12 +390,26 @@ def build_layout_stable_trainable(
             train_, ost_, grads_, optimizer, accum_steps
         )
 
-    ost_fmt = (
-        jax.jit(_apply, in_shardings=(tf, jax.tree.map(lambda _: AUTO, abs_ost), gf))
-        .lower(abs_train, abs_ost, abs_grads)
-        .compile()
-        .input_formats[0][1]
-    )
+    if ost_fmt is None:
+        # The discovery compile carries the SAME donation as the production
+        # apply: the TPU AOT compiler enforces HBM fit of each compiled
+        # program, and an undonated discovery would fail the memory check at
+        # exactly the 19B scale the builder targets (the fused builder's
+        # lesson — undonated outputs pushed its discovery 790 MB over).
+        ost_fmt = (
+            jax.jit(
+                _apply,
+                donate_argnums=(0, 1, 2),
+                in_shardings=(tf, jax.tree.map(lambda _: AUTO, abs_ost), gf),
+                # donated AUTO inputs require AUTO outputs (jax rule); the
+                # production re-pin below closes the cycle at (tf, ost_fmt)
+                out_shardings=(tf, jax.tree.map(lambda _: AUTO, abs_ost)),
+            )
+            .lower(abs_train, abs_ost, abs_grads)
+            .compile()
+            .input_formats[0][1]
+        )
+        layout_cache.save_formats(ckey, (tf, ff, gf, ost_fmt))
     apply_fn = (
         jax.jit(
             _apply,

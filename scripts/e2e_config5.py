@@ -84,12 +84,19 @@ def synth_dataset(root, buckets, caption_channels, with_reference, n_per_bucket=
 def _hbm_report(tag: str, probe: bool = False) -> None:
     """Visibility on axon, where device.memory_stats() returns None: report
     the Python-visible device-resident bytes (live jax arrays), and — when
-    ``probe`` — measure actual free HBM by allocating 512 MiB chunks until
-    RESOURCE_EXHAUSTED (chunks freed immediately after). The probe is how
-    we separate "live buffers" from invisible residency (loaded
-    executables, allocator reservations)."""
+    ``probe`` — a LOWER BOUND on free HBM by allocating 512 MiB chunks up to
+    a conservative target (total HBM - live arrays - 2 GiB safety margin),
+    never to exhaustion: utils/device.py documents that one
+    RESOURCE_EXHAUSTED is STICKY on this backend, so a probe that runs into
+    the wall would poison the very run it instruments. The probed bound
+    still separates "live buffers" from invisible residency (loaded
+    executables, allocator reservations): if the probe reaches its target,
+    invisible residency is below the margin; if an earlier documented-risk
+    window is suspected, read the shortfall off the report."""
     import jax
     import jax.numpy as jnp
+
+    from mlx_video_tpu.utils.device import drain_device_queue
 
     live = sum(
         getattr(a, "nbytes", 0)
@@ -98,20 +105,26 @@ def _hbm_report(tag: str, probe: bool = False) -> None:
     )
     msg = f"[hbm] {tag}: live arrays {live / 2**30:.2f} GiB"
     if probe:
+        total = 16 * 2**30  # v5e HBM; probe is a diagnostics aid, not a gate
+        margin = 2 * 2**30
+        target_chunks = max(0, int((total - live - margin) // (512 * 2**20)))
         chunks = []
-        try:
-            for _ in range(64):
-                c = jnp.ones((512 * 2**20 // 4,), jnp.float32)
-                c.block_until_ready()
-                float(c[0])
-                chunks.append(c)
-        except Exception:
-            pass
+        for _ in range(target_chunks):
+            c = jnp.ones((512 * 2**20 // 4,), jnp.float32)
+            c.block_until_ready()
+            float(c[0])
+            chunks.append(c)
         free = len(chunks) * 0.5
         for c in chunks:
             c.delete()
         del chunks
-        msg += f", free (probed) ~{free:.1f} GiB"
+        # enqueue-vs-free race (utils/device.py): retire the pending frees
+        # before the caller's next allocation burst.
+        drain_device_queue()
+        msg += (
+            f", free (probed) >= {free:.1f} GiB"
+            f" (capped {margin / 2**30:.1f} GiB short of exhaustion)"
+        )
     print(msg, file=sys.stderr, flush=True)
 
 
@@ -230,16 +243,21 @@ def main() -> None:
             from mlx_video_tpu.pipelines.denoise import relayout_params
             from mlx_video_tpu.trainer.train_step import build_fused_layout_stable
 
-            # one prepared batch per distinct latent geometry; largest first
-            # (it defines the param layouts)
+            # one prepared batch per distinct batch-leaf geometry, keyed
+            # exactly as FusedLayoutStableStep.step dispatches (every leaf's
+            # shape/dtype, not just video_latents — a context-length or mask
+            # difference at equal latent shape would otherwise KeyError
+            # mid-run); largest token count first (defines param layouts)
+            from mlx_video_tpu.trainer.train_step import _sb_shape_key
+
             sb_by_shape: dict = {}
             for fb in iter_batches(tr.dataset, 1, shuffle=False, seed=0):
                 sbx = tr._prepare(fb)
-                sb_by_shape.setdefault(tuple(sbx.video_latents.shape), sbx)
-            abs_sbs = [
-                sb_by_shape[s]
-                for s in sorted(sb_by_shape, key=lambda s: -s[1])
-            ]
+                sb_by_shape.setdefault(_sb_shape_key(sbx), sbx)
+            abs_sbs = sorted(
+                sb_by_shape.values(),
+                key=lambda sbx: -sbx.video_latents.shape[1],
+            )
             probe = os.environ.get("MLX_VIDEO_HBM_PROBE") == "1"
             _hbm_report("before layout discovery", probe=probe)
             t_fmt = time.time()
