@@ -266,6 +266,7 @@ def decode_latents(
     noise_key: Optional[jax.Array] = None,
     on_frames_ready=None,
     mesh=None,
+    device_blend: Optional[bool] = None,
 ) -> np.ndarray:
     """Tiled (or whole) VAE decode -> (B, 3, F, H, W) float in [-1, 1].
 
@@ -300,6 +301,25 @@ def decode_latents(
         if on_frames_ready is not None:
             on_frames_ready(out, 0)
         return out
+    # Device-side blending by default on an accelerator (the host-blend path
+    # reads back ~3x the final video in fp32 tile overlap+precision bytes —
+    # the dominant cost of the decode phase through the tunnel, PERF.md r5).
+    # The mesh path keeps host blending: the canvas would need its own
+    # sharding story, and GSPMD decode already splits spatially on-device.
+    if device_blend is None:
+        device_blend = mesh is None and jax.default_backend() != "cpu"
+    if device_blend and mesh is None:
+        from mlx_video_tpu.models.ltx.video_vae.tiling import decode_with_tiling_device
+
+        return decode_with_tiling_device(
+            decode_jit,
+            np.asarray(latents),
+            tiling_config,
+            spatial_scale=SPATIAL_SCALE,
+            temporal_scale=TEMPORAL_SCALE,
+            on_frames_ready=on_frames_ready,
+            fetch_dtype=np.float16,
+        )
     return decode_with_tiling(
         lambda tile: decode_jit(jnp.asarray(tile)),
         np.asarray(latents),

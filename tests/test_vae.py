@@ -265,6 +265,62 @@ class TestTiledDecode:
         streamed = np.concatenate([f for _, f in chunks], axis=2)
         np.testing.assert_allclose(streamed, out, atol=1e-5)
 
+    def test_device_blend_matches_host_blend(self, rng):
+        """decode_with_tiling_device (device-canvas blending, r5 readback
+        optimization) must reproduce the host-blend path: same interval math,
+        same fp32 accumulation, same emission points."""
+        from mlx_video_tpu.models.ltx.video_vae.tiling import decode_with_tiling_device
+
+        latents = rng.normal(size=(1, 4, 10, 48, 48)).astype(np.float32)
+
+        def fake(tile):
+            return _fake_decode(np.asarray(tile), temporal_scale=4, spatial_scale=8)
+
+        cfg = TilingConfig(
+            spatial_config=SpatialTilingConfig(256, 64),
+            temporal_config=TemporalTilingConfig(32, 8),
+        )
+        host = decode_with_tiling(fake, latents, cfg, spatial_scale=8, temporal_scale=4)
+
+        chunks = []
+
+        def on_ready(frames, start):
+            chunks.append((start, frames.copy()))
+
+        dev = decode_with_tiling_device(
+            fake, latents, cfg, spatial_scale=8, temporal_scale=4,
+            on_frames_ready=on_ready,
+        )
+        assert dev.dtype == np.float32
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+        # emission accounting identical to the host path
+        pos = 0
+        for start, frames in chunks:
+            assert start == pos
+            pos += frames.shape[2]
+        assert pos == dev.shape[2]
+        np.testing.assert_allclose(
+            np.concatenate([f for _, f in chunks], axis=2), dev, atol=1e-6
+        )
+
+    def test_device_blend_fp16_fetch_close(self, rng):
+        from mlx_video_tpu.models.ltx.video_vae.tiling import decode_with_tiling_device
+
+        latents = rng.normal(size=(1, 4, 10, 24, 24)).astype(np.float32)
+
+        def fake(tile):
+            return _fake_decode(np.asarray(tile), temporal_scale=4, spatial_scale=8)
+
+        cfg = TilingConfig(spatial_config=SpatialTilingConfig(128, 64))
+        host = decode_with_tiling(fake, latents, cfg, spatial_scale=8, temporal_scale=4)
+        dev = decode_with_tiling_device(
+            fake, latents, cfg, spatial_scale=8, temporal_scale=4,
+            fetch_dtype=np.float16,
+        )
+        assert dev.dtype == np.float32
+        # fp16 fetch rounding ~2^-11 relative on a ~N(0,1) signal
+        np.testing.assert_allclose(dev, host, atol=5e-3)
+
 
 class TestVideoVAE:
     def test_encoder_shapes(self, rng):
