@@ -457,6 +457,28 @@ def _finalize_range_device(canvas, weights, start, size: int, fetch_dtype):
     return (cv / jnp.maximum(wt, 1e-8)).astype(fetch_dtype)
 
 
+# Process-level jit singletons: a fresh jax.jit wrapper per decode call
+# would re-trace (and reload the device program) every call, and would key
+# the warmup's executables on different wrappers than production's.
+_DEVICE_BLEND_JITS: dict = {}
+
+
+def _device_blend_jits(fetch_dtype):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    key = jnp.dtype(fetch_dtype).name
+    if key not in _DEVICE_BLEND_JITS:
+        blend = jax.jit(_blend_tile_device, donate_argnums=(0, 1))
+        finalize = jax.jit(
+            partial(_finalize_range_device, fetch_dtype=jnp.dtype(fetch_dtype)),
+            static_argnames=("size",),
+        )
+        _DEVICE_BLEND_JITS[key] = (blend, finalize)
+    return _DEVICE_BLEND_JITS[key]
+
+
 def decode_with_tiling_device(
     decode_tile_fn: Callable,
     latents,
@@ -477,7 +499,6 @@ def decode_with_tiling_device(
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     latents = np.asarray(latents)
     b = latents.shape[0]
@@ -485,11 +506,7 @@ def decode_with_tiling_device(
         latents, tiling_config, spatial_scale, temporal_scale
     )
 
-    blend_jit = jax.jit(_blend_tile_device, donate_argnums=(0, 1))
-    finalize_jit = jax.jit(
-        partial(_finalize_range_device, fetch_dtype=jnp.dtype(fetch_dtype)),
-        static_argnames=("size",),
-    )
+    blend_jit, finalize_jit = _device_blend_jits(fetch_dtype)
 
     canvas = jnp.zeros((b, 3, out_f, out_h, out_w), dtype=jnp.float32)
     weights = jnp.zeros((b, 1, out_f, out_h, out_w), dtype=jnp.float32)
@@ -534,3 +551,68 @@ def decode_with_tiling_device(
             on_frames_ready(chunk, emitted)
         chunks.append(chunk)
     return np.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+
+
+def warm_device_blend_programs(
+    latents_shape,
+    tiling_config: TilingConfig,
+    spatial_scale: int = 32,
+    temporal_scale: int = 8,
+    fetch_dtype=np.float16,
+    decoded_dtype=np.float32,
+) -> int:
+    """Dispatch every jit program :func:`decode_with_tiling_device` will use
+    for ``latents_shape`` on ZEROS inputs (no host transfer, results never
+    fetched) so their per-process compiles + device program loads ride an
+    earlier pipeline stall instead of the decode phase. Returns the number
+    of distinct programs dispatched."""
+    import jax.numpy as jnp
+
+    b = latents_shape[0]
+    zeros_lat = np.zeros(latents_shape, dtype=np.float32)
+    work, t_iv, num_t, out_f, out_h, out_w = _tile_work(
+        zeros_lat, tiling_config, spatial_scale, temporal_scale
+    )
+    blend_jit, finalize_jit = _device_blend_jits(fetch_dtype)
+    canvas = jnp.zeros((b, 3, out_f, out_h, out_w), dtype=jnp.float32)
+    weights = jnp.zeros((b, 1, out_f, out_h, out_w), dtype=jnp.float32)
+    seen = set()
+    n = 0
+    emitted = 0
+    zero = jnp.int32(0)
+    for t_idx, last, tile, region_sl, masks in work:
+        out_t, out_h_sl, out_w_sl = region_sl
+        t_mask, h_mask, w_mask = masks
+        tf, th, tw = tile.shape[2], tile.shape[3], tile.shape[4]
+        dec_f = 1 + (tf - 1) * temporal_scale
+        dt = min(dec_f, out_t.stop - out_t.start)
+        dh = min(th * spatial_scale, out_h_sl.stop - out_h_sl.start)
+        dw = min(tw * spatial_scale, out_w_sl.stop - out_w_sl.start)
+        key = (dec_f, th * spatial_scale, tw * spatial_scale, dt, dh, dw)
+        if key not in seen:
+            seen.add(key)
+            # decoded dtype must match the production decoder's output dtype
+            # or the warmed executable keys on different avals (useless)
+            decoded = jnp.zeros(
+                (b, 3, dec_f, th * spatial_scale, tw * spatial_scale),
+                jnp.dtype(decoded_dtype),
+            )
+            canvas, weights = blend_jit(
+                canvas, weights, decoded,
+                jnp.zeros((dt,), jnp.float32), jnp.zeros((dh,), jnp.float32),
+                jnp.zeros((dw,), jnp.float32), zero, zero, zero,
+            )
+            n += 1
+        if last and num_t > 1 and t_idx < num_t - 1:
+            next_start_latent = t_iv.starts[t_idx + 1]
+            next_start_out = (
+                0 if next_start_latent == 0 else 1 + (next_start_latent - 1) * temporal_scale
+            )
+            if next_start_out > emitted:
+                finalize_jit(canvas, weights, zero, size=next_start_out - emitted)
+                emitted = next_start_out
+                n += 1
+    if emitted < out_f:
+        finalize_jit(canvas, weights, zero, size=out_f - emitted)
+        n += 1
+    return n

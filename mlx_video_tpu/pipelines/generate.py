@@ -17,6 +17,8 @@ TPU-native design notes:
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -297,7 +299,12 @@ def decode_latents(
             models.vae_decoder_params, dec_cfg, _place(x), timestep=timestep, noise_key=noise_key
         )
     if tiling_config is None:
-        out = np.asarray(decode_jit(latents), dtype=np.float32)
+        dev = decode_jit(latents)
+        if mesh is None and jax.default_backend() != "cpu":
+            # halve the device->host readback (fp16 rounding ~0.05% on a
+            # [-1,1] signal — far above the 35 dB pipeline gates)
+            dev = dev.astype(jnp.float16)
+        out = np.asarray(dev).astype(np.float32)
         if on_frames_ready is not None:
             on_frames_ready(out, 0)
         return out
@@ -689,6 +696,56 @@ def generate_video(
                 timestep=jnp.full((1,), 0.05, dtype=jnp.float32),
                 noise_key=noise_k,
             )
+        # Device-blend decode programs (blend + finalize jits) for the tiled
+        # path — small programs, but their per-process compiles/loads would
+        # otherwise land inside the decode phase.
+        if tiling_cfg_w is not None and mesh is None and (
+            mode == "force" or jax.default_backend() != "cpu"
+        ):
+            from mlx_video_tpu.models.ltx.video_vae.tiling import (
+                warm_device_blend_programs,
+            )
+
+            warm_device_blend_programs(
+                latent_shape, tiling_cfg_w, decoded_dtype=dtype,
+            )
+
+    _warm_gate = threading.Event()
+
+    def _warmup_decode_programs_threaded(latent_shape, tiling_cfg_w, noise_k):
+        """Run the decode-program warmup on a SIDE THREAD.
+
+        The r4 inline placement (after stage-1's latents fetch) has no stall
+        left to hide under once the aux params are device-parked — the ~10 s
+        of per-process AOT program loads became the decode phase itself
+        (PERF.md r4 config-2). Loads are host+tunnel work; a daemon thread
+        issues them without blocking this thread's dispatch chain (the
+        measured r4 regression was INLINE mid-scan dispatch serializing
+        ahead of the latents-fetch RPC).
+
+        MLX_VIDEO_WARM_DECODE selects the trigger:
+          scan (default) — the thread waits on ``_warm_gate``, set right
+            after the first denoise scan is DISPATCHED: loads ride the scan
+            execution + upsample + stage-2 windows, with the same proven
+            HBM coexistence as the r4 inline point (DiT + aux + scan arena
+            + warm buffers).
+          early — no gate: loads also ride conditioning encode and layout
+            placement. Fastest, but the warm zeros+activation buffers
+            (~3-5 GB at full geometry) coexist with the relayout transient;
+            use where HBM headroom is known.
+          late — r4 behavior (inline, post-stage1 / drain window).
+          0 — off."""
+        mode = os.environ.get("MLX_VIDEO_WARM_DECODE", "1")
+        if mode in ("0", "late"):
+            return
+        if mode == "early":
+            _warm_gate.set()
+
+        def _body():
+            _warm_gate.wait(timeout=900.0)
+            _warmup_decode_programs(latent_shape, tiling_cfg_w, noise_k)
+
+        threading.Thread(target=_body, daemon=True, name="decode-warmup").start()
 
     def _restage_if_host_parked(tree):
         """Undo a PREVIOUS low_memory run's host-parking on a reused bundle.
@@ -811,6 +868,14 @@ def generate_video(
     keys = jax.random.split(key, 8)
     vid_seeds = list(seeds) if seeds is not None else [seed + i for i in range(num_videos)]
     vid_keys = [jax.random.split(jax.random.key(int(si)), 8) for si in vid_seeds]
+
+    # Decode-program loads move to a side thread (gated by _warm_gate per
+    # MLX_VIDEO_WARM_DECODE; =late keeps the r4 inline points).
+    if not decode_latents_only and output_path is not None:
+        _warmup_decode_programs_threaded(
+            (1, latent_channels, latent_frames, latent_h, latent_w),
+            tiling_config, keys[2],
+        )
 
     def _batched_noise(kidx: int, shape) -> jax.Array:
         """fp32 noise with per-video keys; bit-equal to the single-run
@@ -951,6 +1016,7 @@ def generate_video(
                 cfg_sequential=cfg_sequential,
                 **audio_kwargs,
             )
+            _warm_gate.set()  # scan dispatched: decode-program loads may ride it
             # (decode-program warmup dispatches AFTER this phase's latents
             # fetch, not here: dispatching it while the scan is in flight
             # measured WORSE on the chip — the per-stage program loads
@@ -1132,6 +1198,7 @@ def generate_video(
                 cfg_sequential=cfg_sequential,
                 **audio_kwargs,
             )
+            _warm_gate.set()  # scan dispatched: decode-program loads may ride it
             latents, audio_latents = _gather(latents), _gather(audio_latents)
         log_memory("denoise complete", profile or mem_log)
 
