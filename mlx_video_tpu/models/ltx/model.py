@@ -688,11 +688,36 @@ def ltx_apply(
     if pab is not None and audio is not None:
         raise ValueError("pab attention broadcast supports the video-only path")
 
+    # Scan-weight formulation (MLX_VIDEO_SCAN_WEIGHTS): how the stacked
+    # block params reach the scan body. Under remat training, XLA was
+    # measured keeping TWO full-stack layout copies of the packed-quant FFN
+    # stacks (forward and rematerialized backward each prefer their own
+    # layout — 2 x 1.5 GiB at 19B q4, PERF.md r4). The alternates trade
+    # that whole-stack conversion for per-layer work inside the body:
+    #   xs (default)  — stacked leaves as scan xs (XLA slices per step);
+    #   captured      — stacks close over the scan; the body dynamic-index
+    #                   gathers layer i, so any layout conversion applies to
+    #                   the SLICE (stack/48 transient), not the stack;
+    #   barrier       — xs plus jax.lax.optimization_barrier on the slice,
+    #                   pinning per-layer values against cross-loop layout
+    #                   hoisting.
+    import os as _os_sw
+
+    scan_weights = _os_sw.environ.get("MLX_VIDEO_SCAN_WEIGHTS", "xs")
+
     def scan_body(carry, xs):
         if cache is not None:
             bparams, layer_cache = xs
         else:
             bparams, layer_cache = xs, None
+        if scan_weights == "captured":
+            layer_idx = bparams
+            bparams = jax.tree.map(
+                lambda s: jax.lax.dynamic_index_in_dim(s, layer_idx, 0, keepdims=False),
+                params["blocks"],
+            )
+        elif scan_weights == "barrier":
+            bparams = jax.lax.optimization_barrier(bparams)
         vx, ax = carry
         v_in = video_args._replace(x=vx) if video_args is not None else None
         a_in = audio_args._replace(x=ax) if audio_args is not None else None
@@ -710,7 +735,12 @@ def ltx_apply(
     init_vx = video_args.x if video_args is not None else jnp.zeros((1, 1, 1))
     init_ax = audio_args.x if audio_args is not None else jnp.zeros((1, 1, 1))
     body = jax.checkpoint(scan_body) if config.gradient_checkpointing else scan_body
-    xs = (params["blocks"], cache) if cache is not None else params["blocks"]
+    if scan_weights == "captured":
+        num_layers = jax.tree.leaves(params["blocks"])[0].shape[0]
+        layer_ids = jnp.arange(num_layers)
+        xs = (layer_ids, cache) if cache is not None else layer_ids
+    else:
+        xs = (params["blocks"], cache) if cache is not None else params["blocks"]
     (vx, ax), attn_cache_out = jax.lax.scan(body, (init_vx, init_ax), xs)
 
     v_out = None

@@ -240,3 +240,49 @@ def test_zero_init_tables_give_identity_modulation():
     v1, _ = ltx_apply(params, cfg, video=_video_inputs(cfg, seed=0))
     v2, _ = ltx_apply(params, cfg, video=_video_inputs(cfg, seed=5))
     assert np.max(np.abs(np.asarray(v1) - np.asarray(v2))) > 1e-6
+
+
+class TestScanWeightFormulations:
+    """MLX_VIDEO_SCAN_WEIGHTS alternates (captured / barrier) must be
+    numerically identical to the default xs formulation, forward and grad —
+    they exist purely to steer XLA layout assignment of the stacked block
+    leaves under remat training (PERF.md r4: 2x full-stack copies)."""
+
+    def test_forward_and_grad_equal_across_modes(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import Modality, init_ltx_params, ltx_apply
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, num_layers=3)
+        cfg = cfg.replace(gradient_checkpointing=True) if hasattr(cfg, "replace") else cfg
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        b, f, h, w = 1, 2, 4, 4
+        tokens = jax.random.normal(jax.random.key(1), (b, f * h * w, cfg.in_channels))
+        ts = jnp.full((b, f * h * w), 0.6)
+        pos = jnp.asarray(create_position_grid(b, f, h, w))
+        ctx = jax.random.normal(jax.random.key(2), (b, 8, cfg.caption_channels))
+
+        def loss(p):
+            v, _ = ltx_apply(
+                p, cfg, video=Modality(latent=tokens, timesteps=ts, context=ctx, positions=pos)
+            )
+            return jnp.sum(v.astype(jnp.float32) ** 2)
+
+        results = {}
+        for mode in ("xs", "captured", "barrier"):
+            monkeypatch.setenv("MLX_VIDEO_SCAN_WEIGHTS", mode)
+            jax.clear_caches()  # env is read at trace time
+            val, grads = jax.value_and_grad(loss)(params)
+            results[mode] = (float(val), grads)
+        ref_val, ref_grads = results["xs"]
+        for mode in ("captured", "barrier"):
+            val, grads = results[mode]
+            assert np.isclose(val, ref_val, rtol=1e-5), (mode, val, ref_val)
+            for a, b_ in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+                )
