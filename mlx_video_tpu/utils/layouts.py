@@ -49,13 +49,20 @@ def _leaf_sig(x) -> list:
 
 
 def cache_key(tag: str, trees, statics) -> str:
-    """Stable key over leaf avals + statics + backend identity."""
+    """Stable key over leaf avals + statics + backend identity.
+
+    Trace-affecting env dials are salted in: they change the traced HLO,
+    so layouts discovered under one setting must not be replayed under
+    another."""
+    import os
+
     dev = jax.local_devices()[0]
     ident = [
         tag,
         jax.__version__,
         jax.default_backend(),
         getattr(dev, "device_kind", str(dev)),
+        os.environ.get("MLX_VIDEO_SCAN_WEIGHTS", "xs"),
         [
             [jax.tree_util.keystr(path), _leaf_sig(leaf)]
             for tree in trees
