@@ -350,6 +350,11 @@ def _check_params_dtype(models: "ModelBundle", dtype) -> None:
         )
 
 
+# Geometries whose decode programs were already warm-dispatched in THIS
+# process (program loads are per-process; see _warmup_decode_programs).
+_WARMED_DECODE_GEOMETRIES: set = set()
+
+
 def generate_video(
     models: ModelBundle,
     text: TextConditioning,
@@ -657,6 +662,12 @@ def generate_video(
 
     _decode_warmed = [False]
 
+    def _warm_key(latent_shape, tiling_cfg_w):
+        return (
+            tuple(latent_shape), repr(tiling_cfg_w), jnp.dtype(dtype).name,
+            repr(models.vae_decoder_config),
+        )
+
     def _warmup_decode_programs(latent_shape, tiling_cfg_w, noise_k) -> None:
         """Pre-load the VAE decoder stage executables while the decoder
         params are still on the host->HBM wire. A fresh process pays ~2.5 s
@@ -670,7 +681,11 @@ def generate_video(
         import os as _os_w
 
         mode = _os_w.environ.get("MLX_VIDEO_WARM_DECODE", "1")
-        if mode == "0" or _decode_warmed[0]:
+        # Process-level dedup beside the per-call flag: program loads are
+        # per PROCESS, so a resident server re-warming (zeros decode on
+        # device, ~0.3 s) every request would be pure waste.
+        wkey = _warm_key(latent_shape, tiling_cfg_w)
+        if mode == "0" or _decode_warmed[0] or wkey in _WARMED_DECODE_GEOMETRIES:
             return
         # CPU has no deferred device program load to dodge — skip the wasted
         # compute except under "force" (tests exercise the path with it).
@@ -679,6 +694,7 @@ def generate_video(
         if models.vae_decoder_params is None or models.vae_decoder_config is None:
             return
         _decode_warmed[0] = True
+        _WARMED_DECODE_GEOMETRIES.add(wkey)
         from mlx_video_tpu.io.staging import _is_parked_leaf
         from mlx_video_tpu.models.ltx.video_vae.tiling import tile_latent_shapes
 
