@@ -740,19 +740,22 @@ def generate_video(
         ahead of the latents-fetch RPC).
 
         MLX_VIDEO_WARM_DECODE selects the trigger:
-          scan (default) — the thread waits on ``_warm_gate``, set right
-            after the first denoise scan is DISPATCHED: loads ride the scan
-            execution + upsample + stage-2 windows, with the same proven
-            HBM coexistence as the r4 inline point (DiT + aux + scan arena
-            + warm buffers).
+          late (default) — r4 behavior (inline, post-stage1 / drain
+            window). The proven-safe placement: allocations happen at
+            enqueue on this backend and one RESOURCE_EXHAUSTED is sticky,
+            and a scan-gated thread was MEASURED to OOM the config-4 AV
+            low_memory leg (warm zeros + queued stage outputs racing the
+            scan arena, r5) — its serial HBM discipline needs the warm
+            dispatches after the scan drains.
+          scan — the thread waits on ``_warm_gate``, set right after the
+            first denoise scan is DISPATCHED: loads ride the scan
+            execution + upsample + stage-2 windows. Opt-in for geometries
+            with measured headroom (VideoOnly 512² device-park).
           early — no gate: loads also ride conditioning encode and layout
-            placement. Fastest, but the warm zeros+activation buffers
-            (~3-5 GB at full geometry) coexist with the relayout transient;
-            use where HBM headroom is known.
-          late — r4 behavior (inline, post-stage1 / drain window).
+            placement. Fastest, tightest HBM coexistence.
           0 — off."""
-        mode = os.environ.get("MLX_VIDEO_WARM_DECODE", "1")
-        if mode in ("0", "late"):
+        mode = os.environ.get("MLX_VIDEO_WARM_DECODE", "late")
+        if mode in ("0", "late", "1"):
             return
         if mode == "early":
             _warm_gate.set()
