@@ -74,9 +74,22 @@ class GenerationService:
         batch_window: float = 0.05,
         lora_dir: Optional[Path] = None,
         lora_cache: int = 4,
+        aux_park: bool = False,
     ) -> None:
         import jax.numpy as jnp
 
+        # Single-chip resident serving at 19B needs the aux-park memory
+        # plan: full bf16 DiT-quantized + decoder + upsampler resident
+        # OOMs a 16 GB chip (measured, PERF.md r5). With aux_park the aux
+        # trees live between requests as per-group int8 IN HBM (~2x
+        # smaller) and each request unparks/reparks them around its decode
+        # phase while the transformer stays resident
+        # (generate_video(low_memory=True, keep_transformer=True,
+        # aux_int8_staging=True, aux_park_device=True)).
+        if aux_park and mesh is not None:
+            raise ValueError("aux_park is the single-chip memory plan; with a mesh "
+                             "the aux stages are replicated instead")
+        self.aux_park = bool(aux_park)
         self.models = models
         # Per-request LoRA hot-swap: adapters under --lora-dir attach as
         # runtime leaves over the SHARED base weights (lora.py
@@ -284,6 +297,22 @@ class GenerationService:
             self.models, transformer_params=self._transformer_params_for(key)
         )
 
+    def _sync_aux_back(self, bundle) -> None:
+        """Propagate aux-tree mutations back to the canonical bundle.
+
+        With aux_park, generate_video re-parks the aux trees on the BUNDLE
+        object it was given; LoRA requests run on a dataclasses.replace
+        copy, so without this the canonical bundle would keep the old
+        unparked bf16 trees alive — both forms resident, defeating the
+        park."""
+        if not self.aux_park or bundle is self.models:
+            return
+        for attr in (
+            "vae_decoder_params", "upsampler_params", "vae_encoder_params",
+            "audio_decoder_params", "vocoder_params",
+        ):
+            setattr(self.models, attr, getattr(bundle, attr))
+
     def _batch_key(self, req: dict):
         """Everything that affects compiled shapes / schedules; requests
         sharing this key can share one batched denoise (prompt/seed stay
@@ -446,12 +475,14 @@ class GenerationService:
             out = self.output_dir / (
                 f"gen_{int(time.time() * 1000)}_{self.requests_served}_batch.mp4"
             )
+            bundle = self._models_for(req0)
             result = generate_video(
-                self._models_for(req0), text, prompt=req0.get("prompt", ""),
+                bundle, text, prompt=req0.get("prompt", ""),
                 output_path=out,
                 seeds=[int(it["req"].get("seed", 0)) for it in group],
                 **kwargs,
             )
+            self._sync_aux_back(bundle)
             wall = time.time() - t0
             self.requests_served += len(group)
             self.batches_run += 1
@@ -494,6 +525,14 @@ class GenerationService:
             pipeline_parallel=self.pipeline_parallel,
             pipeline_tensor=self.pipeline_tensor,
             profile=True,
+            **(
+                dict(
+                    low_memory=True, keep_transformer=True,
+                    aux_int8_staging=True, aux_park_device=True,
+                )
+                if self.aux_park
+                else {}
+            ),
         )
 
     def _generate_one(self, req: dict, sink=None) -> dict:
@@ -524,10 +563,12 @@ class GenerationService:
         out = self.output_dir / (
             f"gen_{int(time.time() * 1000)}_{self.requests_served}_{seed}.mp4"
         )
+        bundle = self._models_for(req)
         result = generate_video(
-            self._models_for(req), text, prompt=req.get("prompt", ""),
+            bundle, text, prompt=req.get("prompt", ""),
             output_path=out, **kwargs,
         )
+        self._sync_aux_back(bundle)
         wall = time.time() - t0
         self.requests_served += 1
         resp = self._response(
@@ -699,6 +740,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", default=None,
                    help="WxHxF to precompile at startup, e.g. 512x512x33 "
                         "(first request then runs at steady-state latency)")
+    p.add_argument("--aux-park", action="store_true",
+                   help="single-chip memory plan: park decoder/upsampler/audio "
+                        "trees as per-group int8 IN HBM between requests and "
+                        "unpark around each decode (required to serve the 19B "
+                        "with the full aux stack on one 16 GB chip)")
     return p
 
 
@@ -778,6 +824,7 @@ def main(argv=None) -> None:
         batch_window=args.batch_window,
         lora_dir=Path(args.lora_dir) if args.lora_dir else None,
         lora_cache=args.lora_cache,
+        aux_park=args.aux_park,
     )
 
     if args.warmup:

@@ -410,6 +410,7 @@ def generate_video(
     aux_int8_staging: bool = False,
     overlap_staging: Optional[bool] = None,
     aux_park_device: Optional[bool] = None,
+    keep_transformer: bool = False,
 ) -> GenerateResult:
     """Generate a video (and optionally audio). See module docstring for the
     orchestration spec mapping.
@@ -1280,14 +1281,20 @@ def generate_video(
         # the decode convs, then bring the decoder on-device — but only if
         # this call will actually decode (latents-only returns below would
         # pay a large blocking host->device copy for nothing).
-        models.transformer_params = None
-        models.stage2_transformer_params = None
-        models.audio_transformer_params = None
-        params = None  # noqa: F841 — local alias of transformer_params
-        stage2_params = None  # noqa: F841
-        import gc
+        # ``keep_transformer`` (resident serving): skip the drop — the aux
+        # staging/park discipline still applies, but the DiT stays in HBM
+        # beside the decode arena. Fits at w4a8 19B + 512²x33 on a 16 GB
+        # chip; geometries whose decode arena needs the transformer's space
+        # must keep the default.
+        if not keep_transformer:
+            models.transformer_params = None
+            models.stage2_transformer_params = None
+            models.audio_transformer_params = None
+            params = None  # noqa: F841 — local alias of transformer_params
+            stage2_params = None  # noqa: F841
+            import gc
 
-        gc.collect()
+            gc.collect()
         if not decode_latents_only and output_path is not None:
             models.vae_decoder_params = _stage_in("vae_decoder_params")
             if models.audio_decoder_params is not None:

@@ -38,8 +38,12 @@ def _post(url: str, payload: dict, timeout: float = 3600.0) -> dict:
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
     )
-    with urllib.request.urlopen(req, timeout=timeout) as r:
-        return json.loads(r.read())
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        body = e.read().decode(errors="replace")[:2000]
+        raise RuntimeError(f"HTTP {e.code} from server: {body}") from e
 
 
 def _post_stream(url: str, payload: dict, timeout: float = 3600.0):
@@ -168,6 +172,9 @@ def main() -> None:
     svc = GenerationService(
         models, default_text=text, output_dir=out_dir, dtype=dtype,
         max_batch=2, batch_window=0.25, lora_dir=lora_dir,
+        # 19B + full 1024-ch decoder + upsampler resident OOMs one v5e
+        # (measured r5); aux_park is the single-chip serving memory plan.
+        aux_park=not tiny,
     )
     httpd = serve(svc, host="127.0.0.1", port=0)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -265,6 +272,7 @@ def main() -> None:
     # -- D: streaming client (max_batch=1 service, same bundle) -------------
     svc2 = GenerationService(
         models, default_text=text, output_dir=out_dir, dtype=dtype, max_batch=1,
+        aux_park=not tiny,
     )
     httpd2 = serve(svc2, host="127.0.0.1", port=0)
     threading.Thread(target=httpd2.serve_forever, daemon=True).start()

@@ -611,3 +611,79 @@ class TestServeEnhance:
             assert "cinematic" in body["enhanced"]
         finally:
             httpd.shutdown()
+
+
+class TestAuxParkServing:
+    """aux_park: the single-chip 19B serving memory plan (r5) — aux trees
+    parked as per-group int8 between requests, transformer resident."""
+
+    @pytest.fixture()
+    def park_service(self, tmp_path):
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        rng = np.random.default_rng(0)
+        text = TextConditioning(
+            video_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            )
+        )
+        return GenerationService(
+            models, default_text=text, output_dir=tmp_path, dtype=jnp.float32,
+            aux_park=True,
+        )
+
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 1, "stage2_steps": 1, "tiling": "none", "seed": 3}
+
+    def test_requests_survive_and_transformer_stays(self, park_service):
+        from mlx_video_tpu.io import staging
+
+        import os
+
+        r1 = park_service.generate(dict(self.REQ))
+        assert os.path.getsize(r1["path"]) > 0
+        # transformer must still be resident (the low_memory default would
+        # have dropped it) and the aux trees parked between requests
+        assert park_service.models.transformer_params is not None
+        r2 = park_service.generate(dict(self.REQ, seed=4))
+        assert os.path.getsize(r2["path"]) > 0
+        assert park_service.models.transformer_params is not None
+
+    def test_outputs_match_resident_service(self, park_service, tmp_path):
+        """The park/unpark cycle is a transfer codec around the SAME decode;
+        outputs must match an always-resident service to int8-park drift."""
+        import cv2
+
+        r1 = park_service.generate(dict(self.REQ))
+        resident = GenerationService(
+            park_service.models.__class__(
+                transformer_params=park_service.models.transformer_params,
+                transformer_config=park_service.models.transformer_config,
+                vae_decoder_params=park_service.models.vae_decoder_params,
+                vae_decoder_config=park_service.models.vae_decoder_config,
+                upsampler_params=park_service.models.upsampler_params,
+            ),
+            default_text=park_service.default_text,
+            output_dir=tmp_path / "resident", dtype=jnp.float32,
+        )
+        r2 = resident.generate(dict(self.REQ))
+        a = cv2.VideoCapture(r1["path"]).read()[1]
+        b = cv2.VideoCapture(r2["path"]).read()[1]
+        err = float(np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))))
+        assert err < 3.0, err  # int8 park drift bounded (uint8 frame scale)
+
+    def test_aux_park_rejects_mesh(self):
+        with pytest.raises(ValueError, match="aux_park"):
+            GenerationService(models=None, mesh=object(), aux_park=True)
