@@ -297,6 +297,17 @@ class GenerationService:
             self.models, transformer_params=self._transformer_params_for(key)
         )
 
+    def _fence_between_requests(self) -> None:
+        """aux_park boundary fence: a request's tail enqueues multi-GB frees
+        (decode arena, unparked aux) that only retire as the device queue
+        drains, while the NEXT request's allocations happen at enqueue — the
+        race whose RESOURCE_EXHAUSTED is sticky on this backend
+        (utils/device.py; measured killing the serve_load LoRA phase, r5)."""
+        if self.aux_park:
+            from mlx_video_tpu.utils.device import drain_device_queue
+
+            drain_device_queue()
+
     def _sync_aux_back(self, bundle) -> None:
         """Propagate aux-tree mutations back to the canonical bundle.
 
@@ -483,6 +494,7 @@ class GenerationService:
                 **kwargs,
             )
             self._sync_aux_back(bundle)
+            self._fence_between_requests()
             wall = time.time() - t0
             self.requests_served += len(group)
             self.batches_run += 1
@@ -569,6 +581,7 @@ class GenerationService:
             output_path=out, **kwargs,
         )
         self._sync_aux_back(bundle)
+        self._fence_between_requests()
         wall = time.time() - t0
         self.requests_served += 1
         resp = self._response(
