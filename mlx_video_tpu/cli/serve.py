@@ -75,6 +75,7 @@ class GenerationService:
         lora_dir: Optional[Path] = None,
         lora_cache: int = 4,
         aux_park: bool = False,
+        lora_slot_rank: int = 0,
     ) -> None:
         import jax.numpy as jnp
 
@@ -98,6 +99,21 @@ class GenerationService:
         self.lora_dir = Path(lora_dir).resolve() if lora_dir else None
         self.lora_cache_size = max(1, int(lora_cache))
         self._lora_cache: "dict" = {}  # key -> transformer params (LRU by insertion)
+        # LoRA hot-swap WITHOUT recompile: zero-effect adapter slots of a
+        # fixed rank on the base, so base and adapted requests share one
+        # compiled denoise program (a second 19B scan program beside the
+        # resident one was measured OOMing a 16 GB chip). B=0 makes the
+        # base output bit-identical to the unslotted model.
+        self.lora_slot_rank = int(lora_slot_rank)
+        if self.lora_slot_rank and self.lora_dir and models is not None:
+            import jax as _jax
+
+            from mlx_video_tpu.lora import LoRAConfig, inject_lora
+
+            models.transformer_params = inject_lora(
+                models.transformer_params, models.transformer_config,
+                LoRAConfig(rank=self.lora_slot_rank), _jax.random.key(0),
+            )
         self.text_encoder = text_encoder
         self.default_text = default_text
         self.output_dir = Path(output_dir)
@@ -279,9 +295,26 @@ class GenerationService:
         from mlx_video_tpu.lora import LoraSpec, attach_runtime_lora
 
         specs = [LoraSpec(self.lora_dir / name, s) for name, s in key]
-        attached = attach_runtime_lora(
-            self.models.transformer_params, specs, self.models.transformer_config
-        )
+        if self.lora_slot_rank:
+            try:
+                attached = attach_runtime_lora(
+                    self.models.transformer_params, specs,
+                    self.models.transformer_config,
+                    slot_rank=self.lora_slot_rank,
+                )
+            except ValueError as e:
+                # rank too high / module without a slot: the recompile path
+                # still works, it just costs a second compiled scan
+                print(f"[serve] LoRA slots unusable for {key}: {e}; "
+                      "falling back to the recompile attach", flush=True)
+                attached = attach_runtime_lora(
+                    self.models.transformer_params, specs,
+                    self.models.transformer_config,
+                )
+        else:
+            attached = attach_runtime_lora(
+                self.models.transformer_params, specs, self.models.transformer_config
+            )
         while len(self._lora_cache) >= self.lora_cache_size:
             self._lora_cache.pop(next(iter(self._lora_cache)))
         self._lora_cache[key] = attached
@@ -753,6 +786,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", default=None,
                    help="WxHxF to precompile at startup, e.g. 512x512x33 "
                         "(first request then runs at steady-state latency)")
+    p.add_argument("--lora-slot-rank", type=int, default=0,
+                   help="attach zero-effect rank-N adapter slots to the base so "
+                        "LoRA hot-swap reuses ONE compiled denoise program "
+                        "(adapters of rank <= N swap as data; 0 = off)")
     p.add_argument("--aux-park", action="store_true",
                    help="single-chip memory plan: park decoder/upsampler/audio "
                         "trees as per-group int8 IN HBM between requests and "
@@ -838,6 +875,7 @@ def main(argv=None) -> None:
         lora_dir=Path(args.lora_dir) if args.lora_dir else None,
         lora_cache=args.lora_cache,
         aux_park=args.aux_park,
+        lora_slot_rank=args.lora_slot_rank,
     )
 
     if args.warmup:

@@ -149,6 +149,7 @@ def attach_runtime_lora(
     lora_specs: Sequence[LoraSpec],
     config: LTXModelConfig,
     verbose: bool = False,
+    slot_rank: Optional[int] = None,
 ) -> dict:
     """Attach LoRA factors as adapter leaves without touching base weights —
     required for quantized bases (reference: lora.py:188-275).
@@ -161,6 +162,19 @@ def attach_runtime_lora(
     dicts only): attaching costs O(adapter) device memory, never a copy of
     the base — a resident server can hold several adapted views of one 19B
     base. (A deepcopy here would device-copy all ~10 GB per adapter.)
+
+    ``slot_rank`` (serving hot-swap without recompile): ``params`` is a
+    SLOTTED base — every target linear already carries zero-effect
+    ``lora_A``/``lora_B`` leaves of rank ``slot_rank`` (``inject_lora``
+    with that rank; B=0 makes the delta exactly zero). File factors then
+    REPLACE the slot (zero-padded up to ``slot_rank``; multiple adapters
+    rank-concat first), so the adapted tree has the SAME avals as the
+    slotted base and the 19B denoise executable is reused — swapping an
+    adapter costs O(adapter) transfer, never a second compiled scan
+    (measured OOMing a 16 GB chip beside the resident base program, r5).
+    Raises ValueError when the combined rank exceeds the slot or a file
+    targets a module without a slot — callers fall back to the recompile
+    path.
     """
 
     def _structural_copy(node):
@@ -170,6 +184,7 @@ def attach_runtime_lora(
 
     params = _structural_copy(params)
     num_layers = config.num_layers
+    written: set = set()  # node ids written by THIS call (compose-concat)
 
     for spec in lora_specs:
         lora_sd = load_lora_state(spec.path)
@@ -208,19 +223,58 @@ def attach_runtime_lora(
                     B_stack[layer] = B.astype(np.float32)
                 A_new = jnp.asarray(A_stack)
                 B_new = jnp.asarray(B_stack)
-            if "lora_A" in node:
+            if "lora_A" in node and (slot_rank is None or id(node) in written):
                 # a previous adapter in this request already covers this
                 # linear: compose by rank concatenation, which is exactly
                 # the sum of the two low-rank updates
                 # (x A1^T B1^T + x A2^T B2^T == x [A1;A2]^T [B1|B2]^T)
                 node["lora_A"] = jnp.concatenate([node["lora_A"], A_new], axis=-2)
                 node["lora_B"] = jnp.concatenate([node["lora_B"], B_new], axis=-1)
+            elif slot_rank is not None and "lora_A" not in node:
+                raise ValueError(
+                    f"{spec.path}: targets {'.'.join(path)} which has no "
+                    f"rank-{slot_rank} adapter slot — fall back to the "
+                    "recompile attach path"
+                )
             else:
+                # fresh write (legacy) or slot replacement (slot_rank)
                 node["lora_A"] = A_new
                 node["lora_B"] = B_new
+                if slot_rank is not None and "lora_scale" in node:
+                    # the slot carries inject_lora's alpha/rank training
+                    # scale; attached file factors bake strength into A and
+                    # expect scale 1 (same aval: keep the layer axis)
+                    node["lora_scale"] = jnp.ones_like(node["lora_scale"])
+            written.add(id(node))
             applied += 1
         if verbose or applied == 0:
             print(f"[LoRA] runtime attach {spec.path} applied={applied}")
+
+    if slot_rank is not None:
+        # zero-pad every written node's factors up to the slot rank so the
+        # adapted tree's avals equal the slotted base's
+        def pad_slots(node):
+            if not isinstance(node, dict):
+                return
+            if id(node) in written:
+                A, B = node["lora_A"], node["lora_B"]
+                r = A.shape[-2]
+                if r > slot_rank:
+                    raise ValueError(
+                        f"combined adapter rank {r} exceeds the slot rank "
+                        f"{slot_rank} — fall back to the recompile attach path"
+                    )
+                if r < slot_rank:
+                    pad_a = [(0, 0)] * A.ndim
+                    pad_a[-2] = (0, slot_rank - r)
+                    pad_b = [(0, 0)] * B.ndim
+                    pad_b[-1] = (0, slot_rank - r)
+                    node["lora_A"] = jnp.pad(A, pad_a)
+                    node["lora_B"] = jnp.pad(B, pad_b)
+            for v in node.values():
+                pad_slots(v)
+
+        pad_slots(params)
     return params
 
 

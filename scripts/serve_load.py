@@ -173,8 +173,11 @@ def main() -> None:
         models, default_text=text, output_dir=out_dir, dtype=dtype,
         max_batch=2, batch_window=0.25, lora_dir=lora_dir,
         # 19B + full 1024-ch decoder + upsampler resident OOMs one v5e
-        # (measured r5); aux_park is the single-chip serving memory plan.
+        # (measured r5); aux_park is the single-chip serving memory plan,
+        # and LoRA slots keep hot-swap on ONE compiled denoise program (a
+        # second 19B scan program beside the resident one also OOM'd).
         aux_park=not tiny,
+        lora_slot_rank=16,
     )
     httpd = serve(svc, host="127.0.0.1", port=0)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)

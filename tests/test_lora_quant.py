@@ -710,3 +710,72 @@ class TestDerivedTreeOwnership:
             assert shared_leaf_count(shard_params(sharded, mesh), sharded) > 0
             copied = shard_params(sharded, mesh, force_copy=True)
             assert shared_leaf_count(copied, sharded) == 0
+
+
+class TestLoraSlots:
+    """slot_rank serving mode: zero-effect slots on the base; file factors
+    replace slots zero-padded, keeping the adapted tree's avals equal to the
+    slotted base's (one compiled scan program for base + every adapter)."""
+
+    def _base(self):
+        cfg = tiny_test_config(LTXModelType.VideoOnly, num_layers=2)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        return cfg, quantize_dit_params(params, group_size=16, bits=4)
+
+    def _adapter_file(self, tmp_path, cfg, rank=2):
+        rng = np.random.default_rng(0)
+        d = cfg.inner_dim
+        path = str(tmp_path / "a.safetensors")
+        save_safetensors(path, {
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(rank, d)).astype(np.float32) * 0.1,
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(d, rank)).astype(np.float32) * 0.1,
+        })
+        return path
+
+    def _run(self, params, cfg, seed=5):
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+
+        tokens = jax.random.normal(jax.random.key(seed), (1, 32, cfg.in_channels))
+        ts = jnp.full((1, 32), 0.7)
+        pos = jnp.asarray(create_position_grid(1, 2, 4, 4))
+        ctx = jax.random.normal(jax.random.key(seed + 1), (1, 8, cfg.caption_channels))
+        v, _ = ltx_apply(
+            params, cfg, video=Modality(latent=tokens, timesteps=ts, context=ctx, positions=pos)
+        )
+        return np.asarray(v, np.float64)
+
+    def test_slots_are_zero_effect(self):
+        from mlx_video_tpu.lora import LoRAConfig, inject_lora
+
+        cfg, base = self._base()
+        slotted = inject_lora(base, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        np.testing.assert_allclose(self._run(base, cfg), self._run(slotted, cfg), atol=1e-6)
+
+    def test_slot_attach_matches_recompile_attach_and_keeps_avals(self, tmp_path):
+        from mlx_video_tpu.lora import LoRAConfig, LoraSpec, attach_runtime_lora, inject_lora
+
+        cfg, base = self._base()
+        slotted = inject_lora(base, cfg, LoRAConfig(rank=4), jax.random.key(1))
+        spec = LoraSpec(self._adapter_file(tmp_path, cfg, rank=2), 1.0)
+        via_slots = attach_runtime_lora(slotted, [spec], cfg, slot_rank=4)
+        legacy = attach_runtime_lora(base, [spec], cfg)
+        np.testing.assert_allclose(
+            self._run(via_slots, cfg), self._run(legacy, cfg), rtol=1e-5, atol=1e-5
+        )
+        # aval equality with the slotted base -> one compiled program
+        a = {jax.tree_util.keystr(p): (l.shape, str(l.dtype))
+             for p, l in jax.tree_util.tree_flatten_with_path(slotted)[0]}
+        b = {jax.tree_util.keystr(p): (l.shape, str(l.dtype))
+             for p, l in jax.tree_util.tree_flatten_with_path(via_slots)[0]}
+        assert a == b
+
+    def test_rank_overflow_raises(self, tmp_path):
+        from mlx_video_tpu.lora import LoRAConfig, LoraSpec, attach_runtime_lora, inject_lora
+
+        cfg, base = self._base()
+        slotted = inject_lora(base, cfg, LoRAConfig(rank=2), jax.random.key(1))
+        spec = LoraSpec(self._adapter_file(tmp_path, cfg, rank=4), 1.0)
+        with pytest.raises(ValueError, match="exceeds the slot rank"):
+            attach_runtime_lora(slotted, [spec], cfg, slot_rank=2)

@@ -687,3 +687,67 @@ class TestAuxParkServing:
     def test_aux_park_rejects_mesh(self):
         with pytest.raises(ValueError, match="aux_park"):
             GenerationService(models=None, mesh=object(), aux_park=True)
+
+
+class TestLoraSlotServing:
+    """lora_slot_rank: base and adapted requests share one compiled scan."""
+
+    @pytest.fixture()
+    def slot_service(self, tmp_path):
+        from mlx_video_tpu.io.safetensors import save_safetensors
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly)
+        dec_cfg = DecoderConfig(
+            in_channels=cfg.in_channels, base_channels=32, num_layers_per_block=1,
+            num_upsamples=3, patch_size=4,
+        )
+        models = ModelBundle(
+            transformer_params=init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32),
+            transformer_config=cfg,
+            vae_decoder_params=init_video_decoder(jax.random.key(1), dec_cfg),
+            vae_decoder_config=dec_cfg,
+            upsampler_params=init_latent_upsampler(
+                jax.random.key(2), in_channels=cfg.in_channels, mid_channels=32, num_blocks=1
+            ),
+        )
+        rng = np.random.default_rng(0)
+        lora_dir = tmp_path / "adapters"
+        lora_dir.mkdir()
+        save_safetensors(str(lora_dir / "style.safetensors"), {
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(2, cfg.inner_dim)).astype(np.float32) * 0.5,
+            "diffusion_model.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(cfg.inner_dim, 2)).astype(np.float32) * 0.5,
+        })
+        text = TextConditioning(
+            video_embeddings=jnp.asarray(
+                rng.normal(size=(1, 8, cfg.caption_channels)).astype(np.float32)
+            )
+        )
+        return GenerationService(
+            models, default_text=text, output_dir=tmp_path / "out",
+            dtype=jnp.float32, lora_dir=lora_dir, lora_slot_rank=4,
+        )
+
+    REQ = {"prompt": "a cat", "height": 64, "width": 64, "num_frames": 9,
+           "stage1_steps": 1, "stage2_steps": 1, "tiling": "none", "seed": 3}
+
+    def test_base_and_lora_share_slot_structure(self, slot_service):
+        import os
+
+        r_base = slot_service.generate(dict(self.REQ))
+        r_lora = slot_service.generate(dict(self.REQ, lora="style.safetensors"))
+        assert os.path.getsize(r_base["path"]) > 0 and os.path.getsize(r_lora["path"]) > 0
+        with open(r_base["path"], "rb") as f:
+            base_bytes = f.read()
+        with open(r_lora["path"], "rb") as f:
+            lora_bytes = f.read()
+        assert base_bytes != lora_bytes  # the adapter has an effect
+        # the cached adapted view has the SAME avals as the slotted base
+        base_p = slot_service.models.transformer_params
+        adapted = next(iter(slot_service._lora_cache.values()))
+        a = {jax.tree_util.keystr(p): (l.shape, str(l.dtype))
+             for p, l in jax.tree_util.tree_flatten_with_path(base_p)[0]}
+        b = {jax.tree_util.keystr(p): (l.shape, str(l.dtype))
+             for p, l in jax.tree_util.tree_flatten_with_path(adapted)[0]}
+        assert a == b
