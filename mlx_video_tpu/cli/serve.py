@@ -113,6 +113,9 @@ class GenerationService:
             models.transformer_params = inject_lora(
                 models.transformer_params, models.transformer_config,
                 LoRAConfig(rank=self.lora_slot_rank), _jax.random.key(0),
+                # slots in the serving dtype: fp32 slots cost ~0.9 GB at
+                # rank 16/19B — half of one chip's remaining headroom
+                dtype=dtype if dtype is not None else jnp.bfloat16,
             )
         self.text_encoder = text_encoder
         self.default_text = default_text
@@ -731,6 +734,10 @@ def make_handler(service: GenerationService):
             except Exception as e:  # surface, don't kill the server
                 # Includes ValueError from generate_video internals: those
                 # are server-side configuration faults, not client errors.
+                import traceback
+
+                traceback.print_exc()  # ops diagnosis: the client body only
+                # carries type+message; the stack goes to the server log
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):

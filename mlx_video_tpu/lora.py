@@ -223,6 +223,11 @@ def attach_runtime_lora(
                     B_stack[layer] = B.astype(np.float32)
                 A_new = jnp.asarray(A_stack)
                 B_new = jnp.asarray(B_stack)
+            if slot_rank is not None and "lora_A" in node:
+                # slots may be stored bf16 (serving halves their HBM);
+                # factors must keep the slot's dtype or the avals change
+                A_new = A_new.astype(node["lora_A"].dtype)
+                B_new = B_new.astype(node["lora_B"].dtype)
             if "lora_A" in node and (slot_rank is None or id(node) in written):
                 # a previous adapter in this request already covers this
                 # linear: compose by rank concatenation, which is exactly

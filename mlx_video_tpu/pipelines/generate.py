@@ -775,14 +775,17 @@ def generate_video(
         against device arrays and fail with 'incompatible devices'. No-op
         when the default backend IS the CPU (tests) or nothing is parked.
         """
-        if low_memory or tree is None or jax.default_backend() == "cpu":
+        if low_memory or tree is None:
             return tree
         from mlx_video_tpu.io import staging as _st
 
         if _st.is_parked(tree):
             # Previous run parked it as int8 (aux_int8_staging); restore
             # full-precision device residency for this non-low_memory run.
+            # Applies on ANY backend — a parked tree is not usable params.
             return _st.unpark_int8(tree, jax.devices()[0])
+        if jax.default_backend() == "cpu":
+            return tree
         leaves = jax.tree.leaves(tree)
         if not leaves or not hasattr(leaves[0], "devices"):
             return tree
@@ -1450,6 +1453,18 @@ def generate_video(
         video_file.rename(output_path)
 
     result_paths = video_files if num_videos > 1 else None
+
+    if low_memory and keep_transformer:
+        # Resident-serving steady state: leave the aux trees PARKED so the
+        # NEXT request starts pre-parked — the park's bf16+int8 transient
+        # then happens HERE, with no scan arena live (the safest moment),
+        # instead of racing the next request's stage-1 scan (measured
+        # RESOURCE_EXHAUSTED at 19B, PERF.md r5). _stage fences internally.
+        models.vae_decoder_params = _stage(models.vae_decoder_params, to_host=True)
+        models.upsampler_params = _stage(models.upsampler_params, to_host=True)
+        if models.audio_decoder_params is not None:
+            models.audio_decoder_params = _stage(models.audio_decoder_params, to_host=True)
+            models.vocoder_params = _stage(models.vocoder_params, to_host=True)
 
     if profile:
         timer.report()
