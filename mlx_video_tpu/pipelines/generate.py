@@ -354,6 +354,9 @@ def _check_params_dtype(models: "ModelBundle", dtype) -> None:
 # process (program loads are per-process; see _warmup_decode_programs).
 _WARMED_DECODE_GEOMETRIES: set = set()
 
+# One AOT preload per process (the thread loads every indexed entry).
+_AOT_PRELOADED = False
+
 
 def generate_video(
     models: ModelBundle,
@@ -899,6 +902,35 @@ def generate_video(
             (1, latent_channels, latent_frames, latent_h, latent_w),
             tiling_config, keys[2],
         )
+    # AOT executable PRELOAD (no arguments, no dispatch — pure host+tunnel
+    # work + device program memory): ship the cached binaries this
+    # environment used before to the chip on a side thread, so first
+    # dispatches skip the ~2-3 s/stage serialized-program upload that
+    # otherwise lands inside the denoise/decode phases (PERF.md r5). Unlike
+    # the zeros-dispatch warmup this cannot race HBM arenas (it allocates
+    # only program memory, bounded by MLX_VIDEO_AOT_PRELOAD_MB).
+    global _AOT_PRELOADED
+    if (
+        not _AOT_PRELOADED
+        and jax.default_backend() != "cpu"
+        and os.environ.get("MLX_VIDEO_AOT_PRELOAD", "1") != "0"
+    ):
+        _AOT_PRELOADED = True
+
+        def _preload_aot():
+            from mlx_video_tpu.utils import aot as _aot
+
+            t0 = time.time()
+            n = _aot.preload_disk_executables(
+                ("_decoder", "_encoder", "upsample_latents", "decode_audio",
+                 "aux_dequant", "_denoise_scan"),
+                max_bytes=int(os.environ.get("MLX_VIDEO_AOT_PRELOAD_MB", "512")) * 2**20,
+            )
+            if n:
+                print(f"[aot] preloaded {n} executables in {time.time() - t0:.1f}s",
+                      flush=True)
+
+        threading.Thread(target=_preload_aot, daemon=True, name="aot-preload").start()
 
     def _batched_noise(kidx: int, shape) -> jax.Array:
         """fp32 noise with per-video keys; bit-equal to the single-run

@@ -138,3 +138,36 @@ def test_donation_plumbed():
     x = jnp.ones((128,))
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), np.full((128,), 2.0), rtol=1e-6)
+
+
+class TestPreload:
+    """preload_disk_executables: meta-indexed entries land in the memory
+    cache ahead of first dispatch (r5 tunnel program-upload optimization)."""
+
+    def test_preload_populates_memory_cache(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("MLX_VIDEO_AOT", "1")
+        monkeypatch.setenv("MLX_VIDEO_AOT_CACHE", str(tmp_path))
+        from mlx_video_tpu.utils import aot
+
+        aot.clear_memory_cache()
+        f = aot.aot_jit(lambda x: x * 2.0, name="preload_probe")
+        x = jnp.arange(8.0)
+        np.testing.assert_allclose(np.asarray(f(x)), np.arange(8.0) * 2)
+        # the save wrote a sidecar meta
+        metas = [p for p in os.listdir(tmp_path) if p.endswith(".meta")]
+        saved = [p for p in os.listdir(tmp_path) if p.endswith(".jaxexec")]
+        if not saved:
+            pytest.skip("backend cannot serialize executables")
+        assert metas, "save did not write a .meta sidecar"
+        # fresh process simulation: empty memory cache, preload from disk
+        aot.clear_memory_cache()
+        n = aot.preload_disk_executables(("preload_probe",))
+        assert n == 1
+        assert len(aot._MEMORY) == 1
+        # filtered-out names load nothing
+        aot.clear_memory_cache()
+        assert aot.preload_disk_executables(("other_name",)) == 0
+        # budget of 0 loads nothing
+        assert aot.preload_disk_executables(("preload_probe",), max_bytes=0) == 0
