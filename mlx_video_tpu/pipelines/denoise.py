@@ -877,7 +877,23 @@ def denoise(
         # MLX_VIDEO_SCAN_SEGMENT=0 disables; default 8 steps per dispatch
         # (= the distilled stage-1 schedule, so short runs are one program).
         seg = int(_os.environ.get("MLX_VIDEO_SCAN_SEGMENT", "8"))
-        if 0 < seg < num_steps:
+        # Host-side streaming: the in-scan debug-callback progress variant
+        # is a DIFFERENT, far harder program for the remote TPU compiler —
+        # the 19B streamed scan failed compile at the tunnel's ~25-min
+        # limit twice (PERF.md r5). On an accelerator, stream by
+        # dispatching the CALLBACK-FREE program one step at a time and
+        # emitting each event from the host after that step's completion
+        # fence: same math, same executable family, truthful event timing.
+        # MLX_VIDEO_STREAM_HOST=0 restores the in-scan variant; =1 forces
+        # host streaming on any backend (tests).
+        _sh = _os.environ.get("MLX_VIDEO_STREAM_HOST", "auto")
+        stream_host = common["progress"] and (
+            _sh == "1" or (_sh != "0" and jax.default_backend() != "cpu")
+        )
+        if stream_host:
+            common["progress"] = False
+            seg = 1
+        if stream_host or 0 < seg < num_steps:
             has_video = latents is not None
             v = latents
             a = audio_latents
@@ -898,6 +914,12 @@ def denoise(
                     **common,
                 )
                 off += int(chunk.shape[0])
+                if stream_host:
+                    # completion fence (block_until_ready lies through the
+                    # tunnel): fetch one element before announcing the step
+                    probe = v if has_video else a
+                    float(jnp.sum(probe.ravel()[:1].astype(jnp.float32)))
+                    _host_step_event(off - 1, float(sig_np[off - 1]), num_steps)
         else:
             v, a = _denoise_scan(
                 params, latents, positions, context, neg_context, state,

@@ -677,3 +677,45 @@ class TestTeaCache:
         with pytest.raises(ValueError, match="progress_callback"):
             dn.denoise(params, config, lat, pos, ctx, [1.0, 0.0],
                        teacache_threshold=0.1, progress_callback=lambda i, n: None)
+
+
+class TestHostStreaming:
+    """MLX_VIDEO_STREAM_HOST=1: streaming via per-step dispatches of the
+    callback-free program (r5 — the in-scan debug-callback variant fails
+    remote TPU compile at 19B). Must be bit-identical to the plain loop and
+    emit one completion event per step."""
+
+    def test_matches_plain_and_emits_events(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mlx_video_tpu.config import LTXModelType, tiny_test_config
+        from mlx_video_tpu.models.ltx.model import init_ltx_params
+        from mlx_video_tpu.pipelines import denoise as dn
+        from mlx_video_tpu.pipelines.positions import create_position_grid
+        from mlx_video_tpu.utils import profiling
+
+        cfg = tiny_test_config(LTXModelType.VideoOnly, num_layers=2)
+        params = init_ltx_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        b, f, h, w = 1, 2, 4, 4
+        latents = jax.random.normal(jax.random.key(1), (b, cfg.in_channels, f, h, w))
+        positions = jnp.asarray(create_position_grid(b, f, h, w))
+        context = jax.random.normal(jax.random.key(2), (b, 8, cfg.caption_channels))
+        sched = [1.0, 0.8, 0.55, 0.3, 0.1, 0.0]
+
+        monkeypatch.setenv("MLX_VIDEO_STREAM_HOST", "0")
+        ref, _ = dn.denoise(params, cfg, latents, positions, context, sched)
+
+        events = []
+        profiling.add_event_sink(events.append)
+        try:
+            monkeypatch.setenv("MLX_VIDEO_STREAM_HOST", "1")
+            out, _ = dn.denoise(params, cfg, latents, positions, context, sched)
+        finally:
+            profiling.remove_event_sink(events.append)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        steps = [e for e in events if e.get("kind") == "denoise_step"]
+        assert [e["step"] for e in steps] == [1, 2, 3, 4, 5]
+        assert all(e["total"] == 5 for e in steps)
+        assert abs(steps[0]["sigma"] - 1.0) < 1e-6
