@@ -921,10 +921,17 @@ def generate_video(
             from mlx_video_tpu.utils import aot as _aot
 
             t0 = time.time()
+            # Decode-path entries only: the denoise scans' loads already
+            # ride the pre-scan windows (their phases are steady without
+            # preloading), and shipping the ~40 MB scan binaries here was
+            # measured REGRESSING config-3 by ~20 s — the uploads contend
+            # with the tunnel-bound cond-encode/layout-placement phases
+            # (PERF.md r5). Decoder/upsampler/audio entries are small and
+            # their first dispatch is the decode phase itself — the one
+            # place with no earlier window.
             n = _aot.preload_disk_executables(
-                ("_decoder", "_encoder", "upsample_latents", "decode_audio",
-                 "aux_dequant", "_denoise_scan"),
-                max_bytes=int(os.environ.get("MLX_VIDEO_AOT_PRELOAD_MB", "512")) * 2**20,
+                ("_decoder", "upsample_latents", "decode_audio", "aux_dequant"),
+                max_bytes=int(os.environ.get("MLX_VIDEO_AOT_PRELOAD_MB", "256")) * 2**20,
             )
             if n:
                 print(f"[aot] preloaded {n} executables in {time.time() - t0:.1f}s",
